@@ -1,0 +1,214 @@
+"""Columnar batch ABI: Arrow-style struct-of-arrays batches resident in HBM.
+
+This is the engine's data plane — the TPU-native analog of the reference's
+Arrow ``RecordBatch`` exchanged over the C Data Interface (reference:
+native/core/src/execution/operators/scan.rs:46, jni_api.rs:669
+``prepare_output``). Design rules that make it XLA-friendly:
+
+- Every batch has a **static capacity** (power-of-two row count); the number
+  of live rows is carried as a traced boolean ``row_mask`` (+ derived count).
+  Filters flip mask bits instead of producing dynamic shapes; compaction is
+  an explicit operator used only where physically profitable.
+- Nullability is a per-column boolean ``validity`` vector (True = non-null),
+  the dense-mask analog of Arrow validity bitmaps.
+- Strings/binary are fixed-width padded ``uint8`` matrices ``(cap, max_len)``
+  plus an int32 ``lengths`` vector. This is the "var-length data in a
+  fixed-shape world" decision from SURVEY.md §7: all string compute
+  (compare/LIKE/substring/hash) vectorizes over the byte matrix on the VPU.
+
+Batches are registered pytrees, so whole operator pipelines (scan → filter →
+project → partial-agg) jit/fuse into a single XLA computation, and pjit can
+shard them over a device mesh (leading row axis = data-parallel axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from datafusion_comet_tpu import types as T
+
+__all__ = ["ColumnVector", "Batch", "pad_capacity", "from_numpy", "to_numpy"]
+
+
+def pad_capacity(n: int, minimum: int = 8) -> int:
+    """Round row count up to the next power of two (stable jit cache keys)."""
+    cap = max(minimum, 1)
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "validity", "lengths"],
+    meta_fields=["dtype"],
+)
+@dataclasses.dataclass
+class ColumnVector:
+    """One column: data buffer + validity mask (+ lengths for var-len types).
+
+    data:     (cap,) for fixed-width types; (cap, max_len) uint8 for STRING/BYTES.
+    validity: (cap,) bool, True = non-null.
+    lengths:  (cap,) int32 for STRING/BYTES else None.
+    """
+
+    data: jax.Array
+    validity: jax.Array
+    lengths: Optional[jax.Array]
+    dtype: T.DataType
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[0]
+
+    def with_validity(self, validity: jax.Array) -> "ColumnVector":
+        return ColumnVector(self.data, validity, self.lengths, self.dtype)
+
+    def take(self, indices: jax.Array, fill_invalid: bool = False) -> "ColumnVector":
+        """Gather rows by index. Indices must be in-range; callers mask
+        out-of-range gathers by clipping and passing fill_invalid."""
+        data = jnp.take(self.data, indices, axis=0)
+        validity = jnp.take(self.validity, indices, axis=0)
+        lengths = None if self.lengths is None else jnp.take(self.lengths, indices, axis=0)
+        return ColumnVector(data, validity, lengths, self.dtype)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["columns", "row_mask"],
+    meta_fields=["schema"],
+)
+@dataclasses.dataclass
+class Batch:
+    """A struct-of-arrays batch: tuple of columns + live-row mask."""
+
+    columns: Tuple[ColumnVector, ...]
+    row_mask: jax.Array  # (cap,) bool
+    schema: T.Schema
+
+    @property
+    def capacity(self) -> int:
+        return self.row_mask.shape[0]
+
+    def num_rows(self) -> jax.Array:
+        return jnp.sum(self.row_mask.astype(jnp.int32))
+
+    def column(self, name: str) -> ColumnVector:
+        return self.columns[self.schema.index_of(name)]
+
+    def with_mask(self, mask: jax.Array) -> "Batch":
+        return Batch(self.columns, mask, self.schema)
+
+    def select(self, indices: Sequence[int], schema: T.Schema) -> "Batch":
+        return Batch(tuple(self.columns[i] for i in indices), self.row_mask, schema)
+
+    def take(self, indices: jax.Array, mask: jax.Array, schema: Optional[T.Schema] = None) -> "Batch":
+        cols = tuple(c.take(indices) for c in self.columns)
+        return Batch(cols, mask, schema or self.schema)
+
+
+# -------------------------------------------------------------------------------------
+# Host <-> device conversion
+# -------------------------------------------------------------------------------------
+
+
+def _pad_strings_np(values: np.ndarray, max_len: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized ragged->padded conversion for an object/str numpy array."""
+    n = len(values)
+    if n == 0:
+        return np.zeros((0, max_len), np.uint8), np.zeros((0,), np.int32)
+    encoded = [
+        (v.encode("utf-8") if isinstance(v, str) else (bytes(v) if v is not None else b""))
+        for v in values
+    ]
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int32, count=n)
+    if lens.max(initial=0) > max_len:
+        raise ValueError(f"string longer than max_len={max_len}")
+    flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    offsets = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    pos = np.arange(max_len, dtype=np.int64)
+    idx = np.minimum(offsets[:, None] + pos[None, :], max(len(flat) - 1, 0))
+    mat = np.zeros((n, max_len), np.uint8)
+    if len(flat):
+        mat = np.where(pos[None, :] < lens[:, None], flat[idx], 0).astype(np.uint8)
+    return mat, lens
+
+
+def from_numpy(
+    data: Dict[str, np.ndarray],
+    schema: T.Schema,
+    capacity: Optional[int] = None,
+    validity: Optional[Dict[str, np.ndarray]] = None,
+) -> Batch:
+    """Build a device Batch from host numpy columns, padding to capacity.
+
+    Decimal columns are expected pre-scaled as int64. Strings may be object
+    arrays of str/bytes/None.
+    """
+    names = schema.names
+    n = len(data[names[0]]) if names else 0
+    cap = capacity or pad_capacity(n)
+    validity = validity or {}
+    cols = []
+    for f in schema.fields:
+        v = np.asarray(data[f.name]) if not isinstance(data[f.name], np.ndarray) else data[f.name]
+        valid_np = validity.get(f.name)
+        if valid_np is None:
+            if v.dtype == object:
+                valid_np = np.array([x is not None for x in v], dtype=bool)
+            elif np.issubdtype(v.dtype, np.floating):
+                valid_np = np.ones(n, dtype=bool)
+            else:
+                valid_np = np.ones(n, dtype=bool)
+        valid_pad = np.zeros(cap, bool)
+        valid_pad[:n] = valid_np
+        if f.dtype.is_binary:
+            max_len = f.dtype.byte_width
+            mat, lens = _pad_strings_np(v, max_len)
+            mat_pad = np.zeros((cap, max_len), np.uint8)
+            mat_pad[:n] = mat
+            lens_pad = np.zeros(cap, np.int32)
+            lens_pad[:n] = lens
+            cols.append(
+                ColumnVector(jnp.asarray(mat_pad), jnp.asarray(valid_pad), jnp.asarray(lens_pad), f.dtype)
+            )
+        else:
+            phys = f.dtype.np_dtype()
+            buf = np.zeros(cap, phys)
+            if v.dtype == object:
+                vv = np.array([x if x is not None else 0 for x in v])
+                buf[:n] = vv.astype(phys)
+            else:
+                buf[:n] = v.astype(phys)
+            cols.append(ColumnVector(jnp.asarray(buf), jnp.asarray(valid_pad), None, f.dtype))
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    return Batch(tuple(cols), jnp.asarray(mask), schema)
+
+
+def to_numpy(batch: Batch) -> Dict[str, np.ndarray]:
+    """Pull a batch back to host as compacted numpy columns (None for nulls
+    in object output for strings; NaN-preserving for floats; masked ints keep
+    their raw value with a parallel ``<name>__valid`` array)."""
+    mask = np.asarray(batch.row_mask)
+    out: Dict[str, np.ndarray] = {}
+    for f, col in zip(batch.schema.fields, batch.columns):
+        valid = np.asarray(col.validity)[mask]
+        if f.dtype.is_binary:
+            mat = np.asarray(col.data)[mask]
+            lens = np.asarray(col.lengths)[mask]
+            vals = np.empty(len(mat), dtype=object)
+            for i in range(len(mat)):
+                vals[i] = bytes(mat[i, : lens[i]]).decode("utf-8", "replace") if valid[i] else None
+            out[f.name] = vals
+        else:
+            out[f.name] = np.asarray(col.data)[mask]
+        out[f.name + "__valid"] = valid
+    return out

@@ -1,0 +1,738 @@
+"""Expression IR: the engine-agnostic expression tree + Spark type inference.
+
+The analog of the reference's ``Expr`` proto oneof (~70 variants, reference:
+native/proto/src/proto/expr.proto:31-97) plus the type-resolution rules that
+Spark applies before serde. Expressions are built *unbound* (column names),
+then ``bind(schema)`` resolves references to column indices and computes
+result types — including Spark's decimal precision/scale arithmetic
+(reference: native/spark-expr/src/math_funcs + Spark DecimalType.adjustPrecisionScale,
+mirrored in QueryPlanSerde.scala arithmetic serde).
+
+Evaluation lives in exec/evaluator.py: each node class names a kernel; the
+evaluator compiles a bound tree into a pure JAX function over a Batch so XLA
+fuses the whole expression (the analog of DataFusion's PhysicalExpr tree,
+reference: native/core/src/execution/planner.rs:437 create_expr).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+from datafusion_comet_tpu import types as T
+
+__all__ = [
+    "Expr",
+    "col",
+    "lit",
+    "EvalMode",
+    "ColumnRef",
+    "BoundRef",
+    "Literal",
+    "Alias",
+    "BinaryOp",
+    "UnaryOp",
+    "Cast",
+    "CaseWhen",
+    "InList",
+    "Like",
+    "StringFunc",
+    "TemporalFunc",
+    "MathFunc",
+    "HashFunc",
+    "SortOrder",
+    "AggExpr",
+    "AggFunc",
+    "WindowExpr",
+    "WindowFrame",
+    "ScalarSubquery",
+    "RandExpr",
+    "MonotonicallyIncreasingId",
+    "SparkPartitionId",
+    "bind",
+]
+
+
+class EvalMode:
+    """Spark evaluation modes (reference: spark-expr/src/lib.rs:102 EvalMode)."""
+
+    LEGACY = "LEGACY"
+    ANSI = "ANSI"
+    TRY = "TRY"
+
+
+@dataclasses.dataclass(frozen=True)
+class Expr:
+    """Base expression node. Subclasses are frozen dataclasses; ``dtype`` is
+    None until bound."""
+
+    def children(self) -> Tuple["Expr", ...]:
+        return ()
+
+    dtype: Optional[T.DataType] = dataclasses.field(default=None, init=False)
+
+    # Fluent builders -------------------------------------------------------------
+    def alias(self, name: str) -> "Alias":
+        return Alias(self, name)
+
+    def cast(self, to: T.DataType, mode: str = EvalMode.LEGACY) -> "Cast":
+        return Cast(self, to, mode)
+
+    def is_null(self) -> "UnaryOp":
+        return UnaryOp("isnull", self)
+
+    def is_not_null(self) -> "UnaryOp":
+        return UnaryOp("isnotnull", self)
+
+    def __add__(self, o):
+        return BinaryOp("add", self, _e(o))
+
+    def __sub__(self, o):
+        return BinaryOp("sub", self, _e(o))
+
+    def __rsub__(self, o):
+        return BinaryOp("sub", _e(o), self)
+
+    def __radd__(self, o):
+        return BinaryOp("add", _e(o), self)
+
+    def __mul__(self, o):
+        return BinaryOp("mul", self, _e(o))
+
+    def __rmul__(self, o):
+        return BinaryOp("mul", _e(o), self)
+
+    def __truediv__(self, o):
+        return BinaryOp("div", self, _e(o))
+
+    def __mod__(self, o):
+        return BinaryOp("mod", self, _e(o))
+
+    def __eq__(self, o):  # type: ignore[override]
+        return BinaryOp("eq", self, _e(o))
+
+    def __ne__(self, o):  # type: ignore[override]
+        return BinaryOp("ne", self, _e(o))
+
+    def __lt__(self, o):
+        return BinaryOp("lt", self, _e(o))
+
+    def __le__(self, o):
+        return BinaryOp("le", self, _e(o))
+
+    def __gt__(self, o):
+        return BinaryOp("gt", self, _e(o))
+
+    def __ge__(self, o):
+        return BinaryOp("ge", self, _e(o))
+
+    def __and__(self, o):
+        return BinaryOp("and", self, _e(o))
+
+    def __or__(self, o):
+        return BinaryOp("or", self, _e(o))
+
+    def __invert__(self):
+        return UnaryOp("not", self)
+
+    def __hash__(self):
+        return object.__hash__(self)
+
+    def between(self, lo, hi) -> "Expr":
+        return (self >= _e(lo)) & (self <= _e(hi))
+
+    def isin(self, *values) -> "InList":
+        return InList(self, tuple(_e(v) for v in values))
+
+    def like(self, pattern: str) -> "Like":
+        return Like(self, pattern)
+
+    @property
+    def name(self) -> str:
+        return _default_name(self)
+
+
+def _e(v: Any) -> "Expr":
+    return v if isinstance(v, Expr) else lit(v)
+
+
+def _default_name(e: "Expr") -> str:
+    if isinstance(e, Alias):
+        return e.out_name
+    if isinstance(e, ColumnRef):
+        return e.col_name
+    if isinstance(e, BoundRef):
+        return e.col_name
+    return type(e).__name__.lower()
+
+
+def _node(cls):
+    """Decorator: frozen dataclass node with non-init dtype slot."""
+    cls = dataclasses.dataclass(frozen=True, eq=False, repr=True)(cls)
+    return cls
+
+
+@_node
+class ColumnRef(Expr):
+    col_name: str
+
+
+@_node
+class BoundRef(Expr):
+    index: int
+    col_name: str
+    ref_dtype: T.DataType
+
+    def __post_init__(self):
+        object.__setattr__(self, "dtype", self.ref_dtype)
+
+
+@_node
+class Literal(Expr):
+    value: Any
+    lit_dtype: T.DataType
+
+    def __post_init__(self):
+        object.__setattr__(self, "dtype", self.lit_dtype)
+
+
+@_node
+class Alias(Expr):
+    child: Expr
+    out_name: str
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class BinaryOp(Expr):
+    """Arithmetic: add/sub/mul/div/mod; comparison: eq/ne/lt/le/gt/ge,
+    eqns (null-safe <=>); logic: and/or (Kleene); bitwise: band/bor/bxor,
+    shiftleft/shiftright. Reference semantics: spark-expr math_funcs,
+    predicate_funcs; comparison NaN ordering (NaN greatest, NaN == NaN for
+    ordering) matches Spark."""
+
+    op: str
+    left: Expr
+    right: Expr
+    eval_mode: str = EvalMode.LEGACY
+
+    def children(self):
+        return (self.left, self.right)
+
+
+@_node
+class UnaryOp(Expr):
+    """not / negate / isnull / isnotnull / isnan / abs."""
+
+    op: str
+    child: Expr
+    eval_mode: str = EvalMode.LEGACY
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class Cast(Expr):
+    """Spark cast matrix subset (reference: spark-expr/src/conversion_funcs/cast.rs,
+    support matrix spark/src/main/scala/org/apache/comet/expressions/CometCast.scala:175)."""
+
+    child: Expr
+    to: T.DataType
+    eval_mode: str = EvalMode.LEGACY
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class CaseWhen(Expr):
+    """CASE WHEN ... THEN ... [ELSE ...] END (also serves If)."""
+
+    branches: Tuple[Tuple[Expr, Expr], ...]  # (condition, value)
+    else_value: Optional[Expr]
+
+    def children(self):
+        out: List[Expr] = []
+        for c, v in self.branches:
+            out += [c, v]
+        if self.else_value is not None:
+            out.append(self.else_value)
+        return tuple(out)
+
+
+@_node
+class InList(Expr):
+    child: Expr
+    values: Tuple[Expr, ...]
+    negated: bool = False
+
+    def children(self):
+        return (self.child,) + self.values
+
+
+@_node
+class Like(Expr):
+    """SQL LIKE with literal pattern ('%' and '_' wildcards). The pattern is
+    compiled on the host into a segment-matching plan (reference:
+    spark-expr/src/predicate_funcs/rlike.rs covers regex; LIKE is the common
+    fast path)."""
+
+    child: Expr
+    pattern: str
+    negated: bool = False
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class StringFunc(Expr):
+    """substring(pos,len)/upper/lower/length/concat/trim/ltrim/rtrim/
+    startswith/endswith/contains/replace/lpad/rpad/ascii/instr/repeat/reverse.
+    Reference: spark-expr/src/string_funcs/."""
+
+    func: str
+    args: Tuple[Expr, ...]
+
+    def children(self):
+        return self.args
+
+
+@_node
+class TemporalFunc(Expr):
+    """year/month/day/quarter/dayofweek/dayofyear/hour/minute/second/
+    date_add/date_sub/datediff/trunc_date/last_day/unix_date.
+    Reference: spark-expr/src/datetime_funcs/."""
+
+    func: str
+    args: Tuple[Expr, ...]
+
+    def children(self):
+        return self.args
+
+
+@_node
+class MathFunc(Expr):
+    """round/floor/ceil/sqrt/exp/ln/log10/log2/pow/sin/cos/tan/atan/atan2/
+    sign/greatest/least. Reference: spark-expr/src/math_funcs/."""
+
+    func: str
+    args: Tuple[Expr, ...]
+    eval_mode: str = EvalMode.LEGACY
+
+    def children(self):
+        return self.args
+
+
+@_node
+class HashFunc(Expr):
+    """murmur3_hash(seed)/xxhash64(seed) — Spark-exact (reference:
+    spark-expr/src/hash_funcs/{murmur3,xxhash64}.rs). Used by shuffle
+    partitioning for row-level parity with the reference."""
+
+    func: str
+    args: Tuple[Expr, ...]
+    seed: int = 42
+
+    def children(self):
+        return self.args
+
+
+@_node
+class RandExpr(Expr):
+    """rand()/randn() seeded per partition (reference:
+    native/core/src/execution/expressions/random.rs — Spark XORShift)."""
+
+    func: str
+    seed: int
+
+
+@_node
+class MonotonicallyIncreasingId(Expr):
+    pass
+
+
+@_node
+class SparkPartitionId(Expr):
+    pass
+
+
+@_node
+class ScalarSubquery(Expr):
+    """Placeholder materialized by the session before execution (reference:
+    native/core/src/execution/expressions/subquery.rs:38 — value fetched
+    lazily from the driver)."""
+
+    subquery_id: int
+    sub_dtype: T.DataType
+
+    def __post_init__(self):
+        object.__setattr__(self, "dtype", self.sub_dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class SortOrder:
+    child: Expr
+    ascending: bool = True
+    nulls_first: Optional[bool] = None  # default: Spark = nulls first iff ascending
+
+    def resolved_nulls_first(self) -> bool:
+        return self.ascending if self.nulls_first is None else self.nulls_first
+
+
+class AggFunc:
+    SUM = "sum"
+    COUNT = "count"
+    MIN = "min"
+    MAX = "max"
+    AVG = "avg"
+    FIRST = "first"
+    LAST = "last"
+    VAR_SAMP = "var_samp"
+    VAR_POP = "var_pop"
+    STDDEV_SAMP = "stddev_samp"
+    STDDEV_POP = "stddev_pop"
+    COVAR_SAMP = "covar_samp"
+    COVAR_POP = "covar_pop"
+    CORR = "corr"
+    BIT_AND = "bit_and"
+    BIT_OR = "bit_or"
+    BIT_XOR = "bit_xor"
+    BOOL_AND = "bool_and"
+    BOOL_OR = "bool_or"
+    COUNT_DISTINCT = "count_distinct"
+
+
+@dataclasses.dataclass(frozen=True)
+class AggExpr:
+    """One aggregate: function + input + optional FILTER (WHERE) clause.
+
+    Modes Partial/PartialMerge/Final follow the reference contract
+    (operator.proto:480-484, planner.rs:1239-1375): Partial consumes input
+    rows and emits state columns; PartialMerge/Final consume state columns
+    starting at the group-key offset.
+    """
+
+    func: str
+    child: Optional[Expr]  # None for COUNT(*)
+    out_name: str
+    filter: Optional[Expr] = None
+    ignore_nulls: bool = True  # first/last
+    extra: Tuple[Expr, ...] = ()  # second arg for covar/corr
+
+    def result_dtype(self) -> T.DataType:
+        cd = self.child.dtype if self.child is not None else None
+        f = self.func
+        if f == AggFunc.COUNT or f == AggFunc.COUNT_DISTINCT:
+            return T.INT64
+        if f == AggFunc.SUM:
+            assert cd is not None
+            if cd.is_decimal:
+                return T.decimal(min(cd.precision + 10, T.MAX_DECIMAL_PRECISION), cd.scale)
+            if cd.is_integer:
+                return T.INT64
+            return T.FLOAT64
+        if f == AggFunc.AVG:
+            assert cd is not None
+            if cd.is_decimal:
+                # Spark: avg = decimal(p+4, s+4) bounded (DecimalType.bounded)
+                return T.decimal(
+                    min(cd.precision + 4, T.MAX_DECIMAL_PRECISION),
+                    min(cd.scale + 4, T.MAX_DECIMAL_PRECISION),
+                )
+            return T.FLOAT64
+        if f in (AggFunc.MIN, AggFunc.MAX, AggFunc.FIRST, AggFunc.LAST):
+            assert cd is not None
+            return cd
+        if f in (AggFunc.BIT_AND, AggFunc.BIT_OR, AggFunc.BIT_XOR):
+            assert cd is not None
+            return cd
+        if f in (AggFunc.BOOL_AND, AggFunc.BOOL_OR):
+            return T.BOOL
+        # variance/covariance family → double (Spark semantics)
+        return T.FLOAT64
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowFrame:
+    """ROWS/RANGE frame (reference: operator.proto:552-603)."""
+
+    frame_type: str = "rows"  # rows | range
+    lower: Optional[int] = None  # None = UNBOUNDED PRECEDING
+    upper: Optional[int] = 0  # 0 = CURRENT ROW; None = UNBOUNDED FOLLOWING
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowExpr:
+    """Window function spec (reference: CometWindowExec.scala:41-330)."""
+
+    func: str  # row_number|rank|dense_rank|ntile|lag|lead|nth_value + agg names
+    child: Optional[Expr]
+    out_name: str
+    partition_by: Tuple[Expr, ...] = ()
+    order_by: Tuple[SortOrder, ...] = ()
+    frame: WindowFrame = WindowFrame()
+    offset: int = 1  # lag/lead
+    default: Optional[Expr] = None  # lag/lead literal default
+
+
+# -------------------------------------------------------------------------------------
+# Builders
+# -------------------------------------------------------------------------------------
+
+
+def col(name: str) -> ColumnRef:
+    return ColumnRef(name)
+
+
+def lit(value: Any, dtype: Optional[T.DataType] = None) -> Literal:
+    if dtype is None:
+        dtype = _infer_literal_type(value)
+    if dtype.is_decimal and isinstance(value, float):
+        value = round(value * 10**dtype.scale)
+    elif dtype.is_decimal and isinstance(value, int) and dtype.scale:
+        value = value * 10**dtype.scale
+    return Literal(value, dtype)
+
+
+def _infer_literal_type(v: Any) -> T.DataType:
+    if v is None:
+        return T.NULLTYPE
+    if isinstance(v, bool):
+        return T.BOOL
+    if isinstance(v, int):
+        return T.INT32 if -(2**31) <= v < 2**31 else T.INT64
+    if isinstance(v, float):
+        return T.FLOAT64
+    if isinstance(v, str):
+        return T.string(max(len(v.encode()), 1))
+    if isinstance(v, bytes):
+        return T.binary(max(len(v), 1))
+    raise TypeError(f"cannot infer literal type for {v!r}")
+
+
+# -------------------------------------------------------------------------------------
+# Binding + type inference
+# -------------------------------------------------------------------------------------
+
+_CMP_OPS = {"eq", "ne", "lt", "le", "gt", "ge", "eqns"}
+_LOGIC_OPS = {"and", "or"}
+_ARITH_OPS = {"add", "sub", "mul", "div", "mod", "pmod"}
+_BITWISE_OPS = {"band", "bor", "bxor", "shiftleft", "shiftright"}
+
+
+def _decimal_arith_type(op: str, a: T.DataType, b: T.DataType) -> T.DataType:
+    """Spark DecimalPrecision rules + adjustPrecisionScale (precision-loss
+    allowed, Spark default). Reference parity: QueryPlanSerde arithmetic serde
+    + spark-expr decimal kernels."""
+    p1, s1, p2, s2 = a.precision, a.scale, b.precision, b.scale
+    if op in ("add", "sub"):
+        s = max(s1, s2)
+        p = max(p1 - s1, p2 - s2) + s + 1
+    elif op == "mul":
+        p, s = p1 + p2 + 1, s1 + s2
+    elif op == "div":
+        s = max(6, s1 + p2 + 1)
+        p = p1 - s1 + s2 + s
+    elif op in ("mod", "pmod"):
+        s = max(s1, s2)
+        p = min(p1 - s1, p2 - s2) + s
+    else:
+        raise ValueError(op)
+    return _adjust_precision_scale(p, s)
+
+
+def _adjust_precision_scale(p: int, s: int) -> T.DataType:
+    MAXP = T.MAX_DECIMAL_PRECISION
+    if p <= MAXP:
+        return T.decimal(p, s)
+    int_digits = p - s
+    min_scale = min(s, 6)
+    adjusted = max(MAXP - int_digits, min_scale)
+    return T.decimal(MAXP, adjusted)
+
+
+def _to_decimal_if_int(t: T.DataType) -> T.DataType:
+    if t.is_integer:
+        return {
+            "INT8": T.decimal(3, 0),
+            "INT16": T.decimal(5, 0),
+            "INT32": T.decimal(10, 0),
+            "INT64": T.decimal(20, 0),
+        }[t.type_id]
+    return t
+
+
+def bind(expr: Expr, schema: T.Schema) -> Expr:
+    """Resolve column refs against ``schema`` and compute result dtypes.
+
+    Returns a new tree of bound nodes (original is untouched)."""
+    return _bind(expr, schema)
+
+
+def _bind(e: Expr, schema: T.Schema) -> Expr:
+    if isinstance(e, BoundRef) or isinstance(e, Literal) or isinstance(e, ScalarSubquery):
+        return e
+    if isinstance(e, ColumnRef):
+        i = schema.index_of(e.col_name)
+        return BoundRef(i, e.col_name, schema.fields[i].dtype)
+    if isinstance(e, Alias):
+        c = _bind(e.child, schema)
+        out = Alias(c, e.out_name)
+        object.__setattr__(out, "dtype", c.dtype)
+        return out
+    if isinstance(e, BinaryOp):
+        l, r = _bind(e.left, schema), _bind(e.right, schema)
+        out = BinaryOp(e.op, l, r, e.eval_mode)
+        object.__setattr__(out, "dtype", _binary_result_type(e.op, l, r))
+        return out
+    if isinstance(e, UnaryOp):
+        c = _bind(e.child, schema)
+        if e.op in ("isnull", "isnotnull", "not", "isnan"):
+            dt = T.BOOL
+        elif e.op in ("negate", "abs"):
+            dt = c.dtype
+        else:
+            raise NotImplementedError(e.op)
+        out = UnaryOp(e.op, c, e.eval_mode)
+        object.__setattr__(out, "dtype", dt)
+        return out
+    if isinstance(e, Cast):
+        c = _bind(e.child, schema)
+        out = Cast(c, e.to, e.eval_mode)
+        object.__setattr__(out, "dtype", e.to)
+        return out
+    if isinstance(e, CaseWhen):
+        branches = tuple((_bind(c, schema), _bind(v, schema)) for c, v in e.branches)
+        else_v = _bind(e.else_value, schema) if e.else_value is not None else None
+        dt = branches[0][1].dtype
+        for _, v in branches[1:]:
+            dt = T.common_type(dt, v.dtype)
+        if else_v is not None:
+            dt = T.common_type(dt, else_v.dtype)
+        out = CaseWhen(branches, else_v)
+        object.__setattr__(out, "dtype", dt)
+        return out
+    if isinstance(e, InList):
+        c = _bind(e.child, schema)
+        vals = tuple(_bind(v, schema) for v in e.values)
+        out = InList(c, vals, e.negated)
+        object.__setattr__(out, "dtype", T.BOOL)
+        return out
+    if isinstance(e, Like):
+        c = _bind(e.child, schema)
+        out = Like(c, e.pattern, e.negated)
+        object.__setattr__(out, "dtype", T.BOOL)
+        return out
+    if isinstance(e, StringFunc):
+        args = tuple(_bind(a, schema) for a in e.args)
+        out = StringFunc(e.func, args)
+        object.__setattr__(out, "dtype", _string_func_type(e.func, args))
+        return out
+    if isinstance(e, TemporalFunc):
+        args = tuple(_bind(a, schema) for a in e.args)
+        dt = {
+            "year": T.INT32,
+            "month": T.INT32,
+            "day": T.INT32,
+            "quarter": T.INT32,
+            "dayofweek": T.INT32,
+            "dayofyear": T.INT32,
+            "weekofyear": T.INT32,
+            "hour": T.INT32,
+            "minute": T.INT32,
+            "second": T.INT32,
+            "unix_date": T.INT32,
+            "date_add": T.DATE,
+            "date_sub": T.DATE,
+            "last_day": T.DATE,
+            "trunc_date": T.DATE,
+            "datediff": T.INT32,
+        }[e.func]
+        out = TemporalFunc(e.func, args)
+        object.__setattr__(out, "dtype", dt)
+        return out
+    if isinstance(e, MathFunc):
+        args = tuple(_bind(a, schema) for a in e.args)
+        if e.func in ("round",):
+            child = args[0]
+            if child.dtype.is_decimal:
+                # Spark round(decimal(p,s), d): result decimal(p-s+d+1... keep (p, d) bounded
+                d = args[1].value if len(args) > 1 else 0
+                dt = _adjust_precision_scale(child.dtype.precision - child.dtype.scale + max(d, 0) + 1, max(d, 0))
+            else:
+                dt = child.dtype
+        elif e.func in ("floor", "ceil"):
+            child = args[0]
+            if child.dtype.is_decimal:
+                dt = _adjust_precision_scale(child.dtype.precision - child.dtype.scale + 1, 0)
+            elif child.dtype.is_integer:
+                dt = child.dtype
+            else:
+                dt = T.INT64
+        elif e.func in ("sign",):
+            dt = T.FLOAT64
+        elif e.func in ("greatest", "least"):
+            dt = args[0].dtype
+            for a in args[1:]:
+                dt = T.common_type(dt, a.dtype)
+        else:
+            dt = T.FLOAT64
+        out = MathFunc(e.func, args, e.eval_mode)
+        object.__setattr__(out, "dtype", dt)
+        return out
+    if isinstance(e, HashFunc):
+        args = tuple(_bind(a, schema) for a in e.args)
+        out = HashFunc(e.func, args, e.seed)
+        object.__setattr__(out, "dtype", T.INT32 if e.func == "murmur3" else T.INT64)
+        return out
+    if isinstance(e, RandExpr):
+        out = RandExpr(e.func, e.seed)
+        object.__setattr__(out, "dtype", T.FLOAT64)
+        return out
+    if isinstance(e, MonotonicallyIncreasingId):
+        out = MonotonicallyIncreasingId()
+        object.__setattr__(out, "dtype", T.INT64)
+        return out
+    if isinstance(e, SparkPartitionId):
+        out = SparkPartitionId()
+        object.__setattr__(out, "dtype", T.INT32)
+        return out
+    raise NotImplementedError(f"bind: {type(e).__name__}")
+
+
+def _binary_result_type(op: str, l: Expr, r: Expr) -> T.DataType:
+    lt, rt = l.dtype, r.dtype
+    assert lt is not None and rt is not None
+    if op in _CMP_OPS or op in _LOGIC_OPS:
+        return T.BOOL
+    if op in _BITWISE_OPS:
+        return T.common_type(lt, rt) if op in ("band", "bor", "bxor") else lt
+    if op in _ARITH_OPS:
+        if lt.is_decimal or rt.is_decimal:
+            return _decimal_arith_type(op, _to_decimal_if_int(lt), _to_decimal_if_int(rt))
+        if op == "div" and lt.is_integer and rt.is_integer:
+            # Spark '/' on integers yields double
+            return T.FLOAT64
+        return T.common_type(lt, rt)
+    raise NotImplementedError(op)
+
+
+def _string_func_type(func: str, args: Sequence[Expr]) -> T.DataType:
+    a0 = args[0].dtype if args else None
+    if func in ("length", "ascii", "instr", "locate", "char_length", "bit_length", "octet_length", "levenshtein"):
+        return T.INT32
+    if func in ("substring", "upper", "lower", "trim", "ltrim", "rtrim", "reverse", "replace", "translate", "initcap"):
+        assert a0 is not None
+        return a0
+    if func in ("startswith", "endswith", "contains"):
+        return T.BOOL
+    if func in ("concat", "concat_ws"):
+        width = sum(a.dtype.byte_width for a in args if a.dtype is not None and a.dtype.is_binary)
+        return T.string(max(width, 1))
+    if func in ("lpad", "rpad", "repeat"):
+        return T.string(a0.byte_width * 4 if a0 else T.DEFAULT_STRING_LEN)
+    raise NotImplementedError(f"string func {func}")

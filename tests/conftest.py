@@ -1,0 +1,21 @@
+"""Test configuration: run the engine on a virtual 8-device CPU mesh.
+
+Mirrors the reference's local[*] test strategy (SURVEY.md §4: everything
+runs single-process with real multi-partition behavior). Must set platform
+env vars before jax initializes a backend.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
