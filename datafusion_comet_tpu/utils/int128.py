@@ -65,6 +65,11 @@ def abs_(a):
     return (jnp.where(m, n[0], a[0]), jnp.where(m, n[1], a[1]))
 
 
+def _lshr32(x: jax.Array) -> jax.Array:
+    """Logical (unsigned) right shift by 32 of a u64 stored in int64."""
+    return (x >> 32) & _MASK32
+
+
 def mul_i64(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Exact signed 64×64→128 multiply via 32-bit limbs."""
     x = x.astype(I64)
@@ -76,11 +81,11 @@ def mul_i64(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     x1 = (ux >> 32) & _MASK32
     y0 = uy & _MASK32
     y1 = (uy >> 32) & _MASK32
-    p00 = x0 * y0
+    p00 = x0 * y0  # may exceed 2^63 and wrap negative; treat as u64
     p01 = x0 * y1
     p10 = x1 * y0
     p11 = x1 * y1
-    mid = (p00 >> 32) + (p01 & _MASK32) + (p10 & _MASK32)
+    mid = _lshr32(p00) + (p01 & _MASK32) + (p10 & _MASK32)
     lo = (p00 & _MASK32) | ((mid & _MASK32) << 32)
     hi = p11 + (p01 >> 32) + (p10 >> 32) + (mid >> 32)
     res = (hi, lo)

@@ -348,9 +348,10 @@ class TestInt128:
 
         from datafusion_comet_tpu.utils import int128
 
-        num = np.array([10**20 + 5, -(10**20 + 5), 7, -7], dtype=object)
-        den = np.array([10, 10, 2, 2], np.int64)
+        # quotients must fit i64 (function contract: result truncated to i64)
+        num = np.array([10**20 + 50, -(10**20 + 50), 7, -7], dtype=object)
+        den = np.array([100, 100, 2, 2], np.int64)
         hi = np.array([int(n) >> 64 for n in num], np.int64)
         lo = np.array([np.int64(np.uint64(int(n) & ((1 << 64) - 1)).astype(np.int64)) for n in num])
         q = np.asarray(int128.div_i128_i64_half_up((jnp.asarray(hi), jnp.asarray(lo)), jnp.asarray(den)))
-        np.testing.assert_array_equal(q, [10**19 + 1, -(10**19 + 1), 4, -4])
+        np.testing.assert_array_equal(q, [10**18 + 1, -(10**18 + 1), 4, -4])
