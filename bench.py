@@ -1,0 +1,77 @@
+"""Headline benchmark: TPC-H Q1 (scan → filter → 8-agg group-by → sort).
+
+Runs on the default backend (the real TPU chip under the driver). Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor (vs_baseline denominator): 100M rows/s — Comet-class
+single-node Q1 throughput derived from the reference's published TPC-DS
+SF1000 runs (637.5s over 103 queries on 512 cores ≈ aggregate scan rates in
+the tens of millions of rows/s per 16-core executor; see BASELINE.md).
+vs_baseline > 1.0 means one TPU chip beats one Comet executor-node.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from datafusion_comet_tpu import types as T
+    from datafusion_comet_tpu.exec.engine import Session
+    from datafusion_comet_tpu.models import tpch
+
+    sf = float(os.environ.get("BENCH_SF", "1"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+
+    t_gen = time.time()
+    data = tpch.generate_table("lineitem", sf)
+    n_rows = len(data["l_orderkey"])
+    sess = Session()
+    sess.register_numpy("lineitem", data, tpch.SCHEMAS["lineitem"])
+    gen_s = time.time() - t_gen
+
+    plan = tpch.q1()
+    bound, fn = sess.compile(plan)
+
+    t_c = time.time()
+    out, _ = fn(sess.tables)  # compile + first run
+    jax.block_until_ready(out.row_mask)
+    compile_s = time.time() - t_c
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        out, _ = fn(sess.tables)
+        jax.block_until_ready(out.row_mask)
+        times.append(time.time() - t0)
+    best = min(times)
+    rows_per_s = n_rows / best
+
+    baseline_rows_per_s = 100e6
+    print(
+        json.dumps(
+            {
+                "metric": f"tpch_q1_sf{sf:g}_rows_per_s",
+                "value": round(rows_per_s, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(rows_per_s / baseline_rows_per_s, 4),
+                "detail": {
+                    "rows": n_rows,
+                    "best_s": round(best, 4),
+                    "times_s": [round(t, 4) for t in times],
+                    "compile_s": round(compile_s, 1),
+                    "datagen_s": round(gen_s, 1),
+                    "backend": jax.default_backend(),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,222 @@
+"""Query engine: bound plan tree → one fused, jitted XLA computation.
+
+The analog of the reference's native planner + execution loop
+(planner.rs:1202 create_plan; jni_api.rs:762 executePlan), collapsed: because
+every operator is a pure function over static-shape Batches, the *entire*
+plan compiles into a single XLA computation — XLA fuses
+scan→filter→project→partial-agg chains the way Comet relies on DataFusion's
+pipelined operators, but without any interpreter in the hot loop.
+
+Host↔device boundary discipline (reference: the Arrow FFI edges,
+NativeUtil.scala:94): data enters once per table (Scan materialization /
+device_put) and leaves once at collect(); everything between stays in HBM.
+
+Runtime re-planning: joins report a match-fanout overflow flag; execute()
+checks the flags on the host and retries with a doubled ``max_build_matches``
+— the static-shape analog of DataFusion's dynamic batch growth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.exec.batch import Batch, from_numpy, to_numpy
+from datafusion_comet_tpu.exec.evaluator import EvalContext
+from datafusion_comet_tpu.exec.operators import aggregate as AGG
+from datafusion_comet_tpu.exec.operators import basic as B
+from datafusion_comet_tpu.exec.operators import join as J
+from datafusion_comet_tpu.exec.operators import window as W
+from datafusion_comet_tpu.ir import expr as E
+from datafusion_comet_tpu.ir import plan as P
+
+__all__ = ["Session", "run_plan", "JoinOverflowError"]
+
+
+class JoinOverflowError(RuntimeError):
+    pass
+
+
+def run_plan(
+    plan: P.PlanNode,
+    tables: Dict[str, Batch],
+    ctx: Optional[EvalContext] = None,
+    overflow_flags: Optional[List[jax.Array]] = None,
+    join_fanout: int = 4,
+) -> Batch:
+    """Pure, traceable execution of a bound plan over resident tables."""
+    ctx = ctx or EvalContext()
+    flags = overflow_flags if overflow_flags is not None else []
+    return _exec(plan, tables, ctx, flags, join_fanout)
+
+
+def _exec(plan, tables, ctx, flags, fanout) -> Batch:
+    if isinstance(plan, P.Scan):
+        b = tables[plan.table]
+        if plan.projection is not None:
+            idx = [b.schema.index_of(n) for n in plan.projection]
+            b = b.select(idx, plan.schema)
+        return b
+    if isinstance(plan, P.Filter):
+        return B.filter_op(_exec(plan.child, tables, ctx, flags, fanout), plan.predicate, ctx)
+    if isinstance(plan, P.Projection):
+        return B.project_op(_exec(plan.child, tables, ctx, flags, fanout), plan.exprs, plan.schema, ctx)
+    if isinstance(plan, P.HashAggregate):
+        child = _exec(plan.child, tables, ctx, flags, fanout)
+        return AGG.hash_aggregate(
+            child, plan.group_exprs, plan.agg_exprs, plan.mode, plan.max_groups, plan.schema, ctx
+        )
+    if isinstance(plan, P.Sort):
+        return B.sort_op(_exec(plan.child, tables, ctx, flags, fanout), plan.orders, plan.fetch, plan.skip, ctx)
+    if isinstance(plan, P.Limit):
+        return B.limit_op(_exec(plan.child, tables, ctx, flags, fanout), plan.limit, plan.offset)
+    if isinstance(plan, P.Expand):
+        return B.expand_op(_exec(plan.child, tables, ctx, flags, fanout), plan.projections, plan.schema, ctx)
+    if isinstance(plan, P.Sample):
+        return B.sample_op(
+            _exec(plan.child, tables, ctx, flags, fanout),
+            plan.lower_bound,
+            plan.upper_bound,
+            plan.with_replacement,
+            plan.seed,
+            ctx.partition_id,
+        )
+    if isinstance(plan, (P.HashJoin, P.SortMergeJoin)):
+        left = _exec(plan.left, tables, ctx, flags, fanout)
+        right = _exec(plan.right, tables, ctx, flags, fanout)
+        build_side = plan.build_side if isinstance(plan, P.HashJoin) else _smj_build_side(plan)
+        out, ovf = J.hash_join(
+            left,
+            right,
+            plan.left_keys,
+            plan.right_keys,
+            plan.join_type,
+            build_side,
+            plan.schema,
+            plan.condition,
+            max_build_matches=fanout,
+            ctx=ctx,
+        )
+        flags.append(ovf)
+        return out
+    if isinstance(plan, P.BroadcastNestedLoopJoin):
+        left = _exec(plan.left, tables, ctx, flags, fanout)
+        right = _exec(plan.right, tables, ctx, flags, fanout)
+        return J.nested_loop_join(left, right, plan.join_type, plan.schema, plan.condition, ctx)
+    if isinstance(plan, P.Window):
+        return W.window_op(_exec(plan.child, tables, ctx, flags, fanout), plan.window_exprs, plan.schema, ctx)
+    if isinstance(plan, P.ShuffleExchange):
+        # single-partition engine: exchange is identity (multi-device path in
+        # parallel/shuffle.py re-lowers this node to an all-to-all)
+        return _exec(plan.child, tables, ctx, flags, fanout)
+    if isinstance(plan, P.Union):
+        kids = [_exec(c, tables, ctx, flags, fanout) for c in plan.inputs]
+        return _union(kids, plan.schema)
+    raise NotImplementedError(f"exec: {type(plan).__name__}")
+
+
+def _smj_build_side(plan: P.SortMergeJoin) -> str:
+    """SMJ result-equivalent execution via sorted-probe hash join. For outer
+    joins the probe must be the outer side (see join.py)."""
+    if plan.join_type in (P.JoinType.LEFT, P.JoinType.LEFT_SEMI, P.JoinType.LEFT_ANTI,
+                          P.JoinType.LEFT_ANTI_NULL_AWARE, P.JoinType.EXISTENCE):
+        return "right"
+    if plan.join_type == P.JoinType.RIGHT:
+        return "left"
+    return "right"
+
+
+def _union(kids: List[Batch], schema: T.Schema) -> Batch:
+    from datafusion_comet_tpu.exec.batch import ColumnVector
+
+    cols = []
+    for ci, f in enumerate(schema.fields):
+        datas = [k.columns[ci].data for k in kids]
+        vals = [k.columns[ci].validity for k in kids]
+        lens = [k.columns[ci].lengths for k in kids]
+        # unify string widths
+        if f.dtype.is_binary:
+            w = max(d.shape[1] for d in datas)
+            datas = [jnp.pad(d, ((0, 0), (0, w - d.shape[1]))) if d.shape[1] < w else d for d in datas]
+        cols.append(
+            ColumnVector(
+                jnp.concatenate(datas, axis=0),
+                jnp.concatenate(vals),
+                None if lens[0] is None else jnp.concatenate(lens),
+                f.dtype,
+            )
+        )
+    mask = jnp.concatenate([k.row_mask for k in kids])
+    return Batch(tuple(cols), mask, schema)
+
+
+# -------------------------------------------------------------------------------------
+# Session
+# -------------------------------------------------------------------------------------
+
+
+class Session:
+    """Driver-side session: table registry + plan compiler/executor.
+
+    The analog of the reference's JVM planning layer + native SessionContext
+    (jni_api.rs:560-666), minus Spark: plans are built with the ir/ builders.
+    """
+
+    def __init__(self, join_fanout: int = 4, max_join_retries: int = 4):
+        self.tables: Dict[str, Batch] = {}
+        self.join_fanout = join_fanout
+        self.max_join_retries = max_join_retries
+        self._cache: Dict[Tuple[int, int], Callable] = {}
+
+    # -- registration ------------------------------------------------------------
+    def register_batch(self, name: str, batch: Batch) -> None:
+        self.tables[name] = batch
+
+    def register_numpy(self, name: str, data, schema: T.Schema, **kw) -> None:
+        self.tables[name] = from_numpy(data, schema, **kw)
+
+    def register_parquet(self, name: str, path: str, schema: Optional[T.Schema] = None) -> None:
+        from datafusion_comet_tpu.io.parquet import read_parquet
+
+        self.tables[name] = read_parquet(path, schema=schema)
+
+    def table_schema(self, name: str) -> T.Schema:
+        return self.tables[name].schema
+
+    # -- execution ---------------------------------------------------------------
+    def compile(self, plan: P.PlanNode, join_fanout: Optional[int] = None):
+        """Bind + jit a plan; returns (bound_plan, jitted fn(tables)->(batch, flags))."""
+        bound = P.bind_plan(plan) if _needs_bind(plan) else plan
+        fanout = join_fanout or self.join_fanout
+
+        def fn(tables):
+            flags: List[jax.Array] = []
+            out = run_plan(bound, tables, EvalContext(), flags, fanout)
+            return out, (jnp.any(jnp.stack(flags)) if flags else jnp.zeros((), bool))
+
+        return bound, jax.jit(fn)
+
+    def execute(self, plan: P.PlanNode) -> Batch:
+        """Execute with automatic join-fanout re-planning."""
+        fanout = self.join_fanout
+        for attempt in range(self.max_join_retries):
+            bound, fn = self.compile(plan, join_fanout=fanout)
+            out, overflowed = fn(self.tables)
+            if not bool(overflowed):
+                return out
+            fanout *= 4
+        raise JoinOverflowError(
+            f"join fan-out exceeded {fanout} after {self.max_join_retries} retries"
+        )
+
+    def collect(self, plan: P.PlanNode) -> Dict[str, np.ndarray]:
+        return to_numpy(self.execute(plan))
+
+
+def _needs_bind(plan: P.PlanNode) -> bool:
+    return plan.schema is None

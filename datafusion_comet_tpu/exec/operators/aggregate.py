@@ -1,0 +1,575 @@
+"""Hash aggregate operator: grouped aggregation with Partial/Final/PartialMerge.
+
+Reference contract: operator.proto:398-413 + planner.rs:1239-1375 (modes,
+FILTER clauses, state columns at group-key offset) and the aggregate kernel
+semantics of native/spark-expr/src/agg_funcs (sum/avg null-when-empty,
+variance via combinable (n, avg, m2) states, count ignores nulls).
+
+TPU-first formulation: instead of an open-addressing hash table (pointer
+chasing — hostile to XLA), grouping is **sort-based segmented reduction**:
+
+1. group-key columns → orderable i64 limbs (sortkeys.grouping_limbs);
+2. one stable multi-limb lexsort puts equal keys adjacent (dead rows last);
+3. segment ids via cumsum over key-change flags;
+4. every aggregate becomes a `jax.ops.segment_*` reduction — which XLA
+   lowers to scatter-adds that tile cleanly onto the VPU;
+5. output is a fixed-capacity batch (``max_groups``) with a live-group mask,
+   keeping every shape static for jit.
+
+A VMEM-resident Pallas hash-table kernel is the planned fast path for
+low-cardinality keys; this module is the always-correct general path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.exec import sortkeys
+from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
+from datafusion_comet_tpu.exec.evaluator import EvalContext, evaluate
+from datafusion_comet_tpu.ir import expr as E
+from datafusion_comet_tpu.ir.plan import AggMode
+
+__all__ = ["state_fields", "hash_aggregate"]
+
+
+# -------------------------------------------------------------------------------------
+# State-column layout (the cross-exchange contract for Partial/Final modes)
+# -------------------------------------------------------------------------------------
+
+_WELFORD_FUNCS = (
+    E.AggFunc.VAR_SAMP,
+    E.AggFunc.VAR_POP,
+    E.AggFunc.STDDEV_SAMP,
+    E.AggFunc.STDDEV_POP,
+)
+_COVAR_FUNCS = (E.AggFunc.COVAR_SAMP, E.AggFunc.COVAR_POP, E.AggFunc.CORR)
+_MINMAX_LIKE = (E.AggFunc.MIN, E.AggFunc.MAX, E.AggFunc.FIRST, E.AggFunc.LAST)
+_BIT_FUNCS = (E.AggFunc.BIT_AND, E.AggFunc.BIT_OR, E.AggFunc.BIT_XOR)
+_BOOL_FUNCS = (E.AggFunc.BOOL_AND, E.AggFunc.BOOL_OR)
+
+
+def _sum_state_dtype(a: E.AggExpr) -> T.DataType:
+    cd = a.child.dtype
+    if cd.is_decimal:
+        return T.decimal(min(cd.precision + 10, T.MAX_DECIMAL_PRECISION), cd.scale)
+    if cd.is_integer:
+        return T.INT64
+    return T.FLOAT64
+
+
+def state_fields(a: E.AggExpr) -> List[T.Field]:
+    """State-column schema emitted by Partial mode for one aggregate.
+
+    Reference analog: DataFusion accumulator state_fields consumed at
+    ``initial_input_buffer_offset`` (planner.rs:1282-1343)."""
+    o = a.out_name
+    f = a.func
+    if f in (E.AggFunc.COUNT, E.AggFunc.COUNT_DISTINCT):
+        return [T.Field(f"{o}__count", T.INT64, nullable=False)]
+    if f == E.AggFunc.SUM:
+        return [T.Field(f"{o}__sum", _sum_state_dtype(a))]
+    if f == E.AggFunc.AVG:
+        return [
+            T.Field(f"{o}__sum", _sum_state_dtype(a)),
+            T.Field(f"{o}__count", T.INT64, nullable=False),
+        ]
+    if f in _MINMAX_LIKE:
+        return [T.Field(f"{o}__val", a.child.dtype)]
+    if f in _WELFORD_FUNCS:
+        return [
+            T.Field(f"{o}__n", T.FLOAT64, nullable=False),
+            T.Field(f"{o}__avg", T.FLOAT64, nullable=False),
+            T.Field(f"{o}__m2", T.FLOAT64, nullable=False),
+        ]
+    if f in _COVAR_FUNCS:
+        return [
+            T.Field(f"{o}__n", T.FLOAT64, nullable=False),
+            T.Field(f"{o}__xavg", T.FLOAT64, nullable=False),
+            T.Field(f"{o}__yavg", T.FLOAT64, nullable=False),
+            T.Field(f"{o}__ck", T.FLOAT64, nullable=False),
+            T.Field(f"{o}__xm2", T.FLOAT64, nullable=False),
+            T.Field(f"{o}__ym2", T.FLOAT64, nullable=False),
+        ]
+    if f in _BIT_FUNCS:
+        return [T.Field(f"{o}__val", a.child.dtype)]
+    if f in _BOOL_FUNCS:
+        return [T.Field(f"{o}__val", T.BOOL)]
+    raise NotImplementedError(f"state_fields: {f}")
+
+
+# -------------------------------------------------------------------------------------
+# Segment machinery
+# -------------------------------------------------------------------------------------
+
+
+def _segments(
+    key_cols: Sequence[ColumnVector], row_mask: jax.Array, max_groups: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sort rows by group key; return (perm, seg_id(per sorted row, dead rows
+    → max_groups so segment ops drop them), num_groups, first_row_src_index).
+    """
+    cap = row_mask.shape[0]
+    if key_cols:
+        limbs = [(~row_mask).astype(jnp.int64)] + sortkeys.grouping_limbs(key_cols)
+    else:
+        limbs = [(~row_mask).astype(jnp.int64)]
+    perm = sortkeys.lexsort(limbs)
+    sorted_mask = row_mask[perm]
+    changed = jnp.zeros(cap, bool).at[0].set(True)
+    for limb in limbs[1:]:
+        s = limb[perm]
+        changed = changed | jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    changed = changed & sorted_mask
+    seg = jnp.cumsum(changed.astype(jnp.int32)) - 1
+    num_groups = seg[-1] + 1  # valid only if any row live
+    num_groups = jnp.where(jnp.any(sorted_mask), num_groups, 0)
+    seg = jnp.where(sorted_mask, seg, max_groups)  # dead rows dropped by segment ops
+    # source row index (pre-sort) of each group's first row, for key gather
+    first_src = jax.ops.segment_min(
+        jnp.arange(cap, dtype=jnp.int32), seg, num_segments=max_groups + 1
+    )[:max_groups]
+    first_src = jnp.where(
+        jnp.arange(max_groups) < num_groups, jnp.clip(first_src, 0, cap - 1), 0
+    )
+    # first_src currently indexes sorted order; map to original rows
+    first_orig = perm[first_src]
+    return perm, seg, num_groups, first_orig
+
+
+def _seg_sum(x, seg, m):
+    return jax.ops.segment_sum(x, seg, num_segments=m + 1)[:m]
+
+
+def _seg_min(x, seg, m):
+    return jax.ops.segment_min(x, seg, num_segments=m + 1)[:m]
+
+
+def _seg_max(x, seg, m):
+    return jax.ops.segment_max(x, seg, num_segments=m + 1)[:m]
+
+
+def _minmax_identity(dt: T.DataType, is_min: bool):
+    if dt.is_floating:
+        return np.array(np.inf if is_min else -np.inf, dt.np_dtype())
+    info = np.iinfo(dt.np_dtype()) if dt.np_dtype() != np.bool_ else None
+    if dt.is_boolean:
+        return np.array(True if is_min else False)
+    return np.array(info.max if is_min else info.min, dt.np_dtype())
+
+
+# -------------------------------------------------------------------------------------
+# Main operator
+# -------------------------------------------------------------------------------------
+
+
+def hash_aggregate(
+    batch: Batch,
+    group_exprs: Sequence[E.Expr],
+    agg_exprs: Sequence[E.AggExpr],
+    mode: str,
+    max_groups: int,
+    out_schema: T.Schema,
+    ctx: Optional[EvalContext] = None,
+) -> Batch:
+    ctx = ctx or EvalContext()
+    max_groups = min(max_groups, batch.capacity)
+    key_cols = [evaluate(g, batch, ctx) for g in group_exprs]
+    perm, seg, num_groups, first_orig = _segments(key_cols, batch.row_mask, max_groups)
+
+    out_cols: List[ColumnVector] = []
+    # group-key output columns: gather each group's first row
+    group_mask = jnp.arange(max_groups) < num_groups
+    for kc in key_cols:
+        out_cols.append(kc.take(first_orig))
+
+    merging = mode in (AggMode.FINAL, AggMode.PARTIAL_MERGE)
+    for a in agg_exprs:
+        if merging:
+            vals = _merge_agg(a, batch, perm, seg, max_groups, group_mask)
+        else:
+            vals = _input_agg(a, batch, perm, seg, max_groups, group_mask, ctx)
+        if mode in (AggMode.SINGLE, AggMode.FINAL):
+            out_cols.append(_finalize(a, vals, group_mask))
+        else:
+            out_cols.extend(vals)
+
+    # pad/trim columns dtypes already correct; assemble
+    return Batch(tuple(out_cols), group_mask, out_schema)
+
+
+# ---- Partial/Single: aggregate raw input rows ---------------------------------------
+
+
+def _input_agg(
+    a: E.AggExpr,
+    batch: Batch,
+    perm: jax.Array,
+    seg: jax.Array,
+    m: int,
+    group_mask: jax.Array,
+    ctx: EvalContext,
+) -> List[ColumnVector]:
+    f = a.func
+    active = batch.row_mask
+    if a.filter is not None:
+        fcv = evaluate(a.filter, batch, ctx)
+        active = active & fcv.validity & fcv.data.astype(bool)
+
+    if f == E.AggFunc.COUNT and a.child is None:  # COUNT(*)
+        cnt = _seg_sum(active[perm].astype(jnp.int64), seg, m)
+        return [ColumnVector(cnt, group_mask, None, T.INT64)]
+
+    cv = evaluate(a.child, batch, ctx)
+    valid = (cv.validity & active)[perm]
+    x = cv.data[perm]
+
+    if f == E.AggFunc.COUNT:
+        cnt = _seg_sum(valid.astype(jnp.int64), seg, m)
+        return [ColumnVector(cnt, group_mask, None, T.INT64)]
+
+    if f == E.AggFunc.SUM:
+        st = _sum_state_dtype(a)
+        xs = jnp.where(valid, x, 0).astype(st.np_dtype())
+        s = _seg_sum(xs, seg, m)
+        has = _seg_max(valid, seg, m) & group_mask
+        return [ColumnVector(s, has, None, st)]
+
+    if f == E.AggFunc.AVG:
+        st = _sum_state_dtype(a)
+        xs = jnp.where(valid, x, 0).astype(st.np_dtype())
+        s = _seg_sum(xs, seg, m)
+        cnt = _seg_sum(valid.astype(jnp.int64), seg, m)
+        has = (cnt > 0) & group_mask
+        return [
+            ColumnVector(s, has, None, st),
+            ColumnVector(cnt, group_mask, None, T.INT64),
+        ]
+
+    if f in (E.AggFunc.MIN, E.AggFunc.MAX):
+        dt = a.child.dtype
+        is_min = f == E.AggFunc.MIN
+        if dt.is_binary or dt.is_floating:
+            # multi-limb tournament (exact Spark order: NaN greatest, -0==0;
+            # strings: unsigned bytes, prefix first)
+            return [_limb_minmax(a, cv, valid, perm, seg, m, group_mask)]
+        ident = _minmax_identity(dt, is_min)
+        xs = jnp.where(valid, x, ident)
+        s = _seg_min(xs, seg, m) if is_min else _seg_max(xs, seg, m)
+        has = _seg_max(valid, seg, m) & group_mask
+        return [ColumnVector(s.astype(dt.np_dtype()), has, None, dt)]
+
+    if f in (E.AggFunc.FIRST, E.AggFunc.LAST):
+        dt = a.child.dtype
+        cap = x.shape[0]
+        rowpos = jnp.arange(cap, dtype=jnp.int64)
+        consider = valid if a.ignore_nulls else (batch.row_mask[perm])
+        pos = jnp.where(consider, rowpos, cap if f == E.AggFunc.FIRST else -1)
+        win = (
+            _seg_min(pos, seg, m) if f == E.AggFunc.FIRST else _seg_max(pos, seg, m)
+        )
+        has = _seg_max(consider, seg, m) & group_mask
+        win_c = jnp.clip(win, 0, cap - 1).astype(jnp.int32)
+        val_cv = ColumnVector(x, cv.validity[perm], None if cv.lengths is None else cv.lengths[perm], dt)
+        taken = val_cv.take(win_c)
+        return [ColumnVector(taken.data, has & taken.validity if not a.ignore_nulls else has, taken.lengths, dt)]
+
+    if f in _WELFORD_FUNCS:
+        xd = jnp.where(valid, x, 0).astype(jnp.float64)
+        n = _seg_sum(valid.astype(jnp.float64), seg, m)
+        s1 = _seg_sum(xd, seg, m)
+        s2 = _seg_sum(xd * xd, seg, m)
+        safe_n = jnp.maximum(n, 1.0)
+        avg = s1 / safe_n
+        m2 = jnp.maximum(s2 - s1 * s1 / safe_n, 0.0)
+        return [
+            ColumnVector(n, group_mask, None, T.FLOAT64),
+            ColumnVector(avg, group_mask, None, T.FLOAT64),
+            ColumnVector(m2, group_mask, None, T.FLOAT64),
+        ]
+
+    if f in _COVAR_FUNCS:
+        ycv = evaluate(a.extra[0], batch, ctx)
+        yvalid = ycv.validity[perm] & valid
+        xd = jnp.where(yvalid, x, 0).astype(jnp.float64)
+        yd = jnp.where(yvalid, ycv.data[perm], 0).astype(jnp.float64)
+        n = _seg_sum(yvalid.astype(jnp.float64), seg, m)
+        sx = _seg_sum(xd, seg, m)
+        sy = _seg_sum(yd, seg, m)
+        sxy = _seg_sum(xd * yd, seg, m)
+        sxx = _seg_sum(xd * xd, seg, m)
+        syy = _seg_sum(yd * yd, seg, m)
+        safe_n = jnp.maximum(n, 1.0)
+        xavg, yavg = sx / safe_n, sy / safe_n
+        ck = sxy - sx * sy / safe_n
+        xm2 = jnp.maximum(sxx - sx * sx / safe_n, 0.0)
+        ym2 = jnp.maximum(syy - sy * sy / safe_n, 0.0)
+        return [
+            ColumnVector(v, group_mask, None, T.FLOAT64)
+            for v in (n, xavg, yavg, ck, xm2, ym2)
+        ]
+
+    if f in _BIT_FUNCS:
+        dt = a.child.dtype
+        ident = {
+            E.AggFunc.BIT_AND: np.array(-1, dt.np_dtype()),
+            E.AggFunc.BIT_OR: np.array(0, dt.np_dtype()),
+            E.AggFunc.BIT_XOR: np.array(0, dt.np_dtype()),
+        }[f]
+        xs = jnp.where(valid, x, ident).astype(jnp.int64)
+        if f == E.AggFunc.BIT_AND:
+            s = ~_seg_bitor(~xs, seg, m)  # AND(xs) = ~OR(~xs)
+        elif f == E.AggFunc.BIT_OR:
+            s = _seg_bitor(xs, seg, m)
+        else:
+            s = _seg_xor(xs, seg, m)
+        has = _seg_max(valid, seg, m) & group_mask
+        return [ColumnVector(s.astype(dt.np_dtype()), has, None, dt)]
+
+    if f in _BOOL_FUNCS:
+        xb = x.astype(bool)
+        if f == E.AggFunc.BOOL_AND:
+            s = _seg_min(jnp.where(valid, xb, True), seg, m)
+        else:
+            s = _seg_max(jnp.where(valid, xb, False), seg, m)
+        has = _seg_max(valid, seg, m) & group_mask
+        return [ColumnVector(s, has, None, T.BOOL)]
+
+    raise NotImplementedError(f"aggregate {f}")
+
+
+def _argreduce_gather(keys: jax.Array, rowpos: jax.Array, seg, m, is_min: bool):
+    """Per-segment argmin/argmax over i64 keys, tie→lowest row. Packs
+    (key, rowpos) into a comparable pair via two-stage segment reduce."""
+    best = _seg_min(keys, seg, m) if is_min else _seg_max(keys, seg, m)
+    cap = keys.shape[0]
+    best_per_row = jnp.take(
+        jnp.concatenate([best, jnp.zeros(1, best.dtype)]), jnp.minimum(seg, m), axis=0
+    )
+    is_winner = keys == best_per_row
+    pos = jnp.where(is_winner, rowpos, cap)
+    win = _seg_min(pos, seg, m)
+    return jnp.clip(win, 0, cap - 1).astype(jnp.int32)
+
+
+def _seg_bitor(x: jax.Array, seg, m) -> jax.Array:
+    """Segment bitwise-OR: per-bit max. 64 single-bit passes would be slow;
+    instead OR = max works only per bit. We use the observation that for
+    unsigned interpretation OR(xs) has each bit = max of that bit; compute
+    via 8 passes over 8-bit planes using segment_max of small ints."""
+    acc = jnp.zeros_like(_seg_max(x, seg, m))
+    for shift in range(0, 64, 8):
+        plane = (x >> shift) & 0xFF
+        # OR of values in [0,255]: max is NOT or; do per-bit max within plane
+        p = jnp.zeros_like(acc)
+        for b in range(8):
+            bit = (plane >> b) & 1
+            p = p | (_seg_max(bit, seg, m) << b)
+        acc = acc | (p << shift)
+    return acc
+
+
+def _seg_xor(x: jax.Array, seg, m) -> jax.Array:
+    acc = jnp.zeros_like(_seg_max(x, seg, m))
+    for shift in range(0, 64, 8):
+        plane = (x >> shift) & 0xFF
+        p = jnp.zeros_like(acc)
+        for b in range(8):
+            bit = (plane >> b) & 1
+            p = p | ((_seg_sum(bit, seg, m) & 1) << b)
+        acc = acc | (p << shift)
+    return acc
+
+
+def _limb_minmax(a, cv: ColumnVector, valid, perm, seg, m, group_mask) -> ColumnVector:
+    """min/max over multi-limb orderable types (strings, floats) via per-limb
+    tournament: reduce the first limb, keep winners, proceed to next limb."""
+    limbs = [l[perm] for l in sortkeys.column_limbs(cv)]
+    is_min = a.func == E.AggFunc.MIN
+    cap = valid.shape[0]
+    lident = np.int64(np.iinfo(np.int64).max if is_min else np.iinfo(np.int64).min)
+    alive = valid
+    for l in limbs:
+        ls = jnp.where(alive, l, lident)
+        best = _seg_min(ls, seg, m) if is_min else _seg_max(ls, seg, m)
+        best_per_row = jnp.take(
+            jnp.concatenate([best, jnp.zeros(1, best.dtype)]),
+            jnp.minimum(seg, m),
+            axis=0,
+        )
+        alive = alive & (l == best_per_row)
+    rowpos = jnp.arange(cap, dtype=jnp.int64)
+    win = _seg_min(jnp.where(alive, rowpos, cap), seg, m)
+    win_c = jnp.clip(win, 0, cap - 1).astype(jnp.int32)
+    has = _seg_max(valid, seg, m) & group_mask
+    src = ColumnVector(
+        cv.data[perm],
+        cv.validity[perm],
+        None if cv.lengths is None else cv.lengths[perm],
+        cv.dtype,
+    )
+    taken = src.take(win_c)
+    return ColumnVector(taken.data, has, taken.lengths, cv.dtype)
+
+
+# ---- Final/PartialMerge: merge state columns ----------------------------------------
+
+
+def _state_cols(a: E.AggExpr, batch: Batch) -> List[ColumnVector]:
+    names = [f.name for f in state_fields(a)]
+    return [batch.column(n) for n in names]
+
+
+def _merge_agg(
+    a: E.AggExpr, batch: Batch, perm, seg, m, group_mask
+) -> List[ColumnVector]:
+    f = a.func
+    sts = _state_cols(a, batch)
+    p = lambda cv: (cv.data[perm], cv.validity[perm] & batch.row_mask[perm])
+
+    if f in (E.AggFunc.COUNT, E.AggFunc.COUNT_DISTINCT):
+        x, v = p(sts[0])
+        cnt = _seg_sum(jnp.where(v, x, 0), seg, m)
+        return [ColumnVector(cnt, group_mask, None, T.INT64)]
+
+    if f == E.AggFunc.SUM:
+        x, v = p(sts[0])
+        s = _seg_sum(jnp.where(v, x, 0), seg, m)
+        has = _seg_max(v, seg, m) & group_mask
+        return [ColumnVector(s, has, None, sts[0].dtype)]
+
+    if f == E.AggFunc.AVG:
+        x, v = p(sts[0])
+        c, cv_ = p(sts[1])
+        s = _seg_sum(jnp.where(v, x, 0), seg, m)
+        cnt = _seg_sum(jnp.where(cv_, c, 0), seg, m)
+        has = (cnt > 0) & group_mask
+        return [
+            ColumnVector(s, has, None, sts[0].dtype),
+            ColumnVector(cnt, group_mask, None, T.INT64),
+        ]
+
+    if f in (E.AggFunc.MIN, E.AggFunc.MAX, E.AggFunc.FIRST, E.AggFunc.LAST):
+        st = sts[0]
+        shadow = E.AggExpr(
+            E.AggFunc.MIN if f == E.AggFunc.MIN else (E.AggFunc.MAX if f == E.AggFunc.MAX else f),
+            _fake_bound(st.dtype),
+            a.out_name,
+            ignore_nulls=True,
+        )
+        fake_batch = Batch((st,), batch.row_mask, T.Schema([T.Field("x", st.dtype)]))
+        return _input_agg(shadow, fake_batch, perm, seg, m, group_mask, EvalContext())
+
+    if f in _WELFORD_FUNCS:
+        n, _ = p(sts[0])
+        avg, _ = p(sts[1])
+        m2, _ = p(sts[2])
+        live = batch.row_mask[perm]
+        n = jnp.where(live, n, 0.0)
+        ntot = _seg_sum(n, seg, m)
+        s1 = _seg_sum(n * avg, seg, m)
+        safe = jnp.maximum(ntot, 1.0)
+        avgt = s1 / safe
+        # m2_tot = Σ m2_i + Σ n_i avg_i² − n_tot avg_tot²
+        m2t = _seg_sum(jnp.where(live, m2, 0.0) + n * avg * avg, seg, m) - ntot * avgt * avgt
+        m2t = jnp.maximum(m2t, 0.0)
+        return [
+            ColumnVector(ntot, group_mask, None, T.FLOAT64),
+            ColumnVector(avgt, group_mask, None, T.FLOAT64),
+            ColumnVector(m2t, group_mask, None, T.FLOAT64),
+        ]
+
+    if f in _COVAR_FUNCS:
+        live = batch.row_mask[perm]
+        n = jnp.where(live, p(sts[0])[0], 0.0)
+        xavg = p(sts[1])[0]
+        yavg = p(sts[2])[0]
+        ck = jnp.where(live, p(sts[3])[0], 0.0)
+        xm2 = jnp.where(live, p(sts[4])[0], 0.0)
+        ym2 = jnp.where(live, p(sts[5])[0], 0.0)
+        ntot = _seg_sum(n, seg, m)
+        safe = jnp.maximum(ntot, 1.0)
+        xat = _seg_sum(n * xavg, seg, m) / safe
+        yat = _seg_sum(n * yavg, seg, m) / safe
+        ckt = _seg_sum(ck + n * xavg * yavg, seg, m) - ntot * xat * yat
+        xm2t = jnp.maximum(_seg_sum(xm2 + n * xavg * xavg, seg, m) - ntot * xat * xat, 0.0)
+        ym2t = jnp.maximum(_seg_sum(ym2 + n * yavg * yavg, seg, m) - ntot * yat * yat, 0.0)
+        return [
+            ColumnVector(v, group_mask, None, T.FLOAT64)
+            for v in (ntot, xat, yat, ckt, xm2t, ym2t)
+        ]
+
+    if f in _BIT_FUNCS or f in _BOOL_FUNCS:
+        st = sts[0]
+        shadow = E.AggExpr(f, _fake_bound(st.dtype), a.out_name)
+        fake_batch = Batch((st,), batch.row_mask, T.Schema([T.Field("x", st.dtype)]))
+        return _input_agg(shadow, fake_batch, perm, seg, m, group_mask, EvalContext())
+
+    raise NotImplementedError(f"merge {f}")
+
+
+def _fake_bound(dt: T.DataType) -> E.BoundRef:
+    return E.BoundRef(0, "x", dt)
+
+
+# ---- Finalize: states → result value -------------------------------------------------
+
+
+def _finalize(a: E.AggExpr, vals: List[ColumnVector], group_mask) -> ColumnVector:
+    f = a.func
+    rt = a.result_dtype()
+    if f in (E.AggFunc.COUNT, E.AggFunc.COUNT_DISTINCT, E.AggFunc.SUM) or f in _MINMAX_LIKE or f in _BIT_FUNCS or f in _BOOL_FUNCS:
+        out = vals[0]
+        if f == E.AggFunc.SUM and rt != out.dtype and not rt.is_decimal:
+            return ColumnVector(out.data.astype(rt.np_dtype()), out.validity, None, rt)
+        return out
+    if f == E.AggFunc.AVG:
+        s, cnt = vals[0], vals[1]
+        if rt.is_decimal:
+            from datafusion_comet_tpu.utils import int128
+
+            # avg = sum/count at result scale: sum is at child scale; upscale
+            k = rt.scale - s.dtype.scale
+            num = int128.mul_pow10_i64(s.data.astype(jnp.int64), max(k, 0))
+            den = jnp.maximum(cnt.data, 1)
+            q = int128.div_i128_i64_half_up(num, den)
+            return ColumnVector(q, s.validity & (cnt.data > 0), None, rt)
+        d = s.data.astype(jnp.float64) / jnp.maximum(cnt.data, 1).astype(jnp.float64)
+        return ColumnVector(d, s.validity & (cnt.data > 0), None, T.FLOAT64)
+    if f in _WELFORD_FUNCS:
+        n, avg, m2 = (v.data for v in vals)
+        if f == E.AggFunc.VAR_POP:
+            d = m2 / jnp.maximum(n, 1.0)
+            ok = n >= 1
+        elif f == E.AggFunc.VAR_SAMP:
+            d = m2 / jnp.maximum(n - 1.0, 1.0)
+            ok = n >= 2
+        elif f == E.AggFunc.STDDEV_POP:
+            d = jnp.sqrt(m2 / jnp.maximum(n, 1.0))
+            ok = n >= 1
+        else:
+            d = jnp.sqrt(m2 / jnp.maximum(n - 1.0, 1.0))
+            ok = n >= 2
+        # Spark: var_samp of a single row = NaN (not null) when n==1
+        d = jnp.where((n == 1.0) & (f in (E.AggFunc.VAR_SAMP, E.AggFunc.STDDEV_SAMP)), jnp.nan, d)
+        return ColumnVector(d, (n >= 1) & group_mask, None, T.FLOAT64)
+    if f in _COVAR_FUNCS:
+        n, xavg, yavg, ck, xm2, ym2 = (v.data for v in vals)
+        if f == E.AggFunc.COVAR_POP:
+            d = ck / jnp.maximum(n, 1.0)
+            ok = n >= 1
+        elif f == E.AggFunc.COVAR_SAMP:
+            d = jnp.where(n == 1.0, jnp.nan, ck / jnp.maximum(n - 1.0, 1.0))
+            ok = n >= 1
+        else:  # corr
+            denom = jnp.sqrt(xm2 * ym2)
+            d = jnp.where(denom == 0.0, jnp.nan, ck / jnp.maximum(denom, 1e-300))
+            ok = n >= 1
+        return ColumnVector(d, ok & group_mask, None, T.FLOAT64)
+    raise NotImplementedError(f"finalize {f}")

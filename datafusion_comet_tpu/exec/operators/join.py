@@ -1,0 +1,269 @@
+"""Join operators: hash join (all types), null-aware anti, nested loop.
+
+Reference contract: planner.rs:2161-2233 (HashJoin: NullEquality::
+NullEqualsNothing — null keys never match; null-aware anti join semantics
+:2175-2184) and :2095-2160 (SortMergeJoin). Join types operator.proto:502-534.
+
+TPU-first formulation: a chained hash table would be pointer-chasing; instead
+the build side is **sorted by key limbs** once, and every probe row finds its
+match range via a vectorized multi-limb binary search (log2(cap) vector
+compares — pure VPU work). Matches expand with a static fan-out cap
+``max_build_matches`` (K); the operator reports overflow so the engine can
+re-plan with a larger K (the static-shape analog of DataFusion's dynamic
+output batching).
+
+Output layout (capacity = probe_cap * K [+ build_cap for FULL]):
+row i*K+j = (probe row i, its j-th match). Unmatched outer rows use slot j=0
+with null build-side columns.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.exec import sortkeys
+from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
+from datafusion_comet_tpu.exec.evaluator import EvalContext, evaluate, evaluate_predicate
+from datafusion_comet_tpu.exec.operators.common import lex_lower_bound, lex_upper_bound
+from datafusion_comet_tpu.ir import expr as E
+from datafusion_comet_tpu.ir.plan import JoinType
+
+__all__ = ["hash_join", "nested_loop_join"]
+
+_DEFAULT_CTX = EvalContext()
+
+
+def _key_limbs(cols: Sequence[ColumnVector]) -> Tuple[List[jax.Array], jax.Array]:
+    """Value limbs for join keys + per-row all-keys-valid flag (null keys
+    never match: NullEqualsNothing)."""
+    limbs: List[jax.Array] = []
+    all_valid = None
+    for cv in cols:
+        limbs.extend(sortkeys.column_limbs(cv))
+        all_valid = cv.validity if all_valid is None else (all_valid & cv.validity)
+    return limbs, all_valid
+
+
+def _null_column(dt: T.DataType, cap: int) -> ColumnVector:
+    if dt.is_binary:
+        return ColumnVector(
+            jnp.zeros((cap, dt.byte_width), jnp.uint8),
+            jnp.zeros(cap, bool),
+            jnp.zeros(cap, jnp.int32),
+            dt,
+        )
+    return ColumnVector(jnp.zeros(cap, dt.np_dtype()), jnp.zeros(cap, bool), None, dt)
+
+
+def hash_join(
+    left: Batch,
+    right: Batch,
+    left_keys: Sequence[E.Expr],
+    right_keys: Sequence[E.Expr],
+    join_type: str,
+    build_side: str,
+    out_schema: T.Schema,
+    condition: Optional[E.Expr] = None,
+    max_build_matches: int = 4,
+    ctx: EvalContext = _DEFAULT_CTX,
+) -> Tuple[Batch, jax.Array]:
+    """Returns (joined batch, overflow flag: True if any probe row had more
+    than max_build_matches matches — results are then incomplete and the
+    engine must re-plan with larger K)."""
+    if build_side == "left":
+        build, probe = left, right
+        build_keys, probe_keys = left_keys, right_keys
+    else:
+        build, probe = right, left
+        build_keys, probe_keys = right_keys, left_keys
+
+    K = max_build_matches
+    bcap, pcap = build.capacity, probe.capacity
+
+    bkey_cols = [evaluate(k, build, ctx) for k in build_keys]
+    pkey_cols = [evaluate(k, probe, ctx) for k in probe_keys]
+    blimbs, bvalid = _key_limbs(bkey_cols)
+    plimbs, pvalid = _key_limbs(pkey_cols)
+    bvalid = bvalid & build.row_mask
+    pvalid = pvalid & probe.row_mask
+
+    # sort build rows: joinable rows first, by key
+    sort_limbs = [(~bvalid).astype(jnp.int64)] + blimbs
+    bperm = sortkeys.lexsort(sort_limbs)
+    sorted_limbs = [l[bperm] for l in blimbs]
+    n_build = jnp.sum(bvalid.astype(jnp.int32))
+
+    lo = lex_lower_bound(sorted_limbs, plimbs, n_build)
+    hi = lex_upper_bound(sorted_limbs, plimbs, n_build)
+    count = jnp.where(pvalid, hi - lo, 0)
+    overflow = jnp.any(count > K)
+
+    # matched-pair block: row p*K+j ↦ build sorted index lo[p]+j
+    j = jnp.tile(jnp.arange(K, dtype=jnp.int32), pcap)
+    p_idx = jnp.repeat(jnp.arange(pcap, dtype=jnp.int32), K)
+    pair_valid = j < jnp.repeat(jnp.minimum(count, K), K)
+    b_sorted_idx = jnp.clip(jnp.repeat(lo, K) + j, 0, bcap - 1)
+    b_idx = bperm[b_sorted_idx]
+
+    has_match = count > 0  # per probe row (before condition)
+
+    # gather both sides at pair granularity
+    probe_cols = [c.take(p_idx) for c in probe.columns]
+    build_cols = [c.take(b_idx) for c in build.columns]
+
+    if condition is not None:
+        # evaluate the extra non-equi predicate on matched pairs
+        pair_schema = T.Schema(
+            list((left if build_side != "left" else build).schema.fields)
+            + list((right if build_side != "left" else probe).schema.fields)
+        )
+        if build_side == "left":
+            pair_cols = tuple(build_cols) + tuple(probe_cols)
+            pair_schema = T.Schema(list(build.schema.fields) + list(probe.schema.fields))
+        else:
+            pair_cols = tuple(probe_cols) + tuple(build_cols)
+            pair_schema = T.Schema(list(probe.schema.fields) + list(build.schema.fields))
+        pair_batch = Batch(pair_cols, pair_valid, pair_schema)
+        cond = E.bind(_unbind_ok(condition), pair_schema) if condition.dtype is None else condition
+        cmask = evaluate_predicate(cond, pair_batch, ctx)
+        pair_valid = pair_valid & cmask
+        has_match = (
+            jax.ops.segment_max(
+                pair_valid.astype(jnp.int32), p_idx, num_segments=pcap
+            ).astype(bool)
+        )
+
+    if join_type == JoinType.INNER:
+        mask = pair_valid
+        out_cols = _assemble(probe_cols, build_cols, build_side)
+        return Batch(tuple(out_cols), mask, out_schema), overflow
+
+    if join_type in (JoinType.LEFT, JoinType.RIGHT):
+        outer_on_probe = (join_type == JoinType.LEFT) == (build_side != "left")
+        if not outer_on_probe:
+            raise NotImplementedError(
+                "outer side must be the probe side; planner must pick build side accordingly"
+            )
+        # unmatched probe rows surface in slot j=0 with null build side
+        unmatched = probe.row_mask & ~has_match
+        un_slot = (j == 0) & jnp.repeat(unmatched, K)
+        mask = pair_valid | un_slot
+        null_build = jnp.repeat(~has_match & probe.row_mask, K) & (j == 0)
+        build_cols = [
+            ColumnVector(c.data, c.validity & ~null_build, c.lengths, c.dtype)
+            for c in build_cols
+        ]
+        out_cols = _assemble(probe_cols, build_cols, build_side)
+        return Batch(tuple(out_cols), mask, out_schema), overflow
+
+    if join_type == JoinType.FULL:
+        # probe-side part as LEFT; plus unmatched build rows appended
+        unmatched_p = probe.row_mask & ~has_match
+        un_slot = (j == 0) & jnp.repeat(unmatched_p, K)
+        mask_pairs = pair_valid | un_slot
+        null_build = jnp.repeat(unmatched_p, K) & (j == 0)
+        build_cols_pairs = [
+            ColumnVector(c.data, c.validity & ~null_build, c.lengths, c.dtype)
+            for c in build_cols
+        ]
+        # build rows that matched no probe row: count probe hits per build row
+        hit = jnp.zeros(bcap, jnp.int32).at[b_idx].add(pair_valid.astype(jnp.int32), mode="drop")
+        unmatched_b = build.row_mask & (hit == 0)
+        tail_probe = [_null_column(f.dtype, bcap) for f in probe.schema.fields]
+        tail_build = list(build.columns)
+        pair_block = _assemble(probe_cols, build_cols_pairs, build_side)
+        tail_block = _assemble(tail_probe, tail_build, build_side)
+        out_cols = [
+            ColumnVector(
+                jnp.concatenate([a.data, b.data], axis=0),
+                jnp.concatenate([a.validity, b.validity]),
+                None if a.lengths is None else jnp.concatenate([a.lengths, b.lengths]),
+                a.dtype,
+            )
+            for a, b in zip(pair_block, tail_block)
+        ]
+        mask = jnp.concatenate([mask_pairs, unmatched_b])
+        return Batch(tuple(out_cols), mask, out_schema), overflow
+
+    if join_type in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI, JoinType.EXISTENCE, JoinType.LEFT_ANTI_NULL_AWARE):
+        assert build_side != "left", "semi/anti joins keep the left (probe) side"
+        if join_type == JoinType.LEFT_SEMI:
+            mask = probe.row_mask & has_match
+            return Batch(probe.columns, mask, out_schema), overflow
+        if join_type == JoinType.LEFT_ANTI:
+            # rows with null keys never match → they pass anti join
+            mask = probe.row_mask & ~has_match
+            return Batch(probe.columns, mask, out_schema), overflow
+        if join_type == JoinType.LEFT_ANTI_NULL_AWARE:
+            # NOT IN semantics (reference planner.rs:2175-2184): if the build
+            # side has ANY null key, nothing passes; probe rows with null keys
+            # never pass.
+            build_has_null = jnp.any(build.row_mask & ~_all_valid(bkey_cols))
+            mask = probe.row_mask & ~has_match & pvalid & ~build_has_null
+            return Batch(probe.columns, mask, out_schema), overflow
+        # EXISTENCE: left columns + boolean exists
+        exists = ColumnVector(has_match, jnp.ones(pcap, bool), None, T.BOOL)
+        return Batch(tuple(probe.columns) + (exists,), probe.row_mask, out_schema), overflow
+
+    raise NotImplementedError(f"join type {join_type}")
+
+
+def _all_valid(cols: Sequence[ColumnVector]) -> jax.Array:
+    v = cols[0].validity
+    for c in cols[1:]:
+        v = v & c.validity
+    return v
+
+
+def _assemble(probe_cols, build_cols, build_side: str):
+    return list(build_cols) + list(probe_cols) if build_side == "left" else list(probe_cols) + list(build_cols)
+
+
+def _unbind_ok(e: E.Expr) -> E.Expr:
+    return e
+
+
+def nested_loop_join(
+    left: Batch,
+    right: Batch,
+    join_type: str,
+    out_schema: T.Schema,
+    condition: Optional[E.Expr] = None,
+    ctx: EvalContext = _DEFAULT_CTX,
+) -> Batch:
+    """Broadcast nested-loop join: full cross product (cap_l × cap_r) with a
+    condition mask (reference: planner.rs:1377 BNLJ). Use only when one side
+    is small (the planner broadcasts the small side)."""
+    lcap, rcap = left.capacity, right.capacity
+    li = jnp.repeat(jnp.arange(lcap, dtype=jnp.int32), rcap)
+    ri = jnp.tile(jnp.arange(rcap, dtype=jnp.int32), lcap)
+    lcols = [c.take(li) for c in left.columns]
+    rcols = [c.take(ri) for c in right.columns]
+    pair_live = left.row_mask[li] & right.row_mask[ri]
+    pair_schema = T.Schema(list(left.schema.fields) + list(right.schema.fields))
+    pair = Batch(tuple(lcols) + tuple(rcols), pair_live, pair_schema)
+    if condition is not None:
+        cmask = evaluate_predicate(condition, pair, ctx)
+    else:
+        cmask = pair_live
+    if join_type == JoinType.INNER:
+        return Batch(pair.columns, cmask, out_schema)
+    if join_type == JoinType.LEFT:
+        has = jax.ops.segment_max(cmask.astype(jnp.int32), li, num_segments=lcap).astype(bool)
+        un = left.row_mask & ~has
+        un_slot = (ri == 0) & jnp.repeat(un, rcap)
+        null_r = jnp.repeat(un, rcap) & (ri == 0)
+        rcols2 = [ColumnVector(c.data, c.validity & ~null_r, c.lengths, c.dtype) for c in rcols]
+        return Batch(tuple(lcols) + tuple(rcols2), cmask | un_slot, out_schema)
+    if join_type == JoinType.LEFT_SEMI:
+        has = jax.ops.segment_max(cmask.astype(jnp.int32), li, num_segments=lcap).astype(bool)
+        return Batch(left.columns, left.row_mask & has, out_schema)
+    if join_type == JoinType.LEFT_ANTI:
+        has = jax.ops.segment_max(cmask.astype(jnp.int32), li, num_segments=lcap).astype(bool)
+        return Batch(left.columns, left.row_mask & ~has, out_schema)
+    raise NotImplementedError(f"nested loop join type {join_type}")

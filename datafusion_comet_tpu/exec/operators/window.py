@@ -1,0 +1,416 @@
+"""Window operator: ranking, value, and aggregate window functions.
+
+Reference contract: CometWindowExec.scala:41-330 (ranking row_number/rank/
+dense_rank/percent_rank/cume_dist/ntile; lag/lead with literal defaults;
+nth_value; aggregate windows count/min/max/sum/avg) and frames ROWS/RANGE
+(operator.proto:552-603).
+
+TPU-first: one lexsort by (partition, order) keys, then every window function
+is a segmented scan/shift over the sorted layout, scattered back to the
+original row order at the end. ROWS frames use prefix-sum differences;
+unbounded frames use segment totals.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.exec import sortkeys
+from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
+from datafusion_comet_tpu.exec.evaluator import EvalContext, evaluate
+from datafusion_comet_tpu.ir import expr as E
+
+__all__ = ["result_dtype", "window_op"]
+
+_DEFAULT_CTX = EvalContext()
+
+_RANKING = ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist", "ntile")
+
+
+def result_dtype(w: E.WindowExpr) -> T.DataType:
+    f = w.func
+    if f in ("row_number", "rank", "dense_rank", "ntile"):
+        return T.INT32
+    if f in ("percent_rank", "cume_dist"):
+        return T.FLOAT64
+    if f in ("lag", "lead", "nth_value", "first", "last", "min", "max"):
+        return w.child.dtype if w.child is not None and w.child.dtype else T.NULLTYPE
+    if f == "count":
+        return T.INT64
+    if f == "sum":
+        cd = w.child.dtype
+        if cd.is_decimal:
+            return T.decimal(min(cd.precision + 10, T.MAX_DECIMAL_PRECISION), cd.scale)
+        return T.INT64 if cd.is_integer else T.FLOAT64
+    if f == "avg":
+        return T.FLOAT64
+    raise NotImplementedError(f"window func {f}")
+
+
+def _sorted_layout(
+    batch: Batch, partition_by: Sequence[E.Expr], order_by: Sequence[E.SortOrder], ctx
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (perm, part_start(bool per sorted row), order_change(bool),
+    pos_in_segment(int32), inv_perm)."""
+    cap = batch.capacity
+    plimbs = sortkeys.grouping_limbs([evaluate(p, batch, ctx) for p in partition_by]) if partition_by else []
+    olimbs: List[jax.Array] = []
+    for o in order_by:
+        cv = evaluate(o.child, batch, ctx)
+        olimbs += sortkeys.order_limbs(cv, o.ascending, o.resolved_nulls_first(), batch.row_mask)
+    limbs = [(~batch.row_mask).astype(jnp.int64)] + plimbs + olimbs
+    perm = sortkeys.lexsort(limbs)
+
+    def changes(ls: List[jax.Array]) -> jax.Array:
+        ch = jnp.zeros(cap, bool).at[0].set(True)
+        for l in ls:
+            s = l[perm]
+            ch = ch | jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+        return ch
+
+    part_start = changes(plimbs) if plimbs else jnp.zeros(cap, bool).at[0].set(True)
+    order_change = part_start | (changes(olimbs) if olimbs else jnp.zeros(cap, bool))
+    # position within partition
+    seg = jnp.cumsum(part_start.astype(jnp.int32)) - 1
+    pos = jnp.arange(cap, dtype=jnp.int32) - _seg_broadcast(
+        jnp.arange(cap, dtype=jnp.int32), part_start
+    )
+    inv = jnp.argsort(perm)
+    return perm, part_start, order_change, pos, inv
+
+
+def _seg_broadcast(vals: jax.Array, seg_start: jax.Array) -> jax.Array:
+    """Broadcast each segment's start-row value to all rows of the segment
+    (cummax over (is_start ? value : -inf) works because row index increases)."""
+    marked = jnp.where(seg_start, vals, np.iinfo(np.int32).min)
+    return jax.lax.cummax(marked)
+
+
+def _seg_prefix_sum(x: jax.Array, seg_start: jax.Array) -> jax.Array:
+    """Inclusive prefix sum restarting at each segment start. Uses the
+    monotonic-index gather trick (cummax over row indices, never values)."""
+    total = jnp.cumsum(x, axis=0)
+    cap = x.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    start_idx = jax.lax.cummax(jnp.where(seg_start, idx, -1))
+    s = jnp.clip(start_idx, 0, cap - 1)
+    base = jnp.take(total, s, axis=0) - jnp.take(x, s, axis=0)
+    return total - base
+
+
+def _seg_end_index(seg_start: jax.Array) -> jax.Array:
+    """Per row: index of the last row of its segment."""
+    cap = seg_start.shape[0]
+    is_end = jnp.concatenate([seg_start[1:], jnp.ones(1, bool)])
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    rev = jnp.flip(jnp.where(is_end, idx, np.iinfo(np.int32).max))
+    return jnp.flip(jax.lax.cummin(rev))
+
+
+def _seg_total(x: jax.Array, seg_start: jax.Array, seg_len_at=None) -> jax.Array:
+    """Per-row total of its segment: prefix value at segment end, gathered."""
+    pre = _seg_prefix_sum(x, seg_start)
+    return jnp.take(pre, _seg_end_index(seg_start), axis=0)
+
+
+def window_op(
+    batch: Batch,
+    window_exprs: Sequence[E.WindowExpr],
+    out_schema: T.Schema,
+    ctx: EvalContext = _DEFAULT_CTX,
+) -> Batch:
+    cap = batch.capacity
+    out_cols = list(batch.columns)
+    # group exprs by identical (partition, order) so one sort serves several
+    for w in window_exprs:
+        perm, part_start, order_change, pos, inv = _sorted_layout(
+            batch, w.partition_by, w.order_by, ctx
+        )
+        live_sorted = batch.row_mask[perm]
+        rd = result_dtype(w)
+        cv = _one_window(w, batch, perm, part_start, order_change, pos, live_sorted, rd, ctx)
+        # scatter back to original order
+        out_cols.append(cv.take(inv))
+    return Batch(tuple(out_cols), batch.row_mask, out_schema)
+
+
+def _one_window(
+    w: E.WindowExpr,
+    batch: Batch,
+    perm,
+    part_start,
+    order_change,
+    pos,
+    live,
+    rd: T.DataType,
+    ctx,
+) -> ColumnVector:
+    f = w.func
+    cap = batch.capacity
+    ones = jnp.ones(cap, jnp.int64)
+    n_part = _seg_total(jnp.where(live, 1, 0).astype(jnp.int64), part_start, None)
+
+    if f in _RANKING:
+        if f == "row_number":
+            data = pos + 1
+            return ColumnVector(data.astype(jnp.int32), live, None, rd)
+        if f == "rank":
+            # rank = within-partition position of the last order-change row + 1
+            # (cummax over GLOBAL indices — monotonic, so safe across segments)
+            gidx = jnp.arange(cap, dtype=jnp.int32)
+            last_change_g = jax.lax.cummax(jnp.where(order_change, gidx, -1))
+            rank = last_change_g - (gidx - pos) + 1
+            return ColumnVector(rank.astype(jnp.int32), live, None, rd)
+        if f == "dense_rank":
+            dr = _seg_prefix_sum(order_change.astype(jnp.int64), part_start)
+            return ColumnVector(dr.astype(jnp.int32), live, None, rd)
+        if f == "percent_rank":
+            gidx = jnp.arange(cap, dtype=jnp.int32)
+            last_change_g = jax.lax.cummax(jnp.where(order_change, gidx, -1))
+            rank = last_change_g - (gidx - pos) + 1
+            denom = jnp.maximum(n_part - 1, 1).astype(jnp.float64)
+            data = (rank - 1).astype(jnp.float64) / denom
+            data = jnp.where(n_part == 1, 0.0, data)
+            return ColumnVector(data, live, None, rd)
+        if f == "cume_dist":
+            # rows with order value <= current = within-partition position of
+            # the current peer group's last row + 1
+            peer_end = jnp.take(pos, _seg_end_index(order_change), axis=0)
+            data = (peer_end + 1).astype(jnp.float64) / jnp.maximum(n_part, 1).astype(jnp.float64)
+            return ColumnVector(data, live, None, rd)
+        if f == "ntile":
+            n = w.offset  # ntile bucket count carried in offset
+            np_ = jnp.maximum(n_part, 1)
+            base = np_ // n
+            rem = np_ % n
+            # first `rem` buckets get base+1 rows
+            big = rem * (base + 1)
+            data = jnp.where(
+                pos < big,
+                pos // jnp.maximum(base + 1, 1),
+                rem + (pos - big) // jnp.maximum(base, 1),
+            ) + 1
+            return ColumnVector(data.astype(jnp.int32), live, None, rd)
+
+    if f in ("lag", "lead"):
+        cv = evaluate(w.child, batch, ctx)
+        x = cv.data[perm]
+        v = cv.validity[perm]
+        off = w.offset if f == "lag" else -w.offset
+        shifted = jnp.roll(x, off, axis=0)
+        vshift = jnp.roll(v, off, axis=0)
+        in_seg = (pos >= w.offset) if f == "lag" else None
+        if f == "lead":
+            # valid if pos + offset < n_part
+            in_seg = (pos + w.offset) < n_part.astype(jnp.int32)
+        if w.default is not None:
+            dcv = evaluate(w.default, batch, ctx)
+            ddata = dcv.data[perm]
+            dval = dcv.validity[perm]
+            data = _sel(in_seg, shifted, ddata)
+            valid = jnp.where(in_seg, vshift, dval)
+        else:
+            data = shifted
+            valid = vshift & in_seg
+        lengths = None
+        if cv.lengths is not None:
+            lshift = jnp.roll(cv.lengths[perm], off, axis=0)
+            lengths = jnp.where(in_seg, lshift, 0)
+        return ColumnVector(data, valid & live, lengths, rd)
+
+    if f == "nth_value":
+        cv = evaluate(w.child, batch, ctx)
+        x = cv.data[perm]
+        v = cv.validity[perm]
+        # index of the partition's first row + (n-1)
+        start_idx = _seg_broadcast(jnp.arange(cap, dtype=jnp.int32), part_start)
+        tgt = jnp.clip(start_idx + (w.offset - 1), 0, cap - 1)
+        ok = (w.offset - 1) < n_part.astype(jnp.int32)
+        data = jnp.take(x, tgt, axis=0)
+        valid = jnp.take(v, tgt, axis=0) & ok & live
+        lengths = None if cv.lengths is None else jnp.take(cv.lengths[perm], tgt, axis=0)
+        return ColumnVector(data, valid, lengths, rd)
+
+    # aggregate window functions over ROWS/RANGE frames
+    if w.child is not None:
+        cv = evaluate(w.child, batch, ctx)
+        x = cv.data[perm]
+        v = cv.validity[perm] & live
+    else:  # count(*)
+        x = jnp.ones(cap, jnp.int64)
+        v = live
+
+    frame = w.frame
+    if frame.frame_type == "range" and frame.lower is None and frame.upper == 0:
+        # RANGE UNBOUNDED PRECEDING..CURRENT ROW — running agg over peer groups
+        return _running_agg(f, x, v, part_start, order_change, peers=True, rd=rd, live=live)
+    if frame.frame_type == "rows" and frame.lower is None and frame.upper == 0:
+        return _running_agg(f, x, v, part_start, order_change, peers=False, rd=rd, live=live)
+    if frame.lower is None and frame.upper is None:
+        # whole partition
+        return _whole_partition_agg(f, x, v, part_start, rd, live)
+    if frame.frame_type == "rows":
+        return _sliding_rows_agg(f, x, v, part_start, pos, frame.lower, frame.upper, rd, live)
+    raise NotImplementedError(f"window frame {frame}")
+
+
+def _sel(mask, a, b):
+    if a.ndim == 2:
+        return jnp.where(mask[:, None], a, b)
+    return jnp.where(mask, a, b)
+
+
+def _agg_dtype_np(rd: T.DataType):
+    return rd.np_dtype()
+
+
+def _running_agg(f, x, v, part_start, order_change, peers: bool, rd, live) -> ColumnVector:
+    acc_t = jnp.float64 if rd.is_floating else jnp.int64
+    if f in ("sum", "avg", "count"):
+        xs = jnp.where(v, x, 0).astype(jnp.float64 if rd.is_floating or f == "avg" else jnp.int64)
+        pre = _seg_prefix_sum(xs, part_start)
+        cnt = _seg_prefix_sum(jnp.where(v, 1, 0).astype(jnp.int64), part_start)
+        if peers:
+            pre = _peer_smear(pre, order_change)
+            cnt = _peer_smear(cnt, order_change)
+        if f == "count":
+            return ColumnVector(cnt, live, None, rd)
+        if f == "avg":
+            d = pre / jnp.maximum(cnt, 1).astype(jnp.float64)
+            return ColumnVector(d, live & (cnt > 0), None, rd)
+        has = cnt > 0
+        return ColumnVector(pre.astype(rd.np_dtype()), live & has, None, rd)
+    if f in ("min", "max"):
+        big = _ident(rd, f == "min")
+        xs = jnp.where(v, x, big).astype(rd.np_dtype())
+        scan = jax.lax.cummin if f == "min" else jax.lax.cummax
+        # restart at segment boundary: offset by segment base
+        pre = _seg_prefix_scan_minmax(xs, part_start, f == "min")
+        if peers:
+            pre = _peer_smear(pre, order_change)
+        cnt = _seg_prefix_sum(jnp.where(v, 1, 0).astype(jnp.int64), part_start)
+        if peers:
+            cnt = _peer_smear(cnt, order_change)
+        return ColumnVector(pre, live & (cnt > 0), None, rd)
+    if f in ("first",):
+        # first value in frame = partition's first valid value up to here
+        cap = x.shape[0]
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        firstv = jnp.where(v, idx, np.iinfo(np.int32).max)
+        m = _seg_prefix_scan_minmax(firstv, part_start, True)
+        ok = m < np.iinfo(np.int32).max
+        data = jnp.take(x, jnp.clip(m, 0, cap - 1), axis=0)
+        return ColumnVector(data, live & ok, None, rd)
+    if f in ("last",):
+        cap = x.shape[0]
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        lastv = jnp.where(v, idx, np.iinfo(np.int32).min)
+        m = _seg_prefix_scan_minmax(lastv, part_start, False)
+        if peers:
+            m = _peer_smear(m, order_change)
+        ok = m > np.iinfo(np.int32).min
+        data = jnp.take(x, jnp.clip(m, 0, cap - 1), axis=0)
+        return ColumnVector(data, live & ok, None, rd)
+    raise NotImplementedError(f"running window agg {f}")
+
+
+def _peer_smear(pre: jax.Array, order_change: jax.Array) -> jax.Array:
+    """RANGE frames treat peer rows (same order value) as one unit: every row
+    sees the value at the END of its peer group."""
+    return jnp.take(pre, _seg_end_index(order_change), axis=0)
+
+
+def _seg_prefix_scan_minmax(x: jax.Array, seg_start: jax.Array, is_min: bool) -> jax.Array:
+    """Segmented running min/max via associative scan with reset flags."""
+
+    def combine(a, b):
+        av, areset = a
+        bv, breset = b
+        out = jnp.where(breset, bv, jnp.minimum(av, bv) if is_min else jnp.maximum(av, bv))
+        return out, areset | breset
+
+    vals, _ = jax.lax.associative_scan(combine, (x, seg_start))
+    return vals
+
+
+def _ident(rd: T.DataType, is_min: bool):
+    if rd.is_floating:
+        return np.array(np.inf if is_min else -np.inf, rd.np_dtype())
+    info = np.iinfo(rd.np_dtype())
+    return np.array(info.max if is_min else info.min, rd.np_dtype())
+
+
+def _whole_partition_agg(f, x, v, part_start, rd, live) -> ColumnVector:
+    if f in ("sum", "avg", "count"):
+        xs = jnp.where(v, x, 0).astype(jnp.float64 if rd.is_floating or f == "avg" else jnp.int64)
+        tot = _seg_total(xs, part_start, None)
+        cnt = _seg_total(jnp.where(v, 1, 0).astype(jnp.int64), part_start, None)
+        if f == "count":
+            return ColumnVector(cnt, live, None, rd)
+        if f == "avg":
+            return ColumnVector(tot / jnp.maximum(cnt, 1).astype(jnp.float64), live & (cnt > 0), None, rd)
+        return ColumnVector(tot.astype(rd.np_dtype()), live & (cnt > 0), None, rd)
+    if f in ("min", "max"):
+        is_min = f == "min"
+        xs = jnp.where(v, x, _ident(rd, is_min)).astype(rd.np_dtype())
+        pre = _seg_prefix_scan_minmax(xs, part_start, is_min)
+        # total = running min/max at segment end, gathered back to every row
+        tot = jnp.take(pre, _seg_end_index(part_start), axis=0)
+        cnt = _seg_total(jnp.where(v, 1, 0).astype(jnp.int64), part_start, None)
+        return ColumnVector(tot, live & (cnt > 0), None, rd)
+    raise NotImplementedError(f"whole-partition window agg {f}")
+
+
+def _sliding_rows_agg(f, x, v, part_start, pos, lower, upper, rd, live) -> ColumnVector:
+    """ROWS BETWEEN lower PRECEDING AND upper FOLLOWING via prefix-sum
+    differences (sum/count/avg) or windowed min/max via K shifted compares."""
+    cap = x.shape[0]
+    lo = 0 if lower is None else lower  # lower offset (negative = preceding)
+    up = 0 if upper is None else upper
+    if f in ("sum", "count", "avg"):
+        xs = jnp.where(v, x, 0).astype(jnp.float64 if rd.is_floating or f == "avg" else jnp.int64)
+        pre = _seg_prefix_sum(xs, part_start)
+        cnt_pre = _seg_prefix_sum(jnp.where(v, 1, 0).astype(jnp.int64), part_start)
+        n_part = _seg_total(jnp.ones(cap, jnp.int64), part_start, None).astype(jnp.int32)
+
+        def window_val(prefix):
+            hi_pos = jnp.clip(pos + up, -1, n_part - 1)
+            lo_pos = jnp.clip(pos + lo, 0, n_part)
+            start_idx = jnp.arange(cap, dtype=jnp.int32) - pos  # segment base
+            hi_idx = jnp.clip(start_idx + hi_pos, 0, cap - 1)
+            lo_idx = jnp.clip(start_idx + lo_pos - 1, 0, cap - 1)
+            hi_v = jnp.where(hi_pos >= 0, jnp.take(prefix, hi_idx, axis=0), 0)
+            lo_v = jnp.where(lo_pos - 1 >= 0, jnp.take(prefix, lo_idx, axis=0), 0)
+            return hi_v - lo_v
+
+        s = window_val(pre)
+        c = window_val(cnt_pre)
+        if f == "count":
+            return ColumnVector(c, live, None, rd)
+        if f == "avg":
+            return ColumnVector(s / jnp.maximum(c, 1).astype(jnp.float64), live & (c > 0), None, rd)
+        return ColumnVector(s.astype(rd.np_dtype()), live & (c > 0), None, rd)
+    if f in ("min", "max"):
+        is_min = f == "min"
+        width = up - lo + 1
+        assert width <= 1024, "sliding min/max window too wide for shift method"
+        ident = _ident(rd, is_min)
+        xs = jnp.where(v, x, ident).astype(rd.np_dtype())
+        n_part = _seg_total(jnp.ones(cap, jnp.int64), part_start, None).astype(jnp.int32)
+        acc = jnp.full(cap, ident, rd.np_dtype())
+        any_v = jnp.zeros(cap, bool)
+        for off in range(lo, up + 1):
+            shifted = jnp.roll(xs, -off, axis=0)
+            vs = jnp.roll(v, -off, axis=0)
+            in_seg = ((pos + off) >= 0) & ((pos + off) < n_part)
+            valid_here = in_seg & vs
+            cand = jnp.where(valid_here, shifted, ident)
+            acc = jnp.minimum(acc, cand) if is_min else jnp.maximum(acc, cand)
+            any_v = any_v | valid_here
+        return ColumnVector(acc, live & any_v, None, rd)
+    raise NotImplementedError(f"sliding window agg {f}")

@@ -31,19 +31,37 @@ _SIGN64 = np.int64(np.uint64(1) << np.uint64(63)).view(np.int64) if False else N
 _SIGN_BIT = jnp.int64(-0x8000000000000000)
 
 
-def _float_orderable(data: jax.Array) -> jax.Array:
-    """Map float bits to int64 whose signed order equals Spark float order
-    (NaN canonicalized greatest, -0.0 == 0.0)."""
-    d = data.astype(jnp.float64)
-    d = jnp.where(d == 0.0, 0.0, d)  # -0.0 -> +0.0
-    d = jnp.where(jnp.isnan(d), jnp.inf * 2 if False else jnp.nan, d)
-    bits = jax.lax.bitcast_convert_type(d, jnp.int64)
-    # canonical NaN: replace any NaN bit pattern with +inf+1 (greater than inf)
-    inf_bits = jax.lax.bitcast_convert_type(jnp.asarray(jnp.inf, jnp.float64), jnp.int64)
-    bits = jnp.where(jnp.isnan(d), inf_bits + 1, bits)
-    # IEEE-754 total order trick: negative floats need bit flip
-    flipped = jnp.where(bits < 0, _SIGN_BIT - bits, bits)
-    return flipped
+def _f32_orderable(f32: jax.Array) -> jax.Array:
+    """float32 → int32 whose signed order equals float order (finite values;
+    callers handle NaN). Native on TPU: one bitcast + flip."""
+    bits = jax.lax.bitcast_convert_type(f32, jnp.int32)
+    return jnp.where(bits < 0, jnp.int32(-0x80000000) - bits, bits)
+
+
+def _float_orderable(data: jax.Array) -> List[jax.Array]:
+    """Map floats to i64 limbs whose lexicographic signed order equals Spark
+    float order (NaN canonicalized greatest, -0.0 == 0.0).
+
+    TPU-safe: the X64-rewrite pass has no f64→s64 bitcast, so float64 is
+    decomposed into a non-overlapping (hi, mid, lo) float32 expansion
+    (x == hi+mid+lo exactly for finite x); each component orders natively
+    via an f32→i32 bitcast. float32 needs one limb."""
+    nan = jnp.isnan(data)
+    if data.dtype == jnp.float32:
+        d = jnp.where(data == 0.0, jnp.float32(0.0), data)
+        d = jnp.where(nan, jnp.float32(jnp.inf), d)
+        limb = _f32_orderable(d) + nan.astype(jnp.int32)  # NaN > +inf
+        return [limb.astype(jnp.int64)]
+    d = jnp.where(data == 0.0, 0.0, data).astype(jnp.float64)
+    d = jnp.where(nan, jnp.inf, d)
+    hi = d.astype(jnp.float32)
+    hi = jnp.where(jnp.isinf(hi) & ~jnp.isinf(d), jnp.sign(d).astype(jnp.float32) * jnp.float32(3.4e38), hi)
+    mid = (d - hi.astype(jnp.float64)).astype(jnp.float32)
+    lo = (d - hi.astype(jnp.float64) - mid.astype(jnp.float64)).astype(jnp.float32)
+    l0 = _f32_orderable(jnp.where(nan, jnp.float32(jnp.inf), hi)) + nan.astype(jnp.int32)
+    l1 = _f32_orderable(jnp.where(nan, jnp.float32(0), mid))
+    l2 = _f32_orderable(jnp.where(nan, jnp.float32(0), lo))
+    return [l0.astype(jnp.int64), l1.astype(jnp.int64), l2.astype(jnp.int64)]
 
 
 def _string_limbs(cv: ColumnVector) -> List[jax.Array]:
@@ -68,7 +86,7 @@ def column_limbs(cv: ColumnVector) -> List[jax.Array]:
     if dt.is_binary:
         return _string_limbs(cv)
     if dt.is_floating:
-        return [_float_orderable(cv.data)]
+        return _float_orderable(cv.data)
     if dt.is_boolean:
         return [cv.data.astype(jnp.int64)]
     # ints, decimals (scaled i64), dates, timestamps

@@ -1,0 +1,324 @@
+"""Parquet scan: file → device-resident SoA batches.
+
+Reference contract: native/core/src/parquet/parquet_exec.rs:60
+(init_datasource_exec — projection, row-group + page pruning via min/max
+stats, predicate pushdown, schema evolution) and schema_adapter.rs (type
+promotion, missing columns as nulls, case-insensitive matching).
+
+Phase-1 design (SURVEY.md §7 step 2): host-side decode via pyarrow (the
+battle-tested Parquet decoder), then one device_put staging pass into the
+fixed-capacity Batch layout. Row-group pruning happens on the host against
+the footer stats BEFORE any decode — the same late-materialization win as the
+reference's EagerPageIndexReaderFactory. Phase 2 (on-device Pallas
+dictionary/RLE decoders) replaces the decode step without touching callers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.exec.batch import Batch, from_numpy
+from datafusion_comet_tpu.ir import expr as E
+
+__all__ = ["arrow_to_engine_schema", "read_parquet", "write_parquet", "prune_row_groups"]
+
+
+def _pa():
+    import pyarrow
+
+    return pyarrow
+
+
+def arrow_field_to_dtype(field, sample_max_len: int = 0) -> T.DataType:
+    import pyarrow as pa
+
+    t = field.type
+    if pa.types.is_boolean(t):
+        return T.BOOL
+    if pa.types.is_int8(t):
+        return T.INT8
+    if pa.types.is_int16(t):
+        return T.INT16
+    if pa.types.is_int32(t):
+        return T.INT32
+    if pa.types.is_int64(t):
+        return T.INT64
+    if pa.types.is_float32(t):
+        return T.FLOAT32
+    if pa.types.is_float64(t):
+        return T.FLOAT64
+    if pa.types.is_date32(t):
+        return T.DATE
+    if pa.types.is_timestamp(t):
+        return T.TIMESTAMP if t.tz else T.TIMESTAMP_NTZ
+    if pa.types.is_decimal(t):
+        return T.decimal(t.precision, t.scale)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T.string(sample_max_len or T.DEFAULT_STRING_LEN)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T.binary(sample_max_len or T.DEFAULT_STRING_LEN)
+    raise NotImplementedError(f"arrow type {t}")
+
+
+def arrow_to_engine_schema(arrow_schema, string_widths: Optional[Dict[str, int]] = None) -> T.Schema:
+    string_widths = string_widths or {}
+    return T.Schema(
+        [
+            T.Field(f.name, arrow_field_to_dtype(f, string_widths.get(f.name, 0)), f.nullable)
+            for f in arrow_schema
+        ]
+    )
+
+
+# -------------------------------------------------------------------------------------
+# Row-group pruning from footer statistics (reference: page-index/row-group
+# pruning, parquet_exec.rs + EagerPageIndexReaderFactory)
+# -------------------------------------------------------------------------------------
+
+
+def _stat_range(rg_meta, col_idx):
+    col = rg_meta.column(col_idx)
+    st = col.statistics
+    if st is None or not st.has_min_max:
+        return None
+    return st.min, st.max
+
+
+def prune_row_groups(pf, predicate: Optional[E.Expr]) -> List[int]:
+    """Keep row groups whose min/max stats may satisfy the predicate.
+    Supports conjunctions of col <op> literal (the common pushdown shape)."""
+    n = pf.metadata.num_row_groups
+    keep = list(range(n))
+    if predicate is None:
+        return keep
+    conjuncts = _split_conjuncts(predicate)
+    names = [pf.metadata.schema.column(i).name for i in range(pf.metadata.num_columns)]
+
+    def rg_may_match(rg: int) -> bool:
+        meta = pf.metadata.row_group(rg)
+        for c in conjuncts:
+            trip = _conjunct_triplet(c)
+            if trip is None:
+                continue
+            col_name, op, value = trip
+            if col_name not in names:
+                continue
+            r = _stat_range(meta, names.index(col_name))
+            if r is None:
+                continue
+            mn, mx = r
+            try:
+                if op == "eq" and (value < mn or value > mx):
+                    return False
+                if op in ("lt", "le") and mn > value:
+                    return False
+                if op in ("gt", "ge") and mx < value:
+                    return False
+            except TypeError:
+                continue
+        return True
+
+    return [rg for rg in keep if rg_may_match(rg)]
+
+
+def _split_conjuncts(e: E.Expr) -> List[E.Expr]:
+    if isinstance(e, E.BinaryOp) and e.op == "and":
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
+def _conjunct_triplet(e: E.Expr):
+    if not isinstance(e, E.BinaryOp) or e.op not in ("eq", "lt", "le", "gt", "ge"):
+        return None
+    l, r = e.left, e.right
+    if isinstance(l, (E.ColumnRef, E.BoundRef)) and isinstance(r, E.Literal):
+        name = l.col_name
+        return name, e.op, r.value
+    if isinstance(r, (E.ColumnRef, E.BoundRef)) and isinstance(l, E.Literal):
+        flip = {"eq": "eq", "lt": "gt", "le": "ge", "gt": "lt", "ge": "le"}
+        return r.col_name, flip[e.op], l.value
+    return None
+
+
+# -------------------------------------------------------------------------------------
+# Read
+# -------------------------------------------------------------------------------------
+
+
+def read_parquet(
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+    predicate: Optional[E.Expr] = None,
+    schema: Optional[T.Schema] = None,
+    capacity: Optional[int] = None,
+) -> Batch:
+    """Read a Parquet file (or directory of files) into one device Batch.
+
+    - ``columns``: projection pushdown.
+    - ``predicate``: used for row-group pruning only (exact filtering happens
+      in the Filter operator on device — same split as the reference, where
+      pruning is best-effort and row-filter pushdown is optional).
+    - ``schema``: target engine schema (drives string widths / missing-column
+      null fill, the schema-evolution behaviors of schema_adapter.rs).
+    """
+    import pyarrow.parquet as pq
+    import os
+
+    paths = _expand(path)
+    arrow_tables = []
+    for p in paths:
+        pf = pq.ParquetFile(p)
+        rgs = prune_row_groups(pf, predicate)
+        if not rgs:
+            continue
+        cols = list(columns) if columns is not None else None
+        if cols is not None:
+            avail = set(pf.schema_arrow.names)
+            cols = [c for c in cols if c in avail]
+        arrow_tables.append(pf.read_row_groups(rgs, columns=cols))
+    import pyarrow as pa
+
+    if not arrow_tables:
+        # empty result with correct schema
+        first = pq.ParquetFile(paths[0])
+        tbl = first.schema_arrow.empty_table()
+    else:
+        tbl = pa.concat_tables(arrow_tables)
+    return arrow_table_to_batch(tbl, schema=schema, columns=columns, capacity=capacity)
+
+
+def _expand(path: str) -> List[str]:
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    return [path]
+
+
+def arrow_table_to_batch(
+    tbl,
+    schema: Optional[T.Schema] = None,
+    columns: Optional[Sequence[str]] = None,
+    capacity: Optional[int] = None,
+) -> Batch:
+    """Arrow table → engine Batch (host staging pass, then device_put)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = list(columns) if columns is not None else tbl.schema.names
+    if schema is None:
+        widths = {}
+        for n in names:
+            if n in tbl.schema.names and (
+                pa.types.is_string(tbl.schema.field(n).type)
+                or pa.types.is_large_string(tbl.schema.field(n).type)
+                or pa.types.is_binary(tbl.schema.field(n).type)
+            ):
+                if tbl.num_rows:
+                    w = pc.max(pc.binary_length(tbl.column(n))).as_py() or 1
+                else:
+                    w = 1
+                widths[n] = max(int(w), 1)
+        fields = []
+        for n in names:
+            fields.append(
+                T.Field(
+                    n,
+                    arrow_field_to_dtype(tbl.schema.field(n), widths.get(n, 0)),
+                    tbl.schema.field(n).nullable,
+                )
+            )
+        schema = T.Schema(fields)
+
+    n_rows = tbl.num_rows
+    data: Dict[str, np.ndarray] = {}
+    validity: Dict[str, np.ndarray] = {}
+    for f in schema.fields:
+        if f.name not in tbl.schema.names:
+            # schema evolution: missing column → nulls (schema_adapter.rs)
+            data[f.name] = np.zeros(n_rows, f.dtype.np_dtype() if not f.dtype.is_binary else object)
+            if f.dtype.is_binary:
+                data[f.name] = np.full(n_rows, None, object)
+            validity[f.name] = np.zeros(n_rows, bool)
+            continue
+        col = tbl.column(f.name).combine_chunks()
+        null_mask = np.asarray(col.is_null())
+        validity[f.name] = ~null_mask
+        if f.dtype.is_binary:
+            data[f.name] = col.to_numpy(zero_copy_only=False)
+        elif f.dtype.is_decimal:
+            # decimal → scaled int64 (values must fit: p<=18 limb contract)
+            import pyarrow.compute as pc2
+
+            scaled = col.cast(pa.decimal128(38, f.dtype.scale))
+            ints = np.array([int(v.as_py().scaleb(f.dtype.scale)) if v.is_valid else 0 for v in scaled], np.int64) if False else _decimal_to_i64(col, f.dtype)
+            data[f.name] = ints
+        elif f.dtype.type_id == "DATE":
+            data[f.name] = np.asarray(col.cast(pa.int32()))
+        elif f.dtype.is_temporal:
+            data[f.name] = np.asarray(col.cast(pa.timestamp("us")).cast(pa.int64()))
+        else:
+            arr = col.to_numpy(zero_copy_only=False)
+            if null_mask.any():
+                arr = np.where(null_mask, np.zeros(1, f.dtype.np_dtype()), arr)
+            data[f.name] = arr.astype(f.dtype.np_dtype())
+    return from_numpy(data, schema, capacity=capacity, validity=validity)
+
+
+def _decimal_to_i64(col, dt: T.DataType) -> np.ndarray:
+    """Arrow decimal column → scaled int64 without per-row Python Decimal."""
+    import pyarrow as pa
+
+    # rescale to target scale, then view as int64 when precision allows
+    c = col.cast(pa.decimal128(38, dt.scale))
+    # decimal128 buffers are 16-byte little-endian; take the low 8 bytes
+    arr = c.combine_chunks()
+    buf = np.frombuffer(arr.buffers()[1], np.int64) if arr.buffers()[1] is not None else np.zeros(2 * len(arr), np.int64)
+    lo = buf[0::2][arr.offset : arr.offset + len(arr)]
+    return lo.copy()
+
+
+# -------------------------------------------------------------------------------------
+# Write (reference: operators/parquet_writer.rs — native Parquet write)
+# -------------------------------------------------------------------------------------
+
+
+def write_parquet(batch: Batch, path: str, compression: str = "zstd") -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_comet_tpu.exec.batch import to_numpy
+
+    host = to_numpy(batch)
+    arrays = []
+    names = []
+    for f in batch.schema.fields:
+        v = host[f.name]
+        valid = host[f.name + "__valid"]
+        if f.dtype.is_binary:
+            arr = pa.array([x if m else None for x, m in zip(v, valid)], pa.string())
+        elif f.dtype.is_decimal:
+            import decimal as _d
+
+            arr = pa.array(
+                [
+                    _d.Decimal(int(x)).scaleb(-f.dtype.scale) if m else None
+                    for x, m in zip(v, valid)
+                ],
+                pa.decimal128(max(f.dtype.precision, 1), f.dtype.scale),
+            )
+        elif f.dtype.type_id == "DATE":
+            arr = pa.array(np.ma.masked_array(v, ~valid).tolist(), pa.date32())
+        elif f.dtype.is_temporal:
+            arr = pa.array(np.ma.masked_array(v, ~valid).tolist(), pa.timestamp("us"))
+        else:
+            arr = pa.array(np.ma.masked_array(v, ~valid).tolist())
+        arrays.append(arr)
+        names.append(f.name)
+    pq.write_table(pa.table(arrays, names=names), path, compression=compression)

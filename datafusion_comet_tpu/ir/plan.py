@@ -311,15 +311,22 @@ def bind_plan(plan: PlanNode) -> PlanNode:
     if isinstance(plan, HashAggregate):
         child = kids[0]
         groups = tuple(E.bind(g, child.schema) for g in plan.group_exprs)
-        aggs = tuple(
-            dataclasses.replace(
-                a,
-                child=E.bind(a.child, child.schema) if a.child is not None else None,
-                filter=E.bind(a.filter, child.schema) if a.filter is not None else None,
-                extra=tuple(E.bind(x, child.schema) for x in a.extra),
+        if plan.mode in (AggMode.FINAL, AggMode.PARTIAL_MERGE):
+            # children were bound against the pre-exchange input schema when
+            # the partial stage was planned; the merge stage reads state
+            # columns by name and only uses a.child for result typing
+            # (reference: planner.rs:1282 initial_input_buffer_offset).
+            aggs = plan.agg_exprs
+        else:
+            aggs = tuple(
+                dataclasses.replace(
+                    a,
+                    child=E.bind(a.child, child.schema) if a.child is not None else None,
+                    filter=E.bind(a.filter, child.schema) if a.filter is not None else None,
+                    extra=tuple(E.bind(x, child.schema) for x in a.extra),
+                )
+                for a in plan.agg_exprs
             )
-            for a in plan.agg_exprs
-        )
         out = HashAggregate(child, groups, aggs, plan.mode, plan.max_groups)
         fields = [T.Field(g.name, g.dtype) for g in groups]
         if plan.mode in (AggMode.SINGLE, AggMode.FINAL):

@@ -1,0 +1,359 @@
+"""TPC-H workload library: schemas, deterministic data generator, query plans.
+
+The engine's flagship benchmark workload (BASELINE.json configs; reference
+parity surface: spark/src/test/resources/tpch-query-results golden answers +
+benchmarks/tpc/tpcbench.py driver). The generator is a deterministic
+dbgen-alike (uniform keys, TPC-H value ranges) — row-exactness vs the
+reference is established by differential testing (our engine vs a pandas
+oracle on identical generated data), mirroring Comet's checkSparkAnswer
+strategy (CometTestBase.scala:162).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.ir import expr as E
+from datafusion_comet_tpu.ir import plan as P
+
+__all__ = ["SCHEMAS", "generate_table", "generate_tables", "q1", "q3", "q5", "q6", "QUERIES"]
+
+_dec = T.decimal
+
+SCHEMAS: Dict[str, T.Schema] = {
+    "lineitem": T.Schema(
+        [
+            T.Field("l_orderkey", T.INT64, False),
+            T.Field("l_partkey", T.INT64, False),
+            T.Field("l_suppkey", T.INT64, False),
+            T.Field("l_linenumber", T.INT32, False),
+            T.Field("l_quantity", _dec(15, 2), False),
+            T.Field("l_extendedprice", _dec(15, 2), False),
+            T.Field("l_discount", _dec(15, 2), False),
+            T.Field("l_tax", _dec(15, 2), False),
+            T.Field("l_returnflag", T.string(1), False),
+            T.Field("l_linestatus", T.string(1), False),
+            T.Field("l_shipdate", T.DATE, False),
+            T.Field("l_commitdate", T.DATE, False),
+            T.Field("l_receiptdate", T.DATE, False),
+            T.Field("l_shipmode", T.string(10), False),
+        ]
+    ),
+    "orders": T.Schema(
+        [
+            T.Field("o_orderkey", T.INT64, False),
+            T.Field("o_custkey", T.INT64, False),
+            T.Field("o_orderstatus", T.string(1), False),
+            T.Field("o_totalprice", _dec(15, 2), False),
+            T.Field("o_orderdate", T.DATE, False),
+            T.Field("o_orderpriority", T.string(15), False),
+            T.Field("o_shippriority", T.INT32, False),
+        ]
+    ),
+    "customer": T.Schema(
+        [
+            T.Field("c_custkey", T.INT64, False),
+            T.Field("c_name", T.string(25), False),
+            T.Field("c_nationkey", T.INT64, False),
+            T.Field("c_acctbal", _dec(15, 2), False),
+            T.Field("c_mktsegment", T.string(10), False),
+        ]
+    ),
+    "supplier": T.Schema(
+        [
+            T.Field("s_suppkey", T.INT64, False),
+            T.Field("s_name", T.string(25), False),
+            T.Field("s_nationkey", T.INT64, False),
+            T.Field("s_acctbal", _dec(15, 2), False),
+        ]
+    ),
+    "nation": T.Schema(
+        [
+            T.Field("n_nationkey", T.INT64, False),
+            T.Field("n_name", T.string(25), False),
+            T.Field("n_regionkey", T.INT64, False),
+        ]
+    ),
+    "region": T.Schema(
+        [
+            T.Field("r_regionkey", T.INT64, False),
+            T.Field("r_name", T.string(25), False),
+        ]
+    ),
+    "part": T.Schema(
+        [
+            T.Field("p_partkey", T.INT64, False),
+            T.Field("p_name", T.string(55), False),
+            T.Field("p_brand", T.string(10), False),
+            T.Field("p_type", T.string(25), False),
+            T.Field("p_size", T.INT32, False),
+            T.Field("p_container", T.string(10), False),
+            T.Field("p_retailprice", _dec(15, 2), False),
+        ]
+    ),
+    "partsupp": T.Schema(
+        [
+            T.Field("ps_partkey", T.INT64, False),
+            T.Field("ps_suppkey", T.INT64, False),
+            T.Field("ps_availqty", T.INT32, False),
+            T.Field("ps_supplycost", _dec(15, 2), False),
+        ]
+    ),
+}
+
+_NATIONS = [
+    "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA", "FRANCE",
+    "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN", "JORDAN", "KENYA",
+    "MOROCCO", "MOZAMBIQUE", "PERU", "CHINA", "ROMANIA", "SAUDI ARABIA",
+    "VIETNAM", "RUSSIA", "UNITED KINGDOM", "UNITED STATES",
+]
+_NATION_REGION = [0, 1, 1, 1, 4, 0, 3, 3, 2, 2, 4, 4, 2, 4, 0, 0, 0, 1, 2, 3, 4, 2, 3, 3, 1]
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+_SHIPMODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECI", "5-LOW"]
+
+_EPOCH_1992 = 8035  # days('1992-01-01')
+_EPOCH_1998 = 10561  # days('1998-12-01')
+
+
+def _d(datestr: str) -> int:
+    """'yyyy-mm-dd' → days since epoch (host-side)."""
+    import datetime
+
+    return (datetime.date.fromisoformat(datestr) - datetime.date(1970, 1, 1)).days
+
+
+def table_rows(name: str, sf: float) -> int:
+    base = {
+        "lineitem": 6_000_000,
+        "orders": 1_500_000,
+        "customer": 150_000,
+        "supplier": 10_000,
+        "part": 200_000,
+        "partsupp": 800_000,
+        "nation": 25,
+        "region": 5,
+    }[name]
+    if name in ("nation", "region"):
+        return base
+    return max(int(base * sf), 1)
+
+
+def generate_table(name: str, sf: float, seed: int = 19920401) -> Dict[str, np.ndarray]:
+    """Deterministic TPC-H-shaped data (value ranges per the spec; simplified
+    text columns). Decimals are returned pre-scaled int64 (engine physical)."""
+    n = table_rows(name, sf)
+    rng = np.random.default_rng(seed + hash(name) % (2**31))
+    if name == "region":
+        return {
+            "r_regionkey": np.arange(5, dtype=np.int64),
+            "r_name": np.array(_REGIONS, object),
+        }
+    if name == "nation":
+        return {
+            "n_nationkey": np.arange(25, dtype=np.int64),
+            "n_name": np.array(_NATIONS, object),
+            "n_regionkey": np.array(_NATION_REGION, np.int64),
+        }
+    if name == "customer":
+        ck = np.arange(1, n + 1, dtype=np.int64)
+        return {
+            "c_custkey": ck,
+            "c_name": np.array([f"Customer#{k:09d}" for k in ck], object),
+            "c_nationkey": rng.integers(0, 25, n).astype(np.int64),
+            "c_acctbal": rng.integers(-99999, 999999, n).astype(np.int64),
+            "c_mktsegment": np.array(_SEGMENTS, object)[rng.integers(0, 5, n)],
+        }
+    if name == "supplier":
+        sk = np.arange(1, n + 1, dtype=np.int64)
+        return {
+            "s_suppkey": sk,
+            "s_name": np.array([f"Supplier#{k:09d}" for k in sk], object),
+            "s_nationkey": rng.integers(0, 25, n).astype(np.int64),
+            "s_acctbal": rng.integers(-99999, 999999, n).astype(np.int64),
+        }
+    if name == "part":
+        pk = np.arange(1, n + 1, dtype=np.int64)
+        types_ = np.array(
+            [f"{a} {b} {c}" for a in ("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO")
+             for b in ("ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED")
+             for c in ("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")],
+            object,
+        )
+        return {
+            "p_partkey": pk,
+            "p_name": np.array([f"part {k}" for k in pk], object),
+            "p_brand": np.array([f"Brand#{i}{j}" for i, j in zip(rng.integers(1, 6, n), rng.integers(1, 6, n))], object),
+            "p_type": types_[rng.integers(0, len(types_), n)],
+            "p_size": rng.integers(1, 51, n).astype(np.int32),
+            "p_container": np.array(["SM CASE", "LG BOX", "MED BAG", "JUMBO JAR", "WRAP PKG"], object)[rng.integers(0, 5, n)],
+            "p_retailprice": (90000 + pk % 20001).astype(np.int64),
+        }
+    if name == "partsupp":
+        nparts = table_rows("part", sf)
+        pk = np.repeat(np.arange(1, nparts + 1, dtype=np.int64), 4)[:n]
+        return {
+            "ps_partkey": pk,
+            "ps_suppkey": rng.integers(1, table_rows("supplier", sf) + 1, n).astype(np.int64),
+            "ps_availqty": rng.integers(1, 10000, n).astype(np.int32),
+            "ps_supplycost": rng.integers(100, 100001, n).astype(np.int64),
+        }
+    if name == "orders":
+        ok = np.arange(1, n + 1, dtype=np.int64) * 4 - 3  # sparse keys like dbgen
+        return {
+            "o_orderkey": ok,
+            "o_custkey": rng.integers(1, table_rows("customer", sf) + 1, n).astype(np.int64),
+            "o_orderstatus": np.array(["F", "O", "P"], object)[rng.integers(0, 3, n)],
+            "o_totalprice": rng.integers(85700, 55558485, n).astype(np.int64),
+            "o_orderdate": (_d("1992-01-01") + rng.integers(0, 2406, n)).astype(np.int32),
+            "o_orderpriority": np.array(_PRIORITIES, object)[rng.integers(0, 5, n)],
+            "o_shippriority": np.zeros(n, np.int32),
+        }
+    if name == "lineitem":
+        norders = table_rows("orders", sf)
+        per = rng.integers(1, 8, norders)
+        per = per[: max(1, int(n / per.mean()))]
+        okeys = np.repeat(np.arange(1, len(per) + 1, dtype=np.int64) * 4 - 3, per)[:n]
+        n = len(okeys)
+        linenum = np.concatenate([np.arange(1, c + 1) for c in per])[:n].astype(np.int32)
+        qty = rng.integers(1, 51, n).astype(np.int64) * 100  # decimal(15,2)
+        price = rng.integers(90000, 10500001, n).astype(np.int64)
+        disc = rng.integers(0, 11, n).astype(np.int64)  # 0.00-0.10
+        tax = rng.integers(0, 9, n).astype(np.int64)
+        ship = (_d("1992-01-02") + rng.integers(0, 2526, n)).astype(np.int32)
+        return {
+            "l_orderkey": okeys,
+            "l_partkey": rng.integers(1, table_rows("part", sf) + 1, n).astype(np.int64),
+            "l_suppkey": rng.integers(1, table_rows("supplier", sf) + 1, n).astype(np.int64),
+            "l_linenumber": linenum,
+            "l_quantity": qty,
+            "l_extendedprice": price,
+            "l_discount": disc,
+            "l_tax": tax,
+            "l_returnflag": np.array(["A", "N", "R"], object)[rng.integers(0, 3, n)],
+            "l_linestatus": np.array(["F", "O"], object)[rng.integers(0, 2, n)],
+            "l_shipdate": ship,
+            "l_commitdate": (ship + rng.integers(-30, 31, n)).astype(np.int32),
+            "l_receiptdate": (ship + rng.integers(1, 31, n)).astype(np.int32),
+            "l_shipmode": np.array(_SHIPMODES, object)[rng.integers(0, 7, n)],
+        }
+    raise KeyError(name)
+
+
+def generate_tables(names, sf: float, seed: int = 19920401):
+    return {n: generate_table(n, sf, seed) for n in names}
+
+
+# -------------------------------------------------------------------------------------
+# Query plans (TPC-H spec text in comments; reference golden results:
+# spark/src/test/resources/tpch-query-results)
+# -------------------------------------------------------------------------------------
+
+
+def _date_lit(datestr: str) -> E.Literal:
+    return E.lit(_d(datestr), T.DATE)
+
+
+def q1(max_groups: int = 64) -> P.PlanNode:
+    """Pricing summary report: filter + 8-agg group-by + sort."""
+    l = P.Scan("lineitem", SCHEMAS["lineitem"])
+    disc_price = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
+    charge = disc_price * (E.lit(1).cast(_dec(10, 0)) + E.col("l_tax"))
+    agg = l.filter(E.col("l_shipdate") <= _date_lit("1998-09-02")).aggregate(
+        [E.col("l_returnflag"), E.col("l_linestatus")],
+        [
+            E.AggExpr("sum", E.col("l_quantity"), "sum_qty"),
+            E.AggExpr("sum", E.col("l_extendedprice"), "sum_base_price"),
+            E.AggExpr("sum", disc_price, "sum_disc_price"),
+            E.AggExpr("sum", charge, "sum_charge"),
+            E.AggExpr("avg", E.col("l_quantity"), "avg_qty"),
+            E.AggExpr("avg", E.col("l_extendedprice"), "avg_price"),
+            E.AggExpr("avg", E.col("l_discount"), "avg_disc"),
+            E.AggExpr("count", None, "count_order"),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("l_returnflag")), E.SortOrder(E.col("l_linestatus"))])
+
+
+def q6() -> P.PlanNode:
+    """Forecasting revenue change: pure filter + ungrouped sum."""
+    l = P.Scan("lineitem", SCHEMAS["lineitem"])
+    pred = (
+        (E.col("l_shipdate") >= _date_lit("1994-01-01"))
+        & (E.col("l_shipdate") < _date_lit("1995-01-01"))
+        & (E.col("l_discount") >= E.lit(0.05, _dec(15, 2)))
+        & (E.col("l_discount") <= E.lit(0.07, _dec(15, 2)))
+        & (E.col("l_quantity") < E.lit(24, _dec(15, 2)))
+    )
+    agg = l.filter(pred).aggregate(
+        [], [E.AggExpr("sum", E.col("l_extendedprice") * E.col("l_discount"), "revenue")]
+    )
+    agg.max_groups = 8
+    return agg
+
+
+def q3(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Shipping priority: 3-way join, group, top-10 by revenue."""
+    c = P.Scan("customer", SCHEMAS["customer"]).filter(
+        E.col("c_mktsegment") == E.lit("BUILDING")
+    )
+    o = P.Scan("orders", SCHEMAS["orders"]).filter(
+        E.col("o_orderdate") < _date_lit("1995-03-15")
+    )
+    l = P.Scan("lineitem", SCHEMAS["lineitem"]).filter(
+        E.col("l_shipdate") > _date_lit("1995-03-15")
+    )
+    co = P.HashJoin(o, c, (E.col("o_custkey"),), (E.col("c_custkey"),), P.JoinType.INNER, "right")
+    col_ = P.HashJoin(l, co, (E.col("l_orderkey"),), (E.col("o_orderkey"),), P.JoinType.INNER, "right")
+    revenue = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
+    agg = col_.aggregate(
+        [E.col("l_orderkey"), E.col("o_orderdate"), E.col("o_shippriority")],
+        [E.AggExpr("sum", revenue, "revenue")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("revenue"), ascending=False), E.SortOrder(E.col("o_orderdate"))],
+        fetch=10,
+    ).project(
+        [E.col("l_orderkey"), E.col("revenue"), E.col("o_orderdate"), E.col("o_shippriority")]
+    )
+
+
+def q5(max_groups: int = 64) -> P.PlanNode:
+    """Local supplier volume: 6-way join, group by nation name."""
+    r = P.Scan("region", SCHEMAS["region"]).filter(E.col("r_name") == E.lit("ASIA"))
+    n = P.Scan("nation", SCHEMAS["nation"])
+    nr = P.HashJoin(n, r, (E.col("n_regionkey"),), (E.col("r_regionkey"),), P.JoinType.INNER, "right")
+    s = P.Scan("supplier", SCHEMAS["supplier"])
+    sn = P.HashJoin(s, nr, (E.col("s_nationkey"),), (E.col("n_nationkey"),), P.JoinType.INNER, "right")
+    c = P.Scan("customer", SCHEMAS["customer"])
+    o = P.Scan("orders", SCHEMAS["orders"]).filter(
+        (E.col("o_orderdate") >= _date_lit("1994-01-01"))
+        & (E.col("o_orderdate") < _date_lit("1995-01-01"))
+    )
+    l = P.Scan("lineitem", SCHEMAS["lineitem"])
+    lo = P.HashJoin(l, o, (E.col("l_orderkey"),), (E.col("o_orderkey"),), P.JoinType.INNER, "right")
+    loc = P.HashJoin(
+        lo, c, (E.col("o_custkey"),), (E.col("c_custkey"),), P.JoinType.INNER, "right"
+    )
+    # join on (l_suppkey = s_suppkey AND c_nationkey = s_nationkey)
+    locs = P.HashJoin(
+        loc,
+        sn,
+        (E.col("l_suppkey"), E.col("c_nationkey")),
+        (E.col("s_suppkey"), E.col("s_nationkey")),
+        P.JoinType.INNER,
+        "right",
+    )
+    revenue = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
+    agg = locs.aggregate([E.col("n_name")], [E.AggExpr("sum", revenue, "revenue")])
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("revenue"), ascending=False)])
+
+
+QUERIES = {"q1": q1, "q3": q3, "q5": q5, "q6": q6}

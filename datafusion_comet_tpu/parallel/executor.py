@@ -1,0 +1,328 @@
+"""Distributed plan execution: SPMD over a device mesh via shard_map.
+
+The multi-device analog of exec/engine.py. Responsibility split mirrors the
+reference (SURVEY.md §2d): Spark's per-task data parallelism → per-device
+SPMD; CometShuffleExchangeExec → all_to_all; broadcast → all_gather; the
+two-phase aggregate tree (Partial → exchange → Final, operator.proto:480)
+→ partial agg per device, hash exchange on group keys, final agg per device.
+
+``distribute(plan)`` rewrites a logical single-node plan into a distributed
+one by inserting exchange nodes; ``DistributedSession`` shards tables row-wise
+over the mesh and jits the whole SPMD step (one XLA program per device, all
+collectives compiled in — no host round-trips between stages).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.exec.batch import Batch, ColumnVector, from_numpy, to_numpy
+from datafusion_comet_tpu.exec.engine import run_plan
+from datafusion_comet_tpu.exec.evaluator import EvalContext
+from datafusion_comet_tpu.exec.operators import aggregate as AGG
+from datafusion_comet_tpu.exec.operators import basic as B
+from datafusion_comet_tpu.ir import expr as E
+from datafusion_comet_tpu.ir import plan as P
+from datafusion_comet_tpu.parallel.mesh import PARTITION_AXIS, make_mesh
+from datafusion_comet_tpu.parallel.shuffle import (
+    broadcast_batch,
+    partition_ids_hash,
+    partition_ids_round_robin,
+    shuffle_batch,
+)
+
+__all__ = ["DistributedSession", "distribute", "run_plan_spmd"]
+
+
+# -------------------------------------------------------------------------------------
+# Distributed planning: insert exchanges (the CometExecRule analog)
+# -------------------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Broadcast(P.PlanNode):
+    """Physical node: replicate child to all devices (all_gather)."""
+
+    child: P.PlanNode
+
+    def children(self):
+        return (self.child,)
+
+
+def distribute(plan: P.PlanNode, num_partitions: int) -> P.PlanNode:
+    """Rewrite a bound logical plan for SPMD execution.
+
+    Rules (bottom-up):
+    - HashAggregate(SINGLE) → Partial → ShuffleExchange(hash group keys)
+      → Final.  Ungrouped aggregates exchange to a single partition.
+    - HashJoin → broadcast the build side (dimension tables) — hash
+      co-partitioning is chosen when both sides carry a repartition hint.
+    - Sort/Limit → local, then gather to partition 0 and re-run (the
+      single-partition merge the reference does in JVM sinks,
+      CometCollectLimitExec.scala:64).
+    """
+    plan = P.bind_plan(plan) if plan.schema is None else plan
+    return _dist(plan, num_partitions)
+
+
+def _dist(plan: P.PlanNode, np_: int) -> P.PlanNode:
+    if isinstance(plan, P.Scan):
+        return plan
+    if isinstance(plan, P.HashAggregate) and plan.mode == P.AggMode.SINGLE:
+        child = _dist(plan.child, np_)
+        partial_ = P.HashAggregate(
+            child, plan.group_exprs, plan.agg_exprs, P.AggMode.PARTIAL,
+            max(plan.max_groups // max(np_, 1), 1024) if plan.max_groups > 2048 else plan.max_groups,
+        )
+        partial_.schema = _partial_schema(plan)
+        if plan.group_exprs:
+            keys = tuple(E.col(g.name) for g in plan.group_exprs)
+            ex = P.ShuffleExchange(partial_, "hash", keys, np_)
+        else:
+            ex = P.ShuffleExchange(partial_, "single", (), np_)
+        ex.schema = partial_.schema
+        # rebind group refs against the state schema for the final stage
+        final_groups = tuple(E.bind(E.col(g.name), ex.schema) for g in plan.group_exprs)
+        final = P.HashAggregate(ex, final_groups, plan.agg_exprs, P.AggMode.FINAL, plan.max_groups)
+        final.schema = plan.schema
+        return final
+    if isinstance(plan, (P.HashJoin, P.SortMergeJoin)):
+        left = _dist(plan.left, np_)
+        right = _dist(plan.right, np_)
+        build = plan.build_side if isinstance(plan, P.HashJoin) else "right"
+        if build == "left":
+            left = Broadcast(left)
+            left.schema = plan.left.schema
+        else:
+            right = Broadcast(right)
+            right.schema = plan.right.schema
+        out = dataclasses.replace(plan, left=left, right=right)
+        out.schema = plan.schema
+        return out
+    if isinstance(plan, P.Sort):
+        child = _dist(plan.child, np_)
+        # local pre-sort (with fetch pushdown) then gather + final sort
+        local = P.Sort(child, plan.orders, plan.fetch and plan.fetch + plan.skip, 0)
+        local.schema = child.schema
+        ex = P.ShuffleExchange(local, "single", (), np_)
+        ex.schema = child.schema
+        final = P.Sort(ex, plan.orders, plan.fetch, plan.skip)
+        final.schema = plan.schema
+        return final
+    if isinstance(plan, P.Limit):
+        child = _dist(plan.child, np_)
+        local = P.Limit(child, plan.limit + plan.offset, 0)
+        local.schema = child.schema
+        ex = P.ShuffleExchange(local, "single", (), np_)
+        ex.schema = child.schema
+        final = P.Limit(ex, plan.limit, plan.offset)
+        final.schema = plan.schema
+        return final
+    # default: rebuild with distributed children
+    kids = [_dist(c, np_) for c in plan.children()]
+    out = _replace_children(plan, kids)
+    return out
+
+
+def _partial_schema(agg: P.HashAggregate) -> T.Schema:
+    fields = [T.Field(g.name, g.dtype) for g in agg.group_exprs]
+    for a in agg.agg_exprs:
+        fields += AGG.state_fields(a)
+    return T.Schema(fields)
+
+
+def _replace_children(plan: P.PlanNode, kids: List[P.PlanNode]) -> P.PlanNode:
+    if not kids:
+        return plan
+    if isinstance(plan, P.Filter):
+        out = P.Filter(kids[0], plan.predicate)
+    elif isinstance(plan, P.Projection):
+        out = P.Projection(kids[0], plan.exprs)
+    elif isinstance(plan, P.HashAggregate):
+        out = P.HashAggregate(kids[0], plan.group_exprs, plan.agg_exprs, plan.mode, plan.max_groups)
+    elif isinstance(plan, P.Expand):
+        out = P.Expand(kids[0], plan.projections, plan.names)
+    elif isinstance(plan, P.Sample):
+        out = P.Sample(kids[0], plan.lower_bound, plan.upper_bound, plan.with_replacement, plan.seed)
+    elif isinstance(plan, P.Window):
+        out = P.Window(kids[0], plan.window_exprs)
+    elif isinstance(plan, P.ShuffleExchange):
+        out = P.ShuffleExchange(kids[0], plan.partitioning, plan.keys, plan.num_partitions, plan.sort_orders)
+    elif isinstance(plan, P.Union):
+        out = P.Union(tuple(kids))
+    elif isinstance(plan, Broadcast):
+        out = Broadcast(kids[0])
+    else:
+        raise NotImplementedError(f"distribute: {type(plan).__name__}")
+    out.schema = plan.schema
+    return out
+
+
+# -------------------------------------------------------------------------------------
+# SPMD execution
+# -------------------------------------------------------------------------------------
+
+
+def run_plan_spmd(
+    plan: P.PlanNode,
+    tables: Dict[str, Batch],
+    num_partitions: int,
+    axis_name: str = PARTITION_AXIS,
+    join_fanout: int = 4,
+    single_device: bool = False,
+) -> Tuple[Batch, jax.Array]:
+    """Execute a distributed plan; call inside shard_map (tables are the
+    per-device shards). Returns (local result batch, overflow flag)."""
+    ctx = EvalContext(num_partitions=num_partitions)
+    flags: List[jax.Array] = []
+    out = _exec_spmd(plan, tables, ctx, flags, num_partitions, axis_name, join_fanout, single_device)
+    ovf = jnp.any(jnp.stack(flags)) if flags else jnp.zeros((), bool)
+    return out, ovf
+
+
+def _exec_spmd(plan, tables, ctx, flags, np_, axis, fanout, single) -> Batch:
+    rec = lambda p: _exec_spmd(p, tables, ctx, flags, np_, axis, fanout, single)
+    if isinstance(plan, Broadcast):
+        child = rec(plan.child)
+        if single:
+            return child
+        return broadcast_batch(child, axis)
+    if isinstance(plan, P.ShuffleExchange):
+        child = rec(plan.child)
+        if plan.partitioning == "hash":
+            pids = partition_ids_hash(child, plan.keys, np_, ctx)
+        elif plan.partitioning == "single":
+            pids = jnp.zeros(child.capacity, jnp.int32)
+        elif plan.partitioning == "round_robin":
+            pids = partition_ids_round_robin(child, np_)
+        else:
+            raise NotImplementedError(f"partitioning {plan.partitioning}")
+        slot_cap = None
+        if plan.partitioning == "single":
+            slot_cap = child.capacity  # everything lands on device 0
+        out, ovf = shuffle_batch(child, pids, axis, np_, slot_cap=slot_cap, single_device=single)
+        flags.append(ovf)
+        return out
+    if isinstance(plan, (P.Scan, P.Filter, P.Projection, P.HashAggregate, P.Sort,
+                         P.Limit, P.Expand, P.Sample, P.Window, P.Union,
+                         P.HashJoin, P.SortMergeJoin, P.BroadcastNestedLoopJoin)):
+        # structural recursion with SPMD children, local operator execution
+        if isinstance(plan, P.Scan):
+            return run_plan(plan, tables, ctx, flags, fanout)
+        kids = [rec(c) for c in plan.children()]
+        return _local_apply(plan, kids, tables, ctx, flags, fanout)
+    raise NotImplementedError(f"spmd exec: {type(plan).__name__}")
+
+
+def _local_apply(plan, kids, tables, ctx, flags, fanout) -> Batch:
+    """Run one operator locally given already-executed children."""
+    from datafusion_comet_tpu.exec import engine as ENG
+
+    # temporarily register children as pseudo-tables and delegate to run_plan
+    # on a shallow plan — avoids duplicating the operator dispatch.
+    pseudo = dict(tables)
+    new_kids = []
+    for i, k in enumerate(kids):
+        nm = f"__child_{id(plan)}_{i}"
+        pseudo[nm] = k
+        sc = P.Scan(nm, k.schema)
+        sc.schema = k.schema
+        new_kids.append(sc)
+    shallow = _replace_children_exec(plan, new_kids)
+    return ENG.run_plan(shallow, pseudo, ctx, flags, fanout)
+
+
+def _replace_children_exec(plan, kids):
+    if isinstance(plan, (P.HashJoin, P.SortMergeJoin, P.BroadcastNestedLoopJoin)):
+        out = dataclasses.replace(plan, left=kids[0], right=kids[1])
+    elif isinstance(plan, P.Union):
+        out = P.Union(tuple(kids))
+    else:
+        out = dataclasses.replace(plan, child=kids[0])
+    out.schema = plan.schema
+    return out
+
+
+# -------------------------------------------------------------------------------------
+# Session
+# -------------------------------------------------------------------------------------
+
+
+class DistributedSession:
+    """Multi-device session: tables sharded row-wise over a 1-D mesh; plans
+    rewritten by distribute() and executed as one shard_mapped XLA program."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, join_fanout: int = 4):
+        self.mesh = mesh or make_mesh()
+        self.num_partitions = self.mesh.devices.size
+        self.join_fanout = join_fanout
+        self.tables: Dict[str, Batch] = {}
+
+    def register_numpy(self, name: str, data, schema: T.Schema) -> None:
+        np_ = self.num_partitions
+        n = len(next(iter(data.values())))
+        per = -(-n // np_)
+        from datafusion_comet_tpu.exec.batch import pad_capacity
+
+        cap = pad_capacity(per)
+        batch = from_numpy(data, schema, capacity=cap * np_)
+        # re-mask: rows are front-packed; shard i owns rows [i*cap, (i+1)*cap)
+        mask = np.zeros(cap * np_, bool)
+        for i in range(np_):
+            lo = i * cap
+            take = min(max(n - i * per, 0), per)
+            mask[lo : lo + take] = True
+        # move row r (global) to shard slot: rebuild host-side
+        reorder = np.concatenate(
+            [np.arange(i * per, min(i * per + cap, i * per + cap)) for i in range(np_)]
+        )
+        idx = np.concatenate([np.arange(i * per, i * per + cap) for i in range(np_)])
+        idx = np.clip(idx, 0, cap * np_ - 1)
+        batch = batch.take(jnp.asarray(idx), jnp.asarray(mask))
+        self.tables[name] = jax.device_put(
+            batch, NamedSharding(self.mesh, PSpec())
+        ) if False else self._shard(batch)
+
+    def _shard(self, batch: Batch) -> Batch:
+        sh = NamedSharding(self.mesh, PSpec(PARTITION_AXIS))
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    def compile(self, plan: P.PlanNode):
+        bound = P.bind_plan(plan) if plan.schema is None else plan
+        dplan = distribute(bound, self.num_partitions)
+        np_ = self.num_partitions
+        fanout = self.join_fanout
+        mesh = self.mesh
+
+        in_specs = jax.tree_util.tree_map(lambda _: PSpec(PARTITION_AXIS), self.tables)
+
+        def step(tables):
+            fn = shard_map(
+                lambda t: run_plan_spmd(dplan, t, np_, PARTITION_AXIS, fanout),
+                mesh=mesh,
+                in_specs=(PSpec(PARTITION_AXIS),),
+                out_specs=PSpec(PARTITION_AXIS),
+                check_rep=False,
+            )
+            return fn(tables)
+
+        return dplan, jax.jit(step)
+
+    def execute(self, plan: P.PlanNode) -> Batch:
+        dplan, fn = self.compile(plan)
+        out, ovf = fn(self.tables)
+        if bool(jnp.any(ovf)):
+            raise RuntimeError("shuffle/join overflow — re-plan with more headroom")
+        return out
+
+    def collect(self, plan: P.PlanNode):
+        return to_numpy(self.execute(plan))

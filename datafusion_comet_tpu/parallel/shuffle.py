@@ -1,0 +1,158 @@
+"""Distributed shuffle: hash/range/round-robin repartition over ICI.
+
+Reference contract: native/shuffle/src (ShuffleWriterExec shuffle_writer.rs:52,
+CometPartitioning comet_partitioning.rs:24-39 with Spark-exact murmur3+pmod
+:52, counting-sort scatter multi_partition.rs:36-99). On TPU the disk/network
+exchange becomes one `all_to_all` collective over the device mesh; the
+counting-sort scatter that buckets rows by destination is the same algorithm,
+expressed as sort + static-slot scatter so shapes stay fixed.
+
+Per-device layout: each device holds a local Batch of ``cap`` rows. A shuffle
+produces per-destination buckets of ``slot_cap`` rows (static), all_to_all
+swaps buckets across the mesh, and the received (P, slot_cap) block flattens
+into the new local batch. ``slot_cap`` trades memory for skew headroom; an
+overflow flag reports bucket spill so the driver can re-plan (the analog of
+the reference's spill-to-disk on buffer pressure).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
+from datafusion_comet_tpu.exec.evaluator import EvalContext, evaluate, _murmur3_column
+from datafusion_comet_tpu.ir import expr as E
+
+__all__ = ["partition_ids_hash", "partition_ids_round_robin", "shuffle_batch", "broadcast_batch"]
+
+
+def partition_ids_hash(
+    batch: Batch, keys: Sequence[E.Expr], num_partitions: int, ctx: Optional[EvalContext] = None
+) -> jax.Array:
+    """Spark-exact hash partitioning: murmur3(seed=42) over key columns,
+    then pmod (reference: comet_partitioning.rs:52 — `pmod` keeps the result
+    non-negative the way Spark's Pmod does)."""
+    ctx = ctx or EvalContext()
+    h = jnp.full(batch.capacity, 42, jnp.int32)
+    for k in keys:
+        cv = evaluate(k, batch, ctx)
+        h = _murmur3_column(cv, h)
+    m = h % jnp.int32(num_partitions)
+    return jnp.where(m < 0, m + num_partitions, m)
+
+
+def partition_ids_round_robin(batch: Batch, num_partitions: int, start: int = 0) -> jax.Array:
+    pos = jnp.cumsum(batch.row_mask.astype(jnp.int32)) - 1
+    return (pos + start) % num_partitions
+
+
+def _bucketize(
+    batch: Batch, part_ids: jax.Array, num_partitions: int, slot_cap: int
+) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
+    """Scatter local rows into (P, slot_cap) per-destination buckets.
+
+    Counting-sort scatter (reference: multi_partition.rs:36-99): stable sort
+    rows by destination, rank within destination = position - dest offset,
+    then one scatter per column. Returns (bucketed column arrays in batch
+    column order + validity/mask planes), received mask, overflow flag."""
+    cap = batch.capacity
+    pid = jnp.where(batch.row_mask, part_ids.astype(jnp.int32), num_partitions)
+    # rank within destination via stable sort over pid
+    order = jnp.argsort(pid, stable=True)  # rows grouped by dest, dead rows last
+    sorted_pid = pid[order]
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    # start offset of each destination group within the sorted layout
+    is_start = jnp.concatenate([jnp.ones(1, bool), sorted_pid[1:] != sorted_pid[:-1]])
+    start_idx = jax.lax.cummax(jnp.where(is_start, pos, -1))
+    rank = pos - start_idx
+    counts = jnp.zeros(num_partitions + 1, jnp.int32).at[sorted_pid].add(1, mode="drop")
+    overflow = jnp.any(counts[:num_partitions] > slot_cap)
+    # destination slot per sorted row
+    slot = sorted_pid * slot_cap + jnp.minimum(rank, slot_cap - 1)
+    live = (sorted_pid < num_partitions) & (rank < slot_cap)
+    slot = jnp.where(live, slot, num_partitions * slot_cap)  # dropped by mode="drop"
+
+    bucket_mask = (
+        jnp.zeros(num_partitions * slot_cap, bool).at[slot].set(True, mode="drop")
+    )
+
+    planes: List[jax.Array] = []
+    for cv in batch.columns:
+        for arr in (cv.data, cv.validity) + (() if cv.lengths is None else (cv.lengths,)):
+            src = arr[order]
+            out_shape = (num_partitions * slot_cap,) + arr.shape[1:]
+            plane = jnp.zeros(out_shape, arr.dtype).at[slot].set(src, mode="drop")
+            planes.append(plane)
+    return planes, bucket_mask, overflow
+
+
+def shuffle_batch(
+    batch: Batch,
+    part_ids: jax.Array,
+    axis_name: str,
+    num_partitions: int,
+    slot_cap: Optional[int] = None,
+    single_device: bool = False,
+) -> Tuple[Batch, jax.Array]:
+    """Repartition rows to the device == their partition id. Must run inside
+    shard_map over ``axis_name`` (or with single_device=True for local test).
+
+    Returns (new local batch with capacity P*slot_cap, overflow flag)."""
+    cap = batch.capacity
+    if slot_cap is None:
+        # 2x slack over perfectly balanced (skew headroom)
+        slot_cap = max((2 * cap) // num_partitions, 16)
+    planes, bucket_mask, overflow = _bucketize(batch, part_ids, num_partitions, slot_cap)
+
+    def exchange(x: jax.Array) -> jax.Array:
+        blocked = x.reshape((num_partitions, slot_cap) + x.shape[1:])
+        if single_device:
+            swapped = blocked  # P=1 or local identity
+        else:
+            swapped = jax.lax.all_to_all(
+                blocked, axis_name, split_axis=0, concat_axis=0, tiled=False
+            )
+        return swapped.reshape((num_partitions * slot_cap,) + x.shape[1:])
+
+    new_mask = exchange(bucket_mask)
+    cols: List[ColumnVector] = []
+    i = 0
+    for cv in batch.columns:
+        data = exchange(planes[i]); i += 1
+        validity = exchange(planes[i]); i += 1
+        lengths = None
+        if cv.lengths is not None:
+            lengths = exchange(planes[i]); i += 1
+        cols.append(ColumnVector(data, validity, lengths, cv.dtype))
+    ovf = (
+        overflow
+        if single_device
+        else jax.lax.pmax(overflow.astype(jnp.int32), axis_name).astype(bool)
+    )
+    return Batch(tuple(cols), new_mask, batch.schema), ovf
+
+
+def broadcast_batch(batch: Batch, axis_name: str) -> Batch:
+    """All-gather every device's rows (reference analog:
+    CometBroadcastExchangeExec — one-to-all becomes all-gather so each device
+    holds the full build side)."""
+
+    def gather(x):
+        g = jax.lax.all_gather(x, axis_name, axis=0, tiled=False)
+        return g.reshape((-1,) + x.shape[1:])
+
+    cols = tuple(
+        ColumnVector(
+            gather(c.data),
+            gather(c.validity),
+            None if c.lengths is None else gather(c.lengths),
+            c.dtype,
+        )
+        for c in batch.columns
+    )
+    return Batch(cols, gather(batch.row_mask), batch.schema)
