@@ -21,7 +21,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
 from datafusion_comet_tpu import types as T
@@ -85,7 +85,7 @@ def _dist(plan: P.PlanNode, np_: int) -> P.PlanNode:
         )
         partial_.schema = _partial_schema(plan)
         if plan.group_exprs:
-            keys = tuple(E.col(g.name) for g in plan.group_exprs)
+            keys = tuple(E.bind(E.col(g.name), partial_.schema) for g in plan.group_exprs)
             ex = P.ShuffleExchange(partial_, "hash", keys, np_)
         else:
             ex = P.ShuffleExchange(partial_, "single", (), np_)
@@ -183,9 +183,13 @@ def run_plan_spmd(
     """Execute a distributed plan; call inside shard_map (tables are the
     per-device shards). Returns (local result batch, overflow flag)."""
     ctx = EvalContext(num_partitions=num_partitions)
+    if not single_device:
+        ctx.partition_id = jax.lax.axis_index(axis_name)
     flags: List[jax.Array] = []
     out = _exec_spmd(plan, tables, ctx, flags, num_partitions, axis_name, join_fanout, single_device)
     ovf = jnp.any(jnp.stack(flags)) if flags else jnp.zeros((), bool)
+    if not single_device:
+        ovf = jax.lax.pmax(ovf.astype(jnp.int32), axis_name).astype(bool)
     return out, ovf
 
 
@@ -268,29 +272,24 @@ class DistributedSession:
         self.tables: Dict[str, Batch] = {}
 
     def register_numpy(self, name: str, data, schema: T.Schema) -> None:
+        """Row-partition host data over the mesh: shard i holds original rows
+        [i*per, i*per+per) in its cap-row slot (the analog of Spark's input
+        split assignment)."""
         np_ = self.num_partitions
         n = len(next(iter(data.values())))
         per = -(-n // np_)
         from datafusion_comet_tpu.exec.batch import pad_capacity
 
         cap = pad_capacity(per)
-        batch = from_numpy(data, schema, capacity=cap * np_)
-        # re-mask: rows are front-packed; shard i owns rows [i*cap, (i+1)*cap)
+        batch = from_numpy(data, schema, capacity=cap * np_)  # rows front-packed
         mask = np.zeros(cap * np_, bool)
         for i in range(np_):
-            lo = i * cap
             take = min(max(n - i * per, 0), per)
-            mask[lo : lo + take] = True
-        # move row r (global) to shard slot: rebuild host-side
-        reorder = np.concatenate(
-            [np.arange(i * per, min(i * per + cap, i * per + cap)) for i in range(np_)]
-        )
+            mask[i * cap : i * cap + take] = True
         idx = np.concatenate([np.arange(i * per, i * per + cap) for i in range(np_)])
         idx = np.clip(idx, 0, cap * np_ - 1)
         batch = batch.take(jnp.asarray(idx), jnp.asarray(mask))
-        self.tables[name] = jax.device_put(
-            batch, NamedSharding(self.mesh, PSpec())
-        ) if False else self._shard(batch)
+        self.tables[name] = self._shard(batch)
 
     def _shard(self, batch: Batch) -> Batch:
         sh = NamedSharding(self.mesh, PSpec(PARTITION_AXIS))
@@ -310,8 +309,8 @@ class DistributedSession:
                 lambda t: run_plan_spmd(dplan, t, np_, PARTITION_AXIS, fanout),
                 mesh=mesh,
                 in_specs=(PSpec(PARTITION_AXIS),),
-                out_specs=PSpec(PARTITION_AXIS),
-                check_rep=False,
+                out_specs=(PSpec(PARTITION_AXIS), PSpec()),
+                check_vma=False,
             )
             return fn(tables)
 
