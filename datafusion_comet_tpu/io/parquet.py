@@ -277,9 +277,13 @@ def _decimal_to_i64(col, dt: T.DataType) -> np.ndarray:
 
     # rescale to target scale, then view as int64 when precision allows
     c = col.cast(pa.decimal128(38, dt.scale))
+    arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
     # decimal128 buffers are 16-byte little-endian; take the low 8 bytes
-    arr = c.combine_chunks()
-    buf = np.frombuffer(arr.buffers()[1], np.int64) if arr.buffers()[1] is not None else np.zeros(2 * len(arr), np.int64)
+    buf = (
+        np.frombuffer(arr.buffers()[1], np.int64)
+        if arr.buffers()[1] is not None
+        else np.zeros(2 * len(arr), np.int64)
+    )
     lo = buf[0::2][arr.offset : arr.offset + len(arr)]
     return lo.copy()
 

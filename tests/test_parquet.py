@@ -1,0 +1,87 @@
+"""Parquet scan/write tests: round-trip, projection, row-group pruning,
+schema evolution (missing column → nulls). Reference behaviors:
+parquet_exec.rs (pruning), schema_adapter.rs (evolution)."""
+
+import numpy as np
+import pytest
+
+pa = pytest.importorskip("pyarrow")
+import pyarrow.parquet as pq  # noqa: E402
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.exec.batch import to_numpy
+from datafusion_comet_tpu.exec.engine import Session
+from datafusion_comet_tpu.io.parquet import read_parquet, write_parquet
+from datafusion_comet_tpu.ir import expr as E
+from datafusion_comet_tpu.ir import plan as P
+
+
+@pytest.fixture
+def pq_file(tmp_path):
+    tbl = pa.table(
+        {
+            "a": pa.array(np.arange(100, dtype=np.int64)),
+            "b": pa.array(np.arange(100) * 0.5),
+            "s": pa.array([f"row{i}" for i in range(100)]),
+            "d": pa.array([np.int32(10 + i) for i in range(100)], pa.date32()),
+            "dec": pa.array([i * 25 for i in range(100)], pa.decimal128(10, 2)),
+        }
+    )
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, path, row_group_size=25)
+    return path
+
+
+class TestParquetRead:
+    def test_roundtrip(self, pq_file):
+        b = read_parquet(pq_file)
+        out = to_numpy(b)
+        np.testing.assert_array_equal(out["a"], np.arange(100))
+        np.testing.assert_allclose(out["b"], np.arange(100) * 0.5)
+        assert out["s"][3] == "row3"
+        np.testing.assert_array_equal(out["d"], 10 + np.arange(100))
+        # decimal(10,2): arrow value i*25 at scale 2 → scaled int i*2500
+        np.testing.assert_array_equal(out["dec"], np.arange(100) * 2500)
+
+    def test_projection(self, pq_file):
+        b = read_parquet(pq_file, columns=["a", "s"])
+        assert b.schema.names == ["a", "s"]
+
+    def test_row_group_pruning(self, pq_file):
+        # 4 row groups of 25 rows; predicate a >= 80 keeps only the last
+        b = read_parquet(pq_file, predicate=E.col("a") >= E.lit(80, T.INT64))
+        out = to_numpy(b)
+        assert len(out["a"]) == 25  # one row group survives pruning
+        assert out["a"].min() == 75
+
+    def test_missing_column_nulls(self, pq_file):
+        schema = T.Schema(
+            [T.Field("a", T.INT64), T.Field("zz", T.FLOAT64, nullable=True)]
+        )
+        b = read_parquet(pq_file, schema=schema)
+        out = to_numpy(b)
+        assert not out["zz__valid"].any()
+
+    def test_scan_in_query(self, pq_file):
+        sess = Session()
+        sess.register_parquet("t", pq_file)
+        plan = (
+            P.Scan("t", sess.table_schema("t"))
+            .filter(E.col("a") < 10)
+            .aggregate([], [E.AggExpr("sum", E.col("a"), "sa")])
+        )
+        plan.max_groups = 8
+        out = sess.collect(plan)
+        assert out["sa"][0] == sum(range(10))
+
+
+class TestParquetWrite:
+    def test_write_read_roundtrip(self, pq_file, tmp_path):
+        b = read_parquet(pq_file)
+        out_path = str(tmp_path / "out.parquet")
+        write_parquet(b, out_path)
+        b2 = read_parquet(out_path)
+        a1, a2 = to_numpy(b), to_numpy(b2)
+        np.testing.assert_array_equal(a1["a"], a2["a"])
+        np.testing.assert_array_equal(a1["dec"], a2["dec"])
+        assert list(a1["s"]) == list(a2["s"])
