@@ -1,0 +1,139 @@
+"""Typed config registry (the CometConf analog, reference:
+spark/src/main/scala/org/apache/comet/CometConf.scala — ~75 spark.comet.*
+keys, typed builders, categories, env-var defaults, doc generation).
+
+Keys use the ``comet.<category>.<name>`` convention; every entry carries its
+type, default, category, and doc string so ``generate_docs()`` stays in sync
+with the code (the GenerateDocs.scala pattern).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, List, Optional
+
+__all__ = ["ConfigEntry", "Config", "CONF", "generate_docs"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ConfigEntry:
+    key: str
+    default: Any
+    type_: type
+    category: str
+    doc: str
+    env_var: Optional[str] = None
+
+    def resolve_default(self) -> Any:
+        if self.env_var and self.env_var in os.environ:
+            raw = os.environ[self.env_var]
+            if self.type_ is bool:
+                return raw.lower() in ("1", "true", "yes")
+            return self.type_(raw)
+        return self.default
+
+
+_REGISTRY: Dict[str, ConfigEntry] = {}
+
+
+def _entry(key, default, category, doc, env_var=None) -> ConfigEntry:
+    e = ConfigEntry(key, default, type(default), category, doc, env_var)
+    _REGISTRY[key] = e
+    return e
+
+
+# ---- exec ---------------------------------------------------------------------------
+BATCH_CAPACITY = _entry(
+    "comet.exec.batch.capacity", 1 << 23, "exec",
+    "Static row capacity of a device batch (power of two). The analog of "
+    "spark.comet.batchSize (8192 rows) scaled for whole-table HBM residency.",
+)
+JOIN_FANOUT = _entry(
+    "comet.exec.join.maxBuildMatches", 4, "exec",
+    "Static per-probe-row match fan-out K for hash joins; the engine "
+    "re-plans with 4x K on overflow.",
+)
+JOIN_MAX_RETRIES = _entry(
+    "comet.exec.join.maxRetries", 4, "exec",
+    "Max join fan-out re-planning attempts before failing.",
+)
+AGG_MAX_GROUPS = _entry(
+    "comet.exec.agg.maxGroups", 1 << 16, "exec",
+    "Default static group capacity for hash aggregates.",
+)
+# ---- shuffle ------------------------------------------------------------------------
+SHUFFLE_SLOT_SLACK = _entry(
+    "comet.shuffle.slotSlack", 2.0, "shuffle",
+    "Per-destination bucket headroom multiplier over perfectly-balanced "
+    "rows/partition (skew headroom; analog of shuffle spill thresholds).",
+)
+SHUFFLE_MODE = _entry(
+    "comet.shuffle.mode", "auto", "shuffle",
+    "auto|hash|broadcast preference for join distribution "
+    "(spark.comet.shuffle.mode analog).",
+)
+# ---- memory -------------------------------------------------------------------------
+MEMORY_FRACTION = _entry(
+    "comet.memory.fraction", 0.8, "memory",
+    "Fraction of device HBM the engine may plan into "
+    "(spark.comet.exec.memoryPool.fraction analog).",
+)
+# ---- tracing ------------------------------------------------------------------------
+TRACING_ENABLED = _entry(
+    "comet.tracing.enabled", False, "tracing",
+    "Emit Chrome-trace spans to comet-event-trace.json "
+    "(spark.comet.tracing.enabled analog).",
+    env_var="COMET_TPU_TRACING",
+)
+EXPLAIN_NATIVE = _entry(
+    "comet.explain.enabled", False, "tracing",
+    "Print annotated plans with metrics after execution "
+    "(spark.comet.explain.native.enabled analog).",
+)
+# ---- scan ---------------------------------------------------------------------------
+SCAN_PRUNING = _entry(
+    "comet.scan.parquet.pruning.enabled", True, "scan",
+    "Row-group min/max pruning on Parquet footers (page-index analog).",
+)
+
+
+class Config:
+    """A mutable view over the registry (session-scoped settings)."""
+
+    def __init__(self, overrides: Optional[Dict[str, Any]] = None):
+        self._values: Dict[str, Any] = {}
+        for k, e in _REGISTRY.items():
+            self._values[k] = e.resolve_default()
+        if overrides:
+            for k, v in overrides.items():
+                self.set(k, v)
+
+    def get(self, entry: ConfigEntry):
+        return self._values[entry.key]
+
+    def set(self, key, value) -> None:
+        k = key.key if isinstance(key, ConfigEntry) else key
+        if k not in _REGISTRY:
+            raise KeyError(f"unknown config key {k!r}")
+        e = _REGISTRY[k]
+        if not isinstance(value, e.type_) and not (
+            e.type_ is float and isinstance(value, int)
+        ):
+            raise TypeError(f"{k} expects {e.type_.__name__}, got {type(value).__name__}")
+        self._values[k] = value
+
+    def as_dict(self) -> Dict[str, Any]:
+        return dict(self._values)
+
+
+CONF = Config()
+
+
+def generate_docs() -> str:
+    """Markdown config reference (GenerateDocs.scala analog)."""
+    lines = ["| key | default | category | doc |", "|---|---|---|---|"]
+    for k in sorted(_REGISTRY):
+        e = _REGISTRY[k]
+        lines.append(f"| `{e.key}` | `{e.default}` | {e.category} | {e.doc} |")
+    return "\n".join(lines)

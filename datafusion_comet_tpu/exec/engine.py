@@ -48,14 +48,23 @@ def run_plan(
     ctx: Optional[EvalContext] = None,
     overflow_flags: Optional[List[jax.Array]] = None,
     join_fanout: int = 4,
+    metrics=None,
 ) -> Batch:
     """Pure, traceable execution of a bound plan over resident tables."""
     ctx = ctx or EvalContext()
     flags = overflow_flags if overflow_flags is not None else []
-    return _exec(plan, tables, ctx, flags, join_fanout)
+    out = _exec(plan, tables, ctx, flags, join_fanout, metrics)
+    return out
 
 
-def _exec(plan, tables, ctx, flags, fanout) -> Batch:
+def _exec(plan, tables, ctx, flags, fanout, metrics=None) -> Batch:
+    out = _exec_inner(plan, tables, ctx, flags, fanout, metrics)
+    if metrics is not None:
+        metrics.record(plan, out)
+    return out
+
+
+def _exec_inner(plan, tables, ctx, flags, fanout, metrics=None) -> Batch:
     if isinstance(plan, P.Scan):
         b = tables[plan.table]
         if plan.projection is not None:
@@ -63,23 +72,23 @@ def _exec(plan, tables, ctx, flags, fanout) -> Batch:
             b = b.select(idx, plan.schema)
         return b
     if isinstance(plan, P.Filter):
-        return B.filter_op(_exec(plan.child, tables, ctx, flags, fanout), plan.predicate, ctx)
+        return B.filter_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.predicate, ctx)
     if isinstance(plan, P.Projection):
-        return B.project_op(_exec(plan.child, tables, ctx, flags, fanout), plan.exprs, plan.schema, ctx)
+        return B.project_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.exprs, plan.schema, ctx)
     if isinstance(plan, P.HashAggregate):
-        child = _exec(plan.child, tables, ctx, flags, fanout)
+        child = _exec(plan.child, tables, ctx, flags, fanout, metrics)
         return AGG.hash_aggregate(
             child, plan.group_exprs, plan.agg_exprs, plan.mode, plan.max_groups, plan.schema, ctx
         )
     if isinstance(plan, P.Sort):
-        return B.sort_op(_exec(plan.child, tables, ctx, flags, fanout), plan.orders, plan.fetch, plan.skip, ctx)
+        return B.sort_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.orders, plan.fetch, plan.skip, ctx)
     if isinstance(plan, P.Limit):
-        return B.limit_op(_exec(plan.child, tables, ctx, flags, fanout), plan.limit, plan.offset)
+        return B.limit_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.limit, plan.offset)
     if isinstance(plan, P.Expand):
-        return B.expand_op(_exec(plan.child, tables, ctx, flags, fanout), plan.projections, plan.schema, ctx)
+        return B.expand_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.projections, plan.schema, ctx)
     if isinstance(plan, P.Sample):
         return B.sample_op(
-            _exec(plan.child, tables, ctx, flags, fanout),
+            _exec(plan.child, tables, ctx, flags, fanout, metrics),
             plan.lower_bound,
             plan.upper_bound,
             plan.with_replacement,
@@ -87,8 +96,8 @@ def _exec(plan, tables, ctx, flags, fanout) -> Batch:
             ctx.partition_id,
         )
     if isinstance(plan, (P.HashJoin, P.SortMergeJoin)):
-        left = _exec(plan.left, tables, ctx, flags, fanout)
-        right = _exec(plan.right, tables, ctx, flags, fanout)
+        left = _exec(plan.left, tables, ctx, flags, fanout, metrics)
+        right = _exec(plan.right, tables, ctx, flags, fanout, metrics)
         build_side = plan.build_side if isinstance(plan, P.HashJoin) else _smj_build_side(plan)
         out, ovf = J.hash_join(
             left,
@@ -105,17 +114,17 @@ def _exec(plan, tables, ctx, flags, fanout) -> Batch:
         flags.append(ovf)
         return out
     if isinstance(plan, P.BroadcastNestedLoopJoin):
-        left = _exec(plan.left, tables, ctx, flags, fanout)
-        right = _exec(plan.right, tables, ctx, flags, fanout)
+        left = _exec(plan.left, tables, ctx, flags, fanout, metrics)
+        right = _exec(plan.right, tables, ctx, flags, fanout, metrics)
         return J.nested_loop_join(left, right, plan.join_type, plan.schema, plan.condition, ctx)
     if isinstance(plan, P.Window):
-        return W.window_op(_exec(plan.child, tables, ctx, flags, fanout), plan.window_exprs, plan.schema, ctx)
+        return W.window_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.window_exprs, plan.schema, ctx)
     if isinstance(plan, P.ShuffleExchange):
         # single-partition engine: exchange is identity (multi-device path in
         # parallel/shuffle.py re-lowers this node to an all-to-all)
-        return _exec(plan.child, tables, ctx, flags, fanout)
+        return _exec(plan.child, tables, ctx, flags, fanout, metrics)
     if isinstance(plan, P.Union):
-        kids = [_exec(c, tables, ctx, flags, fanout) for c in plan.inputs]
+        kids = [_exec(c, tables, ctx, flags, fanout, metrics) for c in plan.inputs]
         return _union(kids, plan.schema)
     raise NotImplementedError(f"exec: {type(plan).__name__}")
 
@@ -217,6 +226,50 @@ class Session:
     def collect(self, plan: P.PlanNode) -> Dict[str, np.ndarray]:
         return to_numpy(self.execute(plan))
 
+    # -- observability -------------------------------------------------------------
+    def explain(self, plan: P.PlanNode, with_metrics: bool = False) -> str:
+        """Render the plan tree; with_metrics executes it and annotates
+        per-operator output row counts (reference: CometMetricNode +
+        spark.comet.explain.native.enabled, jni_api.rs:811)."""
+        from datafusion_comet_tpu.observability.metrics import (
+            MetricsCollector,
+            build_metrics_tree,
+        )
+        from datafusion_comet_tpu.observability.trace import with_trace
+
+        bound = P.bind_plan(plan) if _needs_bind(plan) else plan
+        tree = build_metrics_tree(bound)
+        if not with_metrics:
+            return tree.render()
+        names_box: List[int] = []
+
+        def fn(tables):
+            mc = MetricsCollector()
+            flags: List[jax.Array] = []
+            out = run_plan(bound, tables, EvalContext(), flags, self.join_fanout, mc)
+            names_box.clear()
+            names_box.extend(mc.names)
+            return out, tuple(mc.counts)
+
+        import time
+
+        with with_trace("explain_execute"):
+            t0 = time.time()
+            out, counts = jax.jit(fn)(self.tables)
+            jax.block_until_ready(out.row_mask)
+            elapsed = (time.time() - t0) * 1e3
+        resolved = {nid: int(c) for nid, c in zip(names_box, counts)}
+        _fill_metrics(tree, bound, resolved)
+        tree.elapsed_ms = elapsed
+        return tree.render()
+
 
 def _needs_bind(plan: P.PlanNode) -> bool:
     return plan.schema is None
+
+
+def _fill_metrics(tree, plan: P.PlanNode, resolved: Dict[int, int]) -> None:
+    if id(plan) in resolved:
+        tree.output_rows = resolved[id(plan)]
+    for sub, child in zip(tree.children, plan.children()):
+        _fill_metrics(sub, child, resolved)

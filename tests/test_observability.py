@@ -1,0 +1,72 @@
+"""Config registry, Chrome-trace recorder, and metrics-annotated explain."""
+
+import json
+import os
+
+import numpy as np
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.conf import CONF, Config, JOIN_FANOUT, generate_docs
+from datafusion_comet_tpu.exec.engine import Session
+from datafusion_comet_tpu.ir import expr as E
+from datafusion_comet_tpu.ir import plan as P
+from datafusion_comet_tpu.observability.trace import Tracer, with_trace
+
+
+class TestConfig:
+    def test_defaults_and_set(self):
+        c = Config()
+        assert c.get(JOIN_FANOUT) == 4
+        c.set("comet.exec.join.maxBuildMatches", 8)
+        assert c.get(JOIN_FANOUT) == 8
+
+    def test_unknown_key_and_type(self):
+        c = Config()
+        for bad in [("nope.key", 1)]:
+            try:
+                c.set(*bad)
+                raise AssertionError("should raise")
+            except KeyError:
+                pass
+        try:
+            c.set("comet.exec.join.maxBuildMatches", "x")
+            raise AssertionError("should raise")
+        except TypeError:
+            pass
+
+    def test_docs(self):
+        docs = generate_docs()
+        assert "comet.shuffle.slotSlack" in docs
+
+
+class TestTrace:
+    def test_spans_and_counters(self, tmp_path):
+        path = str(tmp_path / "trace.json")
+        t = Tracer(path, enabled=True)
+        with with_trace("op", t, detail="x"):
+            t.counter("mem", t=t) if False else t.counter("mem", hbm=123)
+        raw = open(path).read().rstrip().rstrip(",")
+        events = json.loads(raw + "]") if raw.startswith("[") else None
+        assert events and events[0]["ph"] == "B" and events[-1]["ph"] == "E"
+        assert any(e["ph"] == "C" for e in events)
+
+
+class TestExplain:
+    def test_explain_with_metrics(self):
+        sess = Session()
+        sess.register_numpy(
+            "t",
+            {"k": np.arange(10, dtype=np.int32), "v": np.arange(10, dtype=np.int64)},
+            T.Schema([T.Field("k", T.INT32), T.Field("v", T.INT64)]),
+        )
+        plan = (
+            P.Scan("t", sess.table_schema("t"))
+            .filter(E.col("k") < 5)
+            .aggregate([], [E.AggExpr("sum", E.col("v"), "sv")])
+        )
+        plan.max_groups = 8
+        txt = sess.explain(plan)
+        assert "Filter" in txt and "Scan" in txt
+        txt2 = sess.explain(plan, with_metrics=True)
+        assert "rows=1" in txt2  # global agg emits one group
+        assert "rows=5" in txt2  # filter keeps 5 rows
