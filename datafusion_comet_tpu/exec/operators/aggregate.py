@@ -184,7 +184,11 @@ def hash_aggregate(
     perm, seg, num_groups, first_orig = _segments(key_cols, batch.row_mask, max_groups)
 
     out_cols: List[ColumnVector] = []
-    # group-key output columns: gather each group's first row
+    # group-key output columns: gather each group's first row.
+    # SQL contract: an UNGROUPED aggregate emits exactly one row even over
+    # empty input (sum→null, count→0).
+    if not group_exprs:
+        num_groups = jnp.maximum(num_groups, 1)
     group_mask = jnp.arange(max_groups) < num_groups
     for kc in key_cols:
         out_cols.append(kc.take(first_orig))

@@ -356,4 +356,127 @@ def q5(max_groups: int = 64) -> P.PlanNode:
     return agg.sort([E.SortOrder(E.col("revenue"), ascending=False)])
 
 
-QUERIES = {"q1": q1, "q3": q3, "q5": q5, "q6": q6}
+def q4(max_groups: int = 64) -> P.PlanNode:
+    """Order priority checking: EXISTS → left-semi join + group-by."""
+    o = P.Scan("orders", SCHEMAS["orders"]).filter(
+        (E.col("o_orderdate") >= _date_lit("1993-07-01"))
+        & (E.col("o_orderdate") < _date_lit("1993-10-01"))
+    )
+    l = P.Scan("lineitem", SCHEMAS["lineitem"]).filter(
+        E.col("l_commitdate") < E.col("l_receiptdate")
+    )
+    semi = P.HashJoin(
+        o, l, (E.col("o_orderkey"),), (E.col("l_orderkey"),), P.JoinType.LEFT_SEMI, "right"
+    )
+    agg = semi.aggregate([E.col("o_orderpriority")], [E.AggExpr("count", None, "order_count")])
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("o_orderpriority"))])
+
+
+def q10(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Returned item reporting: top-20 customers by lost revenue."""
+    c = P.Scan("customer", SCHEMAS["customer"])
+    o = P.Scan("orders", SCHEMAS["orders"]).filter(
+        (E.col("o_orderdate") >= _date_lit("1993-10-01"))
+        & (E.col("o_orderdate") < _date_lit("1994-01-01"))
+    )
+    l = P.Scan("lineitem", SCHEMAS["lineitem"]).filter(E.col("l_returnflag") == E.lit("R"))
+    n = P.Scan("nation", SCHEMAS["nation"])
+    lo = P.HashJoin(l, o, (E.col("l_orderkey"),), (E.col("o_orderkey"),), P.JoinType.INNER, "right")
+    loc = P.HashJoin(lo, c, (E.col("o_custkey"),), (E.col("c_custkey"),), P.JoinType.INNER, "right")
+    locn = P.HashJoin(loc, n, (E.col("c_nationkey"),), (E.col("n_nationkey"),), P.JoinType.INNER, "right")
+    revenue = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
+    agg = locn.aggregate(
+        [E.col("c_custkey"), E.col("c_name"), E.col("c_acctbal"), E.col("n_name")],
+        [E.AggExpr("sum", revenue, "revenue")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("revenue"), ascending=False)], fetch=20)
+
+
+def q12(max_groups: int = 16) -> P.PlanNode:
+    """Shipping modes and order priority: join + conditional counts."""
+    o = P.Scan("orders", SCHEMAS["orders"])
+    l = P.Scan("lineitem", SCHEMAS["lineitem"]).filter(
+        (E.col("l_shipmode").isin("MAIL", "SHIP"))
+        & (E.col("l_commitdate") < E.col("l_receiptdate"))
+        & (E.col("l_shipdate") < E.col("l_commitdate"))
+        & (E.col("l_receiptdate") >= _date_lit("1994-01-01"))
+        & (E.col("l_receiptdate") < _date_lit("1995-01-01"))
+    )
+    j = P.HashJoin(l, o, (E.col("l_orderkey"),), (E.col("o_orderkey"),), P.JoinType.INNER, "right")
+    high = E.CaseWhen(
+        (((E.col("o_orderpriority") == E.lit("1-URGENT")) | (E.col("o_orderpriority") == E.lit("2-HIGH")), E.lit(1)),),
+        E.lit(0),
+    )
+    low = E.CaseWhen(
+        (((E.col("o_orderpriority") != E.lit("1-URGENT")) & (E.col("o_orderpriority") != E.lit("2-HIGH")), E.lit(1)),),
+        E.lit(0),
+    )
+    agg = j.aggregate(
+        [E.col("l_shipmode")],
+        [E.AggExpr("sum", high, "high_line_count"), E.AggExpr("sum", low, "low_line_count")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("l_shipmode"))])
+
+
+def q14() -> P.PlanNode:
+    """Promotion effect: conditional revenue ratio (LIKE 'PROMO%')."""
+    l = P.Scan("lineitem", SCHEMAS["lineitem"]).filter(
+        (E.col("l_shipdate") >= _date_lit("1995-09-01"))
+        & (E.col("l_shipdate") < _date_lit("1995-10-01"))
+    )
+    p = P.Scan("part", SCHEMAS["part"])
+    j = P.HashJoin(l, p, (E.col("l_partkey"),), (E.col("p_partkey"),), P.JoinType.INNER, "right")
+    disc = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
+    promo = E.CaseWhen(((E.col("p_type").like("PROMO%"), disc),), None)
+    agg = j.aggregate(
+        [],
+        [E.AggExpr("sum", promo, "promo_rev"), E.AggExpr("sum", disc, "total_rev")],
+    )
+    agg.max_groups = 8
+    return P.Projection(
+        agg,
+        (
+            (
+                E.lit(100.0)
+                * E.col("promo_rev").cast(T.FLOAT64)
+                / E.col("total_rev").cast(T.FLOAT64)
+            ).alias("promo_revenue"),
+        ),
+    )
+
+
+def q19() -> P.PlanNode:
+    """Discounted revenue: disjunctive multi-attribute predicate join."""
+    l = P.Scan("lineitem", SCHEMAS["lineitem"]).filter(
+        E.col("l_shipmode").isin("AIR", "REG AIR")
+    )
+    p = P.Scan("part", SCHEMAS["part"])
+    j = P.HashJoin(l, p, (E.col("l_partkey"),), (E.col("p_partkey"),), P.JoinType.INNER, "right")
+
+    def clause(brand, containers, qlo, qhi, szhi):
+        return (
+            (E.col("p_brand") == E.lit(brand))
+            & E.col("p_container").isin(*containers)
+            & (E.col("l_quantity") >= E.lit(qlo, _dec(15, 2)))
+            & (E.col("l_quantity") <= E.lit(qhi, _dec(15, 2)))
+            & (E.col("p_size").between(1, szhi))
+        )
+
+    pred = (
+        clause("Brand#12", ["SM CASE"], 1, 11, 5)
+        | clause("Brand#23", ["MED BAG"], 10, 20, 10)
+        | clause("Brand#34", ["LG BOX"], 20, 30, 15)
+    )
+    disc = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
+    agg = j.filter(pred).aggregate([], [E.AggExpr("sum", disc, "revenue")])
+    agg.max_groups = 8
+    return agg
+
+
+QUERIES = {
+    "q1": q1, "q3": q3, "q4": q4, "q5": q5, "q6": q6,
+    "q10": q10, "q12": q12, "q14": q14, "q19": q19,
+}
