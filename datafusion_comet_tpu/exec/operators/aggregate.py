@@ -169,6 +169,45 @@ def _minmax_identity(dt: T.DataType, is_min: bool):
 # -------------------------------------------------------------------------------------
 
 
+_PACK_BITS_CAP = 20  # direct-bucket path: at most 2^20 buckets
+
+
+def _try_pack_keys(key_cols: Sequence[ColumnVector]):
+    """Perfect-hash fast path: when the combined group-key space is small
+    (narrow strings / bool / int8), the bucket id IS the packed key — no row
+    sort needed, aggregates scatter straight into 2^bits buckets. The
+    static-shape analog of DuckDB-style perfect-hash aggregation; on TPU it
+    replaces an O(n log n) multi-key sort with O(n) scatter-adds."""
+    total_bits = 0
+    parts = []
+    for cv in key_cols:
+        dt = cv.dtype
+        if dt.is_boolean:
+            enc, b = cv.data.astype(jnp.int32), 1
+        elif dt.type_id == "INT8":
+            enc, b = cv.data.astype(jnp.int32) + 128, 8
+        elif dt.is_binary and dt.byte_width <= 2:
+            w = dt.byte_width
+            enc = jnp.zeros(cv.capacity, jnp.int32)
+            for i in range(w):
+                enc = (enc << 8) | cv.data[:, i].astype(jnp.int32)
+            enc = (enc << 2) | jnp.minimum(cv.lengths, 3).astype(jnp.int32)
+            b = 8 * w + 2
+        else:
+            return None
+        # null bit (null == null groups together; nulls collapse to code 0)
+        enc = jnp.where(cv.validity, enc + 1, 0)
+        b += 1
+        total_bits += b
+        if total_bits > _PACK_BITS_CAP:
+            return None
+        parts.append((enc, b))
+    seg = jnp.zeros(key_cols[0].capacity, jnp.int32)
+    for enc, b in parts:
+        seg = (seg << b) | enc
+    return seg, 1 << total_bits
+
+
 def hash_aggregate(
     batch: Batch,
     group_exprs: Sequence[E.Expr],
@@ -181,6 +220,11 @@ def hash_aggregate(
     ctx = ctx or EvalContext()
     max_groups = min(max_groups, batch.capacity)
     key_cols = [evaluate(g, batch, ctx) for g in group_exprs]
+    packed = _try_pack_keys(key_cols) if key_cols else None
+    if packed is not None:
+        return _bucket_aggregate(
+            batch, key_cols, agg_exprs, mode, packed, out_schema, ctx
+        )
     perm, seg, num_groups, first_orig = _segments(key_cols, batch.row_mask, max_groups)
 
     out_cols: List[ColumnVector] = []
@@ -205,6 +249,42 @@ def hash_aggregate(
             out_cols.extend(vals)
 
     # pad/trim columns dtypes already correct; assemble
+    return Batch(tuple(out_cols), group_mask, out_schema)
+
+
+def _bucket_aggregate(
+    batch: Batch,
+    key_cols,
+    agg_exprs,
+    mode: str,
+    packed,
+    out_schema: T.Schema,
+    ctx: EvalContext,
+) -> Batch:
+    """Direct-bucket aggregation (no sort): output capacity = bucket count,
+    live groups = buckets with at least one row."""
+    seg_raw, n_buckets = packed
+    cap = batch.capacity
+    seg = jnp.where(batch.row_mask, seg_raw, n_buckets)
+    perm = jnp.arange(cap, dtype=jnp.int32)  # identity: segment ops accept unsorted ids
+    present = (
+        jnp.zeros(n_buckets + 1, jnp.int32).at[seg].add(1, mode="drop")[:n_buckets] > 0
+    )
+    first_orig = _seg_min(jnp.arange(cap, dtype=jnp.int32), seg, n_buckets)
+    first_orig = jnp.where(present, jnp.clip(first_orig, 0, cap - 1), 0)
+    group_mask = present
+
+    out_cols: List[ColumnVector] = [kc.take(first_orig) for kc in key_cols]
+    merging = mode in (AggMode.FINAL, AggMode.PARTIAL_MERGE)
+    for a in agg_exprs:
+        if merging:
+            vals = _merge_agg(a, batch, perm, seg, n_buckets, group_mask)
+        else:
+            vals = _input_agg(a, batch, perm, seg, n_buckets, group_mask, ctx)
+        if mode in (AggMode.SINGLE, AggMode.FINAL):
+            out_cols.append(_finalize(a, vals, group_mask))
+        else:
+            out_cols.extend(vals)
     return Batch(tuple(out_cols), group_mask, out_schema)
 
 

@@ -80,16 +80,22 @@ def _string_limbs(cv: ColumnVector) -> List[jax.Array]:
 
 
 def column_limbs(cv: ColumnVector) -> List[jax.Array]:
-    """Value limbs (no null handling): signed-i64 arrays, most significant
-    first, whose lexicographic order equals the column's value order."""
+    """Value limbs (no null handling): signed int arrays, most significant
+    first, whose lexicographic order equals the column's value order.
+
+    Limbs are int32 whenever the type fits (TPU-native; int64 is emulated
+    on TPU) and int64 only for 64-bit payloads."""
     dt = cv.dtype
     if dt.is_binary:
         return _string_limbs(cv)
     if dt.is_floating:
-        return _float_orderable(cv.data)
+        limbs = _float_orderable(cv.data)
+        return [l.astype(jnp.int32) for l in limbs]
     if dt.is_boolean:
-        return [cv.data.astype(jnp.int64)]
-    # ints, decimals (scaled i64), dates, timestamps
+        return [cv.data.astype(jnp.int32)]
+    if dt.type_id in ("INT8", "INT16", "INT32", "DATE"):
+        return [cv.data.astype(jnp.int32)]
+    # int64, decimals (scaled i64), timestamps
     return [cv.data.astype(jnp.int64)]
 
 
@@ -124,10 +130,13 @@ def grouping_limbs(cols: Sequence[ColumnVector]) -> List[jax.Array]:
 
 
 def lexsort(limbs: Sequence[jax.Array]) -> jax.Array:
-    """Stable lexicographic argsort, most-significant limb first."""
+    """Stable lexicographic argsort, most-significant limb first.
+
+    Lowered as ONE variadic `lax.sort` (XLA sorts all operands by the first
+    ``num_keys`` lexicographically) instead of k chained stable argsorts —
+    the single most important sort optimization on TPU."""
     n = limbs[0].shape[0]
-    perm = jnp.arange(n)
-    for limb in reversed(list(limbs)):
-        order = jnp.argsort(limb[perm], stable=True)
-        perm = perm[order]
-    return perm
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ops = tuple(limbs) + (iota,)
+    out = jax.lax.sort(ops, num_keys=len(limbs), is_stable=True)
+    return out[-1]

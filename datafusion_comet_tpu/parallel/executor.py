@@ -94,6 +94,16 @@ def _dist(plan: P.PlanNode, np_: int) -> P.PlanNode:
         final_groups = tuple(E.bind(E.col(g.name), ex.schema) for g in plan.group_exprs)
         final = P.HashAggregate(ex, final_groups, plan.agg_exprs, P.AggMode.FINAL, plan.max_groups)
         final.schema = plan.schema
+        if not plan.group_exprs:
+            # ungrouped: every device's final emits its one mandatory row;
+            # only partition 0 (the single-exchange target) keeps it
+            pid = E.SparkPartitionId()
+            object.__setattr__(pid, "dtype", T.INT32)
+            pred = E.BinaryOp("eq", pid, E.lit(0, T.INT32))
+            object.__setattr__(pred, "dtype", T.BOOL)
+            keep = P.Filter(final, pred)
+            keep.schema = plan.schema
+            return keep
         return final
     if isinstance(plan, (P.HashJoin, P.SortMergeJoin)):
         left = _dist(plan.left, np_)
