@@ -153,25 +153,37 @@ def from_numpy(
     arrays of str/bytes/None.
     """
     names = schema.names
-    n = len(data[names[0]]) if names else 0
+    first = data[names[0]] if names else ()
+    n = len(first[0]) if isinstance(first, tuple) else (len(first) if names else 0)
     cap = capacity or pad_capacity(n)
     validity = validity or {}
     cols = []
     for f in schema.fields:
-        v = np.asarray(data[f.name]) if not isinstance(data[f.name], np.ndarray) else data[f.name]
+        raw = data[f.name]
+        if isinstance(raw, tuple):  # pre-padded (matrix, lengths)
+            v = raw[0]
+        else:
+            v = np.asarray(raw) if not isinstance(raw, np.ndarray) else raw
         valid_np = validity.get(f.name)
         if valid_np is None:
-            if v.dtype == object:
+            if not isinstance(raw, tuple) and v.dtype == object:
                 valid_np = np.array([x is not None for x in v], dtype=bool)
-            elif np.issubdtype(v.dtype, np.floating):
-                valid_np = np.ones(n, dtype=bool)
             else:
                 valid_np = np.ones(n, dtype=bool)
         valid_pad = np.zeros(cap, bool)
         valid_pad[:n] = valid_np
         if f.dtype.is_binary:
             max_len = f.dtype.byte_width
-            mat, lens = _pad_strings_np(v, max_len)
+            if isinstance(data[f.name], tuple):
+                # pre-padded (matrix, lengths) from the native staging path
+                mat, lens = data[f.name]
+                if mat.shape[1] != max_len:
+                    m2 = np.zeros((len(mat), max_len), np.uint8)
+                    w = min(max_len, mat.shape[1])
+                    m2[:, :w] = mat[:, :w]
+                    mat, lens = m2, np.minimum(lens, max_len)
+            else:
+                mat, lens = _pad_strings_np(v, max_len)
             mat_pad = np.zeros((cap, max_len), np.uint8)
             mat_pad[:n] = mat
             lens_pad = np.zeros(cap, np.int32)

@@ -251,7 +251,17 @@ def arrow_table_to_batch(
         null_mask = np.asarray(col.is_null())
         validity[f.name] = ~null_mask
         if f.dtype.is_binary:
-            data[f.name] = col.to_numpy(zero_copy_only=False)
+            # native staging: Arrow (offsets, data) buffers → padded matrix,
+            # no per-row Python (io/native.py → native/staging.cpp pad_utf8)
+            from datafusion_comet_tpu.io.native import pad_utf8_arrow
+
+            arr = col if not isinstance(col, pa.ChunkedArray) else col.combine_chunks()
+            bufs = arr.buffers()
+            off_dtype = np.int64 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else np.int32
+            offsets = np.frombuffer(bufs[1], off_dtype, len(arr) + 1, arr.offset * np.dtype(off_dtype).itemsize)
+            dbuf = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+            mat, lens = pad_utf8_arrow(offsets, dbuf, f.dtype.byte_width)
+            data[f.name] = (mat, lens)
         elif f.dtype.is_decimal:
             # decimal → scaled int64 (values must fit: p<=18 limb contract)
             import pyarrow.compute as pc2
