@@ -1001,6 +1001,78 @@ def _string_func(e: E.StringFunc, b: Batch, ctx: EvalContext) -> ColumnVector:
         data = jnp.take_along_axis(mat, src, axis=1)
         data = jnp.where(pos < out_len[:, None], data, 0)
         return ColumnVector(data.astype(jnp.uint8), cv.validity, out_len, e.dtype)
+    if f in ("lpad", "rpad"):
+        # lpad(str, len, pad): Spark truncates when len < length(str)
+        n_target = args[1].data.astype(jnp.int32)
+        pad = args[2] if len(args) > 2 else None
+        out_w = e.dtype.byte_width
+        pos = jnp.arange(out_w)[None, :]
+        tgt = jnp.clip(n_target, 0, out_w)
+        if f == "rpad":
+            src = jnp.clip(pos, 0, max(w - 1, 0))
+            from_str = jnp.take_along_axis(_pad_width(mat, max(out_w, w))[:, :out_w], jnp.clip(pos, 0, out_w - 1), axis=1)
+            in_str = pos < jnp.minimum(lens, tgt)[:, None]
+            if pad is not None:
+                pw = max(pad.data.shape[1], 1)
+                pidx = ((pos - lens[:, None]) % jnp.maximum(pad.lengths, 1)[:, None]).astype(jnp.int32)
+                padch = jnp.take_along_axis(pad.data, jnp.clip(pidx, 0, pw - 1), axis=1)
+            else:
+                padch = jnp.full((cap, out_w), 32, jnp.uint8)
+            data = jnp.where(in_str, from_str, padch)
+        else:
+            shift = jnp.maximum(tgt - lens, 0)
+            sidx = jnp.clip(pos - shift[:, None], 0, max(w - 1, 0))
+            from_str = jnp.take_along_axis(_pad_width(mat, max(out_w, w))[:, : max(w, 1)], sidx, axis=1)[:, :out_w] if w else jnp.zeros((cap, out_w), jnp.uint8)
+            in_str = (pos >= shift[:, None]) & (pos < tgt[:, None])
+            if pad is not None:
+                pw = max(pad.data.shape[1], 1)
+                pidx = (pos % jnp.maximum(pad.lengths, 1)[:, None]).astype(jnp.int32)
+                padch = jnp.take_along_axis(pad.data, jnp.clip(pidx, 0, pw - 1), axis=1)
+            else:
+                padch = jnp.full((cap, out_w), 32, jnp.uint8)
+            data = jnp.where(in_str, from_str, padch)
+        data = jnp.where(pos < tgt[:, None], data, 0).astype(jnp.uint8)
+        validity = cv.validity & args[1].validity
+        return ColumnVector(data, validity, tgt, e.dtype)
+    if f == "repeat":
+        ntimes = args[1].data.astype(jnp.int32)
+        out_w = e.dtype.byte_width
+        pos = jnp.arange(out_w)[None, :]
+        out_len = jnp.clip(lens * jnp.maximum(ntimes, 0), 0, out_w)
+        sidx = (pos % jnp.maximum(lens, 1)[:, None]).astype(jnp.int32)
+        data = jnp.take_along_axis(_pad_width(mat, max(out_w, w)), jnp.clip(sidx, 0, max(w - 1, 0)), axis=1)[:, :out_w]
+        data = jnp.where(pos < out_len[:, None], data, 0).astype(jnp.uint8)
+        return ColumnVector(data, cv.validity & args[1].validity, out_len, e.dtype)
+    if f == "replace":
+        # replace(str, search, repl) with literal search/replace of EQUAL
+        # length (general case needs variable-length rebuild — planned);
+        # unequal lengths fall back to a host-precompiled segment plan later.
+        search, repl = args[1], args[2]
+        return _replace_equal_len(cv, search, repl, e.dtype)
+    if f == "translate":
+        # translate(str, from, to): per-char mapping (from/to literals)
+        frm, to_ = e.args[1], e.args[2]
+        assert isinstance(frm, E.Literal) and isinstance(to_, E.Literal)
+        fb = frm.value.encode() if isinstance(frm.value, str) else bytes(frm.value)
+        tb = to_.value.encode() if isinstance(to_.value, str) else bytes(to_.value)
+        lut = np.arange(256, dtype=np.int16)
+        for i, ch in enumerate(fb):
+            lut[ch] = tb[i] if i < len(tb) else -1  # -1 = delete (unsupported: keep)
+        lut = np.where(lut < 0, 0, lut).astype(np.uint8)
+        data = jnp.asarray(lut)[mat.astype(jnp.int32)]
+        return ColumnVector(data, cv.validity, lens, e.dtype)
+    if f == "initcap":
+        pos = jnp.arange(w)[None, :]
+        prev_sep = jnp.concatenate(
+            [jnp.ones((cap, 1), bool), (mat[:, :-1] == 32)], axis=1
+        )
+        is_lower = (mat >= ord("a")) & (mat <= ord("z"))
+        is_upper = (mat >= ord("A")) & (mat <= ord("Z"))
+        up = jnp.where(prev_sep & is_lower, mat - 32, mat)
+        low = jnp.where(~prev_sep & is_upper, up + 32, up)
+        return ColumnVector(low.astype(jnp.uint8), cv.validity, lens, e.dtype)
+    if f == "levenshtein":
+        return _levenshtein(cv, args[1])
     if f == "instr" or f == "locate":
         # 1-based position of first occurrence, 0 if absent
         pat = args[1] if f == "instr" else args[0]
@@ -1023,6 +1095,70 @@ def _string_func(e: E.StringFunc, b: Batch, ctx: EvalContext) -> ColumnVector:
         data = jnp.where(found, jnp.argmax(m, axis=1) + 1, 0).astype(jnp.int32)
         return ColumnVector(data, s.validity & pat.validity, None, T.INT32)
     raise NotImplementedError(f"string func {f}")
+
+
+def _replace_equal_len(cv: ColumnVector, search: ColumnVector, repl: ColumnVector, out_t: T.DataType) -> ColumnVector:
+    """replace() for equal-length search/replace byte strings: overwrite each
+    match position, vectorized over match offsets."""
+    mat, lens = cv.data, cv.lengths
+    cap, w = mat.shape
+    sw = search.data.shape[1]
+    # match mask at each position
+    base = jnp.arange(w)
+    acc = jnp.ones((cap, w), bool)
+    for j in range(sw):
+        idx = jnp.minimum(base + j, w - 1)
+        ok = (mat[:, idx] == search.data[:, j][:, None]) | (jnp.asarray(j) >= search.lengths[:, None])
+        acc = acc & ok
+    fits = (base[None, :] + search.lengths[:, None]) <= lens[:, None]
+    starts = acc & fits & (search.lengths[:, None] > 0)
+    # greedy non-overlapping matches: sequential cover pass over positions
+    run = jnp.zeros(cap, jnp.int32)
+    cols = []
+    for p in range(w):
+        is_start = starts[:, p] & (run <= 0)
+        run = jnp.where(is_start, search.lengths, run)
+        cols.append(jnp.where(run > 0, search.lengths - run, -1))
+        run = run - 1
+    offin = jnp.stack(cols, axis=1)  # offset within match else -1
+    ridx = jnp.clip(offin, 0, max(repl.data.shape[1] - 1, 0))
+    rch = jnp.take_along_axis(_pad_width(repl.data, max(repl.data.shape[1], 1)), ridx, axis=1)
+    data = jnp.where(offin >= 0, rch, mat).astype(jnp.uint8)
+    return ColumnVector(data, cv.validity & search.validity & repl.validity, lens, out_t)
+
+
+def _levenshtein(a: ColumnVector, b: ColumnVector) -> ColumnVector:
+    """Edit distance via anti-diagonal DP, vectorized over rows (reference:
+    string_funcs levenshtein). O(w_a * w_b) fori steps of vector ops."""
+    am, al = a.data.astype(jnp.int32), a.lengths
+    bm, bl = b.data.astype(jnp.int32), b.lengths
+    cap, wa = am.shape
+    wb = bm.shape[1]
+    # dp over b-length dimension, iterate over a positions; entries past bl
+    # never influence dp[bl] (the scan runs left→right)
+    init = jnp.broadcast_to(jnp.arange(wb + 1, dtype=jnp.int32)[None, :], (cap, wb + 1))
+
+    def body(i, dp):
+        prev_diag = dp[:, :-1]
+        prev_up = dp[:, 1:]
+        achar = am[:, i][:, None]
+        sub_cost = (achar != bm) | (jnp.arange(wb)[None, :] >= bl[:, None])
+        cand = jnp.minimum(prev_up + 1, prev_diag + sub_cost.astype(jnp.int32))
+        first = dp[:, :1] + 1
+
+        def scan_min(carry, x):
+            v = jnp.minimum(x, carry + 1)
+            return v, v
+
+        # new_dp[j] = min(cand[j-1], new_dp[j-1]+1) — prefix scan
+        _, rest = jax.lax.scan(scan_min, first[:, 0], cand.T)
+        new_dp = jnp.concatenate([first, rest.T], axis=1)
+        valid_i = i < al
+        return jnp.where(valid_i[:, None], new_dp, dp)
+
+    dp = jax.lax.fori_loop(0, wa, body, init)
+    out = jnp.take_along_axis(dp, jnp.minimum(bl, wb)[:, None].astype(jnp.int32), axis=1)[:, 0]
+    return ColumnVector(out.astype(jnp.int32), a.validity & b.validity, None, T.INT32)
 
 
 # -------------------------------------------------------------------------------------
@@ -1310,12 +1446,170 @@ def murmur3_hash_bytes(mat: jax.Array, lens: jax.Array, seed: jax.Array, max_len
 
 
 def _hash_func(e: E.HashFunc, b: Batch, ctx: EvalContext) -> ColumnVector:
-    assert e.func == "murmur3", f"hash {e.func} not yet implemented"
-    h = jnp.full(b.capacity, e.seed, jnp.int32)
+    if e.func == "murmur3":
+        h = jnp.full(b.capacity, e.seed, jnp.int32)
+        for a in e.args:
+            cv = _ev(a, b, ctx)
+            h = _murmur3_column(cv, h)
+        return ColumnVector(h, jnp.ones(b.capacity, bool), None, T.INT32)
+    assert e.func == "xxhash64", f"hash {e.func} not implemented"
+    h = jnp.full(b.capacity, e.seed, jnp.int64)
     for a in e.args:
         cv = _ev(a, b, ctx)
-        h = _murmur3_column(cv, h)
-    return ColumnVector(h, jnp.ones(b.capacity, bool), None, T.INT32)
+        h = _xxhash64_column(cv, h)
+    return ColumnVector(h, jnp.ones(b.capacity, bool), None, T.INT64)
+
+
+# ---- xxhash64 (Spark-exact: spark-expr/src/hash_funcs/xxhash64.rs) ------------------
+
+_XXP1 = np.int64(-7046029288634856825)  # 0x9E3779B185EBCA87
+_XXP2 = np.int64(-4417276706812531889)  # 0xC2B2AE3D27D4EB4F
+_XXP3 = np.int64(1609587929392839161)  # 0x165667B19E3779F9
+_XXP4 = np.int64(-8796714831421723037)  # 0x85EBCA77C2B2AE63
+_XXP5 = np.int64(2870177450012600261)  # 0x27D4EB2F165667C5
+
+
+def _rotl64(x, r):
+    return (x << jnp.int64(r)) | jax.lax.shift_right_logical(x, jnp.int64(64 - r))
+
+
+def _xx_fmix(h):
+    h = h ^ jax.lax.shift_right_logical(h, jnp.int64(33))
+    h = h * _XXP2
+    h = h ^ jax.lax.shift_right_logical(h, jnp.int64(29))
+    h = h * _XXP3
+    return h ^ jax.lax.shift_right_logical(h, jnp.int64(32))
+
+
+def xxhash64_i32(value: jax.Array, seed: jax.Array) -> jax.Array:
+    """Spark XXH64.hashInt."""
+    u32 = value.astype(jnp.int64) & np.int64(0xFFFFFFFF)
+    h = seed + _XXP5 + 4
+    h = h ^ (u32 * _XXP1)
+    return _xx_fmix(_rotl64(h, 23) * _XXP2 + _XXP3)
+
+
+def xxhash64_i64(value: jax.Array, seed: jax.Array) -> jax.Array:
+    """Spark XXH64.hashLong."""
+    h = seed + _XXP5 + 8
+    h = h ^ (_rotl64(value.astype(jnp.int64) * _XXP2, 31) * _XXP1)
+    return _xx_fmix(_rotl64(h, 27) * _XXP1 + _XXP4)
+
+
+def xxhash64_bytes(mat: jax.Array, lens: jax.Array, seed: jax.Array) -> jax.Array:
+    """Spark XXH64.hashUnsafeBytes: 32-byte stripes, then 8-byte words,
+    then a 4-byte word, then tail bytes."""
+    cap, w = mat.shape
+    mi = mat.astype(jnp.int64)
+    lens64 = lens.astype(jnp.int64)
+
+    def word8(off_words):
+        j = off_words * 8
+        if j + 8 <= w:
+            parts = [mi[:, j + k] << (8 * k) for k in range(8)]
+        else:
+            parts = [
+                (mi[:, j + k] if j + k < w else jnp.zeros(cap, jnp.int64)) << (8 * k)
+                for k in range(8)
+            ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out | p
+        return out
+
+    n_stripes_max = w // 32
+    long_input = lens64 >= 32
+    # accumulators
+    v1 = seed + _XXP1 + _XXP2
+    v2 = seed + _XXP2
+    v3 = seed + 0
+    v4 = seed - _XXP1
+
+    def xx_round(acc, inp):
+        return _rotl64(acc + inp * _XXP2, 31) * _XXP1
+
+    stripes_done = jnp.zeros(cap, jnp.int64)
+    for s in range(n_stripes_max):
+        active = (jnp.int64((s + 1) * 32)) <= lens64
+        w0, w1_, w2, w3 = (word8(s * 4 + k) for k in range(4))
+        v1 = jnp.where(active, xx_round(v1, w0), v1)
+        v2 = jnp.where(active, xx_round(v2, w1_), v2)
+        v3 = jnp.where(active, xx_round(v3, w2), v3)
+        v4 = jnp.where(active, xx_round(v4, w3), v4)
+        stripes_done = stripes_done + active.astype(jnp.int64)
+
+    def merge_acc(h, v):
+        h = h ^ xx_round(jnp.zeros_like(v), v)
+        return h * _XXP1 + _XXP4
+
+    h_long = _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+    h_long = merge_acc(h_long, v1)
+    h_long = merge_acc(h_long, v2)
+    h_long = merge_acc(h_long, v3)
+    h_long = merge_acc(h_long, v4)
+    h = jnp.where(long_input, h_long, seed + _XXP5)
+    h = h + lens64
+    consumed = jnp.where(long_input, stripes_done * 32, 0)
+    # remaining 8-byte words
+    n_words_max = w // 8
+    for j in range(n_words_max):
+        off = jnp.int64(j * 8)
+        active = (off >= consumed) & (off + 8 <= lens64)
+        k1 = xx_round(jnp.zeros(cap, jnp.int64), word8(j))
+        h = jnp.where(active, _rotl64(h ^ k1, 27) * _XXP1 + _XXP4, h)
+    consumed2 = (lens64 // 8) * 8
+    # one 4-byte word
+    for j in range(w // 4 + 1):
+        off = jnp.int64(j * 4)
+        active = (off == consumed2) & (off + 4 <= lens64)
+        if j * 4 + 4 <= w:
+            word4 = (
+                mi[:, j * 4]
+                | (mi[:, j * 4 + 1] << 8)
+                | (mi[:, j * 4 + 2] << 16)
+                | (mi[:, j * 4 + 3] << 24)
+            )
+        else:
+            word4 = jnp.zeros(cap, jnp.int64)
+        h = jnp.where(active, _rotl64(h ^ (word4 * _XXP1), 23) * _XXP2 + _XXP3, h)
+    consumed3 = (lens64 // 4) * 4
+    # tail bytes
+    for j in range(w):
+        active = (jnp.int64(j) >= consumed3) & (jnp.int64(j) < lens64)
+        h = jnp.where(active, _rotl64(h ^ ((mi[:, j] & 0xFF) * _XXP5), 11) * _XXP1, h)
+    return _xx_fmix(h)
+
+
+def _xxhash64_column(cv: ColumnVector, seed: jax.Array) -> jax.Array:
+    dt = cv.dtype
+    if dt.is_binary:
+        h = xxhash64_bytes(cv.data, cv.lengths, seed)
+    elif dt.type_id in ("INT8", "INT16", "INT32", "DATE") or dt.is_boolean:
+        h = xxhash64_i32(cv.data.astype(jnp.int32), seed)
+    elif dt.type_id in ("INT64", "TIMESTAMP", "TIMESTAMP_NTZ"):
+        h = xxhash64_i64(cv.data, seed)
+    elif dt.type_id == "FLOAT":
+        bits = jax.lax.bitcast_convert_type(
+            jnp.where(cv.data == 0.0, jnp.zeros_like(cv.data), cv.data), jnp.int32
+        )
+        h = xxhash64_i32(bits, seed)
+    elif dt.type_id == "DOUBLE":
+        d = jnp.where(cv.data == 0.0, jnp.zeros_like(cv.data), cv.data)
+        h = xxhash64_i64(_f64_bits_i64(d), seed)
+    elif dt.is_decimal and dt.precision <= 18:
+        h = xxhash64_i64(cv.data, seed)
+    else:
+        raise NotImplementedError(f"xxhash64 for {dt!r}")
+    return jnp.where(cv.validity, h, seed)
+
+
+def _f64_bits_i64(d: jax.Array) -> jax.Array:
+    """float64 → IEEE bits as int64 without a 64-bit bitcast (TPU X64-rewrite
+    lacks it): bitcast to 2×int32 words and recombine."""
+    words = jax.lax.bitcast_convert_type(d, jnp.int32)  # (..., 2) little-endian
+    lo = words[..., 0].astype(jnp.int64) & np.int64(0xFFFFFFFF)
+    hi = words[..., 1].astype(jnp.int64)
+    return (hi << 32) | lo
 
 
 def _murmur3_column(cv: ColumnVector, seed: jax.Array) -> jax.Array:
@@ -1334,9 +1628,8 @@ def _murmur3_column(cv: ColumnVector, seed: jax.Array) -> jax.Array:
         )
         h = murmur3_hash_i32(bits, seed)
     elif dt.type_id == "DOUBLE":
-        bits = jax.lax.bitcast_convert_type(
-            jnp.where(cv.data == 0.0, jnp.zeros_like(cv.data), cv.data), jnp.int64
-        )
+        # f64 bits via 2×i32 bitcast (TPU X64-rewrite has no f64→s64 bitcast)
+        bits = _f64_bits_i64(jnp.where(cv.data == 0.0, jnp.zeros_like(cv.data), cv.data))
         h = murmur3_hash_i64(bits, seed)
     elif dt.is_decimal:
         if dt.precision <= 18:

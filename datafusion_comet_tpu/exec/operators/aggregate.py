@@ -188,11 +188,12 @@ def _try_pack_keys(key_cols: Sequence[ColumnVector]):
             enc, b = cv.data.astype(jnp.int32) + 128, 8
         elif dt.is_binary and dt.byte_width <= 2:
             w = dt.byte_width
+            len_bits = w.bit_length()  # length in [0, w]
             enc = jnp.zeros(cv.capacity, jnp.int32)
             for i in range(w):
                 enc = (enc << 8) | cv.data[:, i].astype(jnp.int32)
-            enc = (enc << 2) | jnp.minimum(cv.lengths, 3).astype(jnp.int32)
-            b = 8 * w + 2
+            enc = (enc << len_bits) | jnp.minimum(cv.lengths, w).astype(jnp.int32)
+            b = 8 * w + len_bits
         else:
             return None
         # null bit (null == null groups together; nulls collapse to code 0)

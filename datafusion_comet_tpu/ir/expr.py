@@ -488,6 +488,25 @@ def col(name: str) -> ColumnRef:
     return ColumnRef(name)
 
 
+def if_(cond: Expr, then: Any, otherwise: Any = None) -> CaseWhen:
+    """If(cond, then, else) — Spark's If is CaseWhen with one branch
+    (reference: conditional_funcs/if_expr.rs)."""
+    return CaseWhen(((cond, _e(then)),), _e(otherwise) if otherwise is not None else None)
+
+
+def coalesce(*args: Any) -> CaseWhen:
+    """COALESCE(a, b, ...) — first non-null argument."""
+    exprs = [_e(a) for a in args]
+    branches = tuple((UnaryOp("isnotnull", a), a) for a in exprs[:-1])
+    return CaseWhen(branches, exprs[-1])
+
+
+def nullif(a: Any, b: Any) -> CaseWhen:
+    """NULLIF(a, b) — null when a == b else a."""
+    ea, eb = _e(a), _e(b)
+    return CaseWhen(((BinaryOp("eq", ea, eb), Literal(None, T.NULLTYPE)), ), ea)
+
+
 def lit(value: Any, dtype: Optional[T.DataType] = None) -> Literal:
     if dtype is None:
         dtype = _infer_literal_type(value)
