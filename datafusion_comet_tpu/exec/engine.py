@@ -180,6 +180,8 @@ class Session:
         self.tables: Dict[str, Batch] = {}
         self.join_fanout = join_fanout
         self.max_join_retries = max_join_retries
+        self._subqueries: Dict[int, Tuple[P.PlanNode, int]] = {}
+        self._next_subquery_id = 0
         self._cache: Dict[Tuple[int, int], Callable] = {}
 
     # -- registration ------------------------------------------------------------
@@ -197,15 +199,41 @@ class Session:
     def table_schema(self, name: str) -> T.Schema:
         return self.tables[name].schema
 
+    # -- scalar subqueries ---------------------------------------------------------
+    def scalar_subquery(self, plan: P.PlanNode, column: int = 0) -> E.ScalarSubquery:
+        """Register an uncorrelated scalar subquery: executed lazily before
+        the outer plan, its single value injected at evaluation (reference:
+        CometScalarSubquery / expressions/subquery.rs:38)."""
+        bound = P.bind_plan(plan) if _needs_bind(plan) else plan
+        sid = self._next_subquery_id
+        self._next_subquery_id += 1
+        self._subqueries[sid] = (bound, column)
+        return E.ScalarSubquery(sid, bound.schema.fields[column].dtype)
+
+    def _materialize_subqueries(self) -> Dict[int, Tuple[object, bool]]:
+        values: Dict[int, Tuple[object, bool]] = {}
+        for sid, (sub, column) in self._subqueries.items():
+            out = to_numpy(self.execute(sub))
+            name = sub.schema.fields[column].name
+            vals = out[name]
+            valid = out[name + "__valid"]
+            if len(vals) == 0:
+                values[sid] = (None, False)
+            else:
+                values[sid] = (vals[0], bool(valid[0]))
+        return values
+
     # -- execution ---------------------------------------------------------------
     def compile(self, plan: P.PlanNode, join_fanout: Optional[int] = None):
         """Bind + jit a plan; returns (bound_plan, jitted fn(tables)->(batch, flags))."""
         bound = P.bind_plan(plan) if _needs_bind(plan) else plan
         fanout = join_fanout or self.join_fanout
+        sub_values = self._materialize_subqueries() if self._subqueries else None
 
         def fn(tables):
             flags: List[jax.Array] = []
-            out = run_plan(bound, tables, EvalContext(), flags, fanout)
+            ctx = EvalContext(subquery_values=sub_values)
+            out = run_plan(bound, tables, ctx, flags, fanout)
             return out, (jnp.any(jnp.stack(flags)) if flags else jnp.zeros((), bool))
 
         return bound, jax.jit(fn)

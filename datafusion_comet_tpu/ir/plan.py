@@ -310,6 +310,10 @@ def bind_plan(plan: PlanNode) -> PlanNode:
         return out
     if isinstance(plan, HashAggregate):
         child = kids[0]
+        if plan.mode == AggMode.SINGLE and any(
+            a.func == E.AggFunc.COUNT_DISTINCT for a in plan.agg_exprs
+        ):
+            return _rewrite_distinct(plan)
         groups = tuple(E.bind(g, child.schema) for g in plan.group_exprs)
         if plan.mode in (AggMode.FINAL, AggMode.PARTIAL_MERGE):
             # children were bound against the pre-exchange input schema when
@@ -423,6 +427,41 @@ def bind_plan(plan: PlanNode) -> PlanNode:
         out.schema = kids[0].schema
         return out
     raise NotImplementedError(f"bind_plan: {type(plan).__name__}")
+
+
+def _rewrite_distinct(plan: HashAggregate) -> PlanNode:
+    """COUNT(DISTINCT x) → two-level aggregate: dedup on (groups, x) then
+    COUNT(x). Supported when every aggregate is a distinct over the same
+    child expression (the TPC-H Q16 shape); mixed distinct/plain aggregates
+    need the Expand-based plan (reference: Spark's RewriteDistinctAggregates)
+    — planned."""
+    distinct = [a for a in plan.agg_exprs if a.func == E.AggFunc.COUNT_DISTINCT]
+    plain = [a for a in plan.agg_exprs if a.func != E.AggFunc.COUNT_DISTINCT]
+    if plain:
+        raise NotImplementedError("mixed DISTINCT and plain aggregates")
+    first_child = distinct[0].child
+    for a in distinct[1:]:
+        if repr(a.child) != repr(first_child):
+            raise NotImplementedError("multiple different DISTINCT columns")
+    dname = "__distinct_key"
+    inner = HashAggregate(
+        plan.child,
+        plan.group_exprs + (E.Alias(first_child, dname),),
+        (),
+        AggMode.SINGLE,
+        plan.max_groups,
+    )
+    outer = HashAggregate(
+        inner,
+        tuple(E.col(g.name) if not isinstance(g, E.BoundRef) else E.col(g.col_name) for g in plan.group_exprs),
+        tuple(
+            E.AggExpr(E.AggFunc.COUNT, E.col(dname), a.out_name, filter=None)
+            for a in distinct
+        ),
+        AggMode.SINGLE,
+        plan.max_groups,
+    )
+    return bind_plan(outer)
 
 
 def _join_schema(ls: T.Schema, rs: T.Schema, join_type: str) -> T.Schema:

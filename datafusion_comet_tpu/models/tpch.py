@@ -60,6 +60,7 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("c_nationkey", T.INT64, False),
             T.Field("c_acctbal", _dec(15, 2), False),
             T.Field("c_mktsegment", T.string(10), False),
+            T.Field("c_phone", T.string(15), False),
         ]
     ),
     "supplier": T.Schema(
@@ -68,6 +69,7 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("s_name", T.string(25), False),
             T.Field("s_nationkey", T.INT64, False),
             T.Field("s_acctbal", _dec(15, 2), False),
+            T.Field("s_comment", T.string(60), False),
         ]
     ),
     "nation": T.Schema(
@@ -161,20 +163,33 @@ def generate_table(name: str, sf: float, seed: int = 19920401) -> Dict[str, np.n
         }
     if name == "customer":
         ck = np.arange(1, n + 1, dtype=np.int64)
+        nk = rng.integers(0, 25, n).astype(np.int64)
         return {
             "c_custkey": ck,
             "c_name": np.array([f"Customer#{k:09d}" for k in ck], object),
-            "c_nationkey": rng.integers(0, 25, n).astype(np.int64),
+            "c_nationkey": nk,
             "c_acctbal": rng.integers(-99999, 999999, n).astype(np.int64),
             "c_mktsegment": np.array(_SEGMENTS, object)[rng.integers(0, 5, n)],
+            "c_phone": np.array(
+                [f"{10 + k}-{rng.integers(100,999)}-{rng.integers(100,999)}-{rng.integers(1000,9999)}" for k in nk],
+                object,
+            ),
         }
     if name == "supplier":
         sk = np.arange(1, n + 1, dtype=np.int64)
+        complaints = rng.random(n) < 0.01
         return {
             "s_suppkey": sk,
             "s_name": np.array([f"Supplier#{k:09d}" for k in sk], object),
             "s_nationkey": rng.integers(0, 25, n).astype(np.int64),
             "s_acctbal": rng.integers(-99999, 999999, n).astype(np.int64),
+            "s_comment": np.array(
+                [
+                    ("blithely Customer ironic Complaints sleep" if c else "quickly bold deposits nag")
+                    for c in complaints
+                ],
+                object,
+            ),
         }
     if name == "part":
         pk = np.arange(1, n + 1, dtype=np.int64)
@@ -476,7 +491,296 @@ def q19() -> P.PlanNode:
     return agg
 
 
+def q2(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Minimum cost supplier: correlated MIN subquery decorrelated into a
+    per-part min-cost aggregate joined back (the standard rewrite)."""
+    p = P.Scan("part", SCHEMAS["part"]).filter(
+        (E.col("p_size") == E.lit(15)) & E.col("p_type").like("%BRASS")
+    )
+    r = P.Scan("region", SCHEMAS["region"]).filter(E.col("r_name") == E.lit("EUROPE"))
+    n = P.Scan("nation", SCHEMAS["nation"])
+    nr = P.HashJoin(n, r, (E.col("n_regionkey"),), (E.col("r_regionkey"),), P.JoinType.INNER, "right")
+    s = P.Scan("supplier", SCHEMAS["supplier"])
+    sn = P.HashJoin(s, nr, (E.col("s_nationkey"),), (E.col("n_nationkey"),), P.JoinType.INNER, "right")
+    ps = P.Scan("partsupp", SCHEMAS["partsupp"])
+    pss = P.HashJoin(ps, sn, (E.col("ps_suppkey"),), (E.col("s_suppkey"),), P.JoinType.INNER, "right")
+    # min supplycost per part among EUROPE suppliers
+    mincost = P.HashAggregate(
+        pss, (E.col("ps_partkey"),), (E.AggExpr("min", E.col("ps_supplycost"), "min_cost"),),
+        P.AggMode.SINGLE, max_groups,
+    )
+    psp = P.HashJoin(pss, p, (E.col("ps_partkey"),), (E.col("p_partkey"),), P.JoinType.INNER, "right")
+    best = P.HashJoin(
+        psp, mincost,
+        (E.col("ps_partkey"), E.col("ps_supplycost")),
+        (E.col("ps_partkey"), E.col("min_cost")),
+        P.JoinType.LEFT_SEMI, "right",
+    )
+    return best.sort(
+        [
+            E.SortOrder(E.col("s_acctbal"), ascending=False),
+            E.SortOrder(E.col("n_name")),
+            E.SortOrder(E.col("s_name")),
+            E.SortOrder(E.col("p_partkey")),
+        ],
+        fetch=100,
+    ).project(
+        [E.col("s_acctbal"), E.col("s_name"), E.col("n_name"), E.col("p_partkey"),
+         E.col("p_mfgr") if "p_mfgr" in [f.name for f in SCHEMAS["part"].fields] else E.col("p_brand")]
+    )
+
+
+def q7(max_groups: int = 256) -> P.PlanNode:
+    """Volume shipping: FRANCE<->GERMANY flows by year."""
+    n1 = P.Scan("nation", SCHEMAS["nation"]).project(
+        [E.col("n_nationkey").alias("n1_key"), E.col("n_name").alias("supp_nation")]
+    ).filter((E.col("supp_nation") == E.lit("FRANCE")) | (E.col("supp_nation") == E.lit("GERMANY")))
+    n2 = P.Scan("nation", SCHEMAS["nation"]).project(
+        [E.col("n_nationkey").alias("n2_key"), E.col("n_name").alias("cust_nation")]
+    ).filter((E.col("cust_nation") == E.lit("FRANCE")) | (E.col("cust_nation") == E.lit("GERMANY")))
+    l = P.Scan("lineitem", SCHEMAS["lineitem"]).filter(
+        (E.col("l_shipdate") >= _date_lit("1995-01-01"))
+        & (E.col("l_shipdate") <= _date_lit("1996-12-31"))
+    )
+    s = P.Scan("supplier", SCHEMAS["supplier"])
+    o = P.Scan("orders", SCHEMAS["orders"])
+    c = P.Scan("customer", SCHEMAS["customer"])
+    ls = P.HashJoin(l, s, (E.col("l_suppkey"),), (E.col("s_suppkey"),), P.JoinType.INNER, "right")
+    lso = P.HashJoin(ls, o, (E.col("l_orderkey"),), (E.col("o_orderkey"),), P.JoinType.INNER, "right")
+    lsoc = P.HashJoin(lso, c, (E.col("o_custkey"),), (E.col("c_custkey"),), P.JoinType.INNER, "right")
+    j1 = P.HashJoin(lsoc, n1, (E.col("s_nationkey"),), (E.col("n1_key"),), P.JoinType.INNER, "right")
+    j2 = P.HashJoin(j1, n2, (E.col("c_nationkey"),), (E.col("n2_key"),), P.JoinType.INNER, "right")
+    cross = j2.filter(
+        ((E.col("supp_nation") == E.lit("FRANCE")) & (E.col("cust_nation") == E.lit("GERMANY")))
+        | ((E.col("supp_nation") == E.lit("GERMANY")) & (E.col("cust_nation") == E.lit("FRANCE")))
+    )
+    vol = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
+    withyear = cross.project(
+        [E.col("supp_nation"), E.col("cust_nation"),
+         E.TemporalFunc("year", (E.col("l_shipdate"),)).alias("l_year"), vol.alias("volume")]
+    )
+    agg = withyear.aggregate(
+        [E.col("supp_nation"), E.col("cust_nation"), E.col("l_year")],
+        [E.AggExpr("sum", E.col("volume"), "revenue")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("supp_nation")), E.SortOrder(E.col("cust_nation")), E.SortOrder(E.col("l_year"))]
+    )
+
+
+def q8(max_groups: int = 64) -> P.PlanNode:
+    """National market share of BRAZIL in AMERICA for ECONOMY ANODIZED STEEL."""
+    p = P.Scan("part", SCHEMAS["part"]).filter(E.col("p_type") == E.lit("ECONOMY ANODIZED STEEL"))
+    l = P.Scan("lineitem", SCHEMAS["lineitem"])
+    lp = P.HashJoin(l, p, (E.col("l_partkey"),), (E.col("p_partkey"),), P.JoinType.INNER, "right")
+    o = P.Scan("orders", SCHEMAS["orders"]).filter(
+        (E.col("o_orderdate") >= _date_lit("1995-01-01"))
+        & (E.col("o_orderdate") <= _date_lit("1996-12-31"))
+    )
+    lpo = P.HashJoin(lp, o, (E.col("l_orderkey"),), (E.col("o_orderkey"),), P.JoinType.INNER, "right")
+    c = P.Scan("customer", SCHEMAS["customer"])
+    lpoc = P.HashJoin(lpo, c, (E.col("o_custkey"),), (E.col("c_custkey"),), P.JoinType.INNER, "right")
+    n1 = P.Scan("nation", SCHEMAS["nation"]).project(
+        [E.col("n_nationkey").alias("n1_key"), E.col("n_regionkey").alias("n1_region")]
+    )
+    r = P.Scan("region", SCHEMAS["region"]).filter(E.col("r_name") == E.lit("AMERICA"))
+    n1r = P.HashJoin(n1, r, (E.col("n1_region"),), (E.col("r_regionkey"),), P.JoinType.INNER, "right")
+    j1 = P.HashJoin(lpoc, n1r, (E.col("c_nationkey"),), (E.col("n1_key"),), P.JoinType.INNER, "right")
+    s = P.Scan("supplier", SCHEMAS["supplier"])
+    j2 = P.HashJoin(j1, s, (E.col("l_suppkey"),), (E.col("s_suppkey"),), P.JoinType.INNER, "right")
+    n2 = P.Scan("nation", SCHEMAS["nation"]).project(
+        [E.col("n_nationkey").alias("n2_key"), E.col("n_name").alias("supp_nation")]
+    )
+    j3 = P.HashJoin(j2, n2, (E.col("s_nationkey"),), (E.col("n2_key"),), P.JoinType.INNER, "right")
+    vol = (E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))).cast(T.FLOAT64)
+    pre = j3.project(
+        [E.TemporalFunc("year", (E.col("o_orderdate"),)).alias("o_year"),
+         vol.alias("volume"),
+         E.CaseWhen(((E.col("supp_nation") == E.lit("BRAZIL"), vol),), E.lit(0.0)).alias("brazil_vol")]
+    )
+    agg = pre.aggregate(
+        [E.col("o_year")],
+        [E.AggExpr("sum", E.col("brazil_vol"), "bv"), E.AggExpr("sum", E.col("volume"), "tv")],
+    )
+    agg.max_groups = max_groups
+    share = P.Projection(
+        agg, (E.col("o_year"), (E.col("bv") / E.col("tv")).alias("mkt_share"))
+    )
+    return P.Sort(share, (E.SortOrder(E.col("o_year")),))
+
+
+def q9(max_groups: int = 1 << 10) -> P.PlanNode:
+    """Product type profit by nation and year (LIKE '%green%')."""
+    p = P.Scan("part", SCHEMAS["part"]).filter(E.col("p_name").like("%green%"))
+    l = P.Scan("lineitem", SCHEMAS["lineitem"])
+    lp = P.HashJoin(l, p, (E.col("l_partkey"),), (E.col("p_partkey"),), P.JoinType.INNER, "right")
+    ps = P.Scan("partsupp", SCHEMAS["partsupp"])
+    lps = P.HashJoin(
+        lp, ps, (E.col("l_suppkey"), E.col("l_partkey")),
+        (E.col("ps_suppkey"), E.col("ps_partkey")), P.JoinType.INNER, "right",
+    )
+    s = P.Scan("supplier", SCHEMAS["supplier"])
+    lpss = P.HashJoin(lps, s, (E.col("l_suppkey"),), (E.col("s_suppkey"),), P.JoinType.INNER, "right")
+    o = P.Scan("orders", SCHEMAS["orders"])
+    lpsso = P.HashJoin(lpss, o, (E.col("l_orderkey"),), (E.col("o_orderkey"),), P.JoinType.INNER, "right")
+    n = P.Scan("nation", SCHEMAS["nation"])
+    j = P.HashJoin(lpsso, n, (E.col("s_nationkey"),), (E.col("n_nationkey"),), P.JoinType.INNER, "right")
+    amount = (
+        E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
+        - (E.col("ps_supplycost") * E.col("l_quantity")).cast(_dec(38, 4))
+    )
+    pre = j.project(
+        [E.col("n_name").alias("nation"),
+         E.TemporalFunc("year", (E.col("o_orderdate"),)).alias("o_year"),
+         amount.alias("amount")]
+    )
+    agg = pre.aggregate([E.col("nation"), E.col("o_year")], [E.AggExpr("sum", E.col("amount"), "sum_profit")])
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("nation")), E.SortOrder(E.col("o_year"), ascending=False)])
+
+
+def q11(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Important stock: partsupp value per part in GERMANY, HAVING value >
+    0.0001 × total — expressed as a nested-loop join against the global sum."""
+    n = P.Scan("nation", SCHEMAS["nation"]).filter(E.col("n_name") == E.lit("GERMANY"))
+    s = P.Scan("supplier", SCHEMAS["supplier"])
+    sn = P.HashJoin(s, n, (E.col("s_nationkey"),), (E.col("n_nationkey"),), P.JoinType.INNER, "right")
+    ps = P.Scan("partsupp", SCHEMAS["partsupp"])
+    pss = P.HashJoin(ps, sn, (E.col("ps_suppkey"),), (E.col("s_suppkey"),), P.JoinType.INNER, "right")
+    value = (E.col("ps_supplycost") * E.col("ps_availqty").cast(T.INT64)).alias("value")
+    per_part = pss.aggregate([E.col("ps_partkey")], [E.AggExpr("sum", value, "value")])
+    per_part.max_groups = max_groups
+    total = pss.aggregate([], [E.AggExpr("sum", value, "total")])
+    total.max_groups = 8
+    thresh = P.Projection(
+        total, ((E.col("total").cast(T.FLOAT64) * E.lit(0.0001)).alias("threshold"),)
+    )
+    j = P.BroadcastNestedLoopJoin(
+        per_part, thresh, P.JoinType.INNER,
+        condition=E.col("value").cast(T.FLOAT64) > E.col("threshold"),
+    )
+    return P.Sort(
+        P.Projection(j, (E.col("ps_partkey"), E.col("value"))),
+        (E.SortOrder(E.col("value"), ascending=False),),
+    )
+
+
+def q13(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Customer distribution: count of customers per order count (left outer
+    join + two-level aggregate; NOT LIKE '%special%requests%')."""
+    c = P.Scan("customer", SCHEMAS["customer"])
+    o = P.Scan("orders", SCHEMAS["orders"]).filter(
+        E.Like(E.col("o_orderpriority"), "%special%requests%", negated=True)
+    )
+    j = P.HashJoin(c, o, (E.col("c_custkey"),), (E.col("o_custkey"),), P.JoinType.LEFT, "right")
+    per_cust = j.aggregate(
+        [E.col("c_custkey")], [E.AggExpr("count", E.col("o_orderkey"), "c_count")]
+    )
+    per_cust.max_groups = max_groups
+    dist = per_cust.aggregate([E.col("c_count")], [E.AggExpr("count", None, "custdist")])
+    dist.max_groups = 1 << 10
+    return dist.sort(
+        [E.SortOrder(E.col("custdist"), ascending=False), E.SortOrder(E.col("c_count"), ascending=False)]
+    )
+
+
+def q15(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Top supplier: revenue view + join on max revenue."""
+    l = P.Scan("lineitem", SCHEMAS["lineitem"]).filter(
+        (E.col("l_shipdate") >= _date_lit("1996-01-01"))
+        & (E.col("l_shipdate") < _date_lit("1996-04-01"))
+    )
+    rev = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
+    revenue = l.aggregate([E.col("l_suppkey")], [E.AggExpr("sum", rev, "total_revenue")])
+    revenue.max_groups = max_groups
+    maxrev = revenue.aggregate([], [E.AggExpr("max", E.col("total_revenue"), "max_revenue")])
+    maxrev.max_groups = 8
+    top = P.HashJoin(
+        revenue, maxrev, (E.col("total_revenue"),), (E.col("max_revenue"),),
+        P.JoinType.LEFT_SEMI, "right",
+    )
+    s = P.Scan("supplier", SCHEMAS["supplier"])
+    j = P.HashJoin(s, top, (E.col("s_suppkey"),), (E.col("l_suppkey"),), P.JoinType.INNER, "right")
+    return j.sort([E.SortOrder(E.col("s_suppkey"))]).project(
+        [E.col("s_suppkey"), E.col("s_name"), E.col("total_revenue")]
+    )
+
+
+def q16(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Parts/supplier relationship: COUNT(DISTINCT ps_suppkey) with NOT IN
+    complaint suppliers (null-aware anti join) and multi-filter on part."""
+    p = P.Scan("part", SCHEMAS["part"]).filter(
+        (E.col("p_brand") != E.lit("Brand#45"))
+        & E.Like(E.col("p_type"), "MEDIUM POLISHED%", negated=True)
+        & E.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9)
+    )
+    ps = P.Scan("partsupp", SCHEMAS["partsupp"])
+    psp = P.HashJoin(ps, p, (E.col("ps_partkey"),), (E.col("p_partkey"),), P.JoinType.INNER, "right")
+    bad = P.Scan("supplier", SCHEMAS["supplier"]).filter(
+        E.col("s_comment").like("%Customer%Complaints%")
+    ).project([E.col("s_suppkey")])
+    good = P.HashJoin(
+        psp, bad, (E.col("ps_suppkey"),), (E.col("s_suppkey"),), P.JoinType.LEFT_ANTI, "right"
+    )
+    agg = good.aggregate(
+        [E.col("p_brand"), E.col("p_type"), E.col("p_size")],
+        [E.AggExpr("count_distinct", E.col("ps_suppkey"), "supplier_cnt")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("supplier_cnt"), ascending=False), E.SortOrder(E.col("p_brand")),
+         E.SortOrder(E.col("p_type")), E.SortOrder(E.col("p_size"))]
+    )
+
+
+def q17(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Small-quantity-order revenue: correlated AVG subquery decorrelated to
+    a per-part average joined back."""
+    p = P.Scan("part", SCHEMAS["part"]).filter(
+        (E.col("p_brand") == E.lit("Brand#23")) & (E.col("p_container") == E.lit("MED BAG"))
+    )
+    l = P.Scan("lineitem", SCHEMAS["lineitem"])
+    avgq = l.aggregate([E.col("l_partkey")], [E.AggExpr("avg", E.col("l_quantity"), "avg_qty")])
+    avgq.max_groups = max_groups
+    lp = P.HashJoin(l, p, (E.col("l_partkey"),), (E.col("p_partkey"),), P.JoinType.INNER, "right")
+    j = P.HashJoin(
+        lp, avgq, (E.col("l_partkey"),), (E.col("l_partkey"),), P.JoinType.INNER, "right",
+        condition=E.col("l_quantity").cast(T.FLOAT64)
+        < E.lit(0.2) * E.col("avg_qty").cast(T.FLOAT64),
+    )
+    agg = j.aggregate([], [E.AggExpr("sum", E.col("l_extendedprice"), "s")])
+    agg.max_groups = 8
+    return P.Projection(
+        agg, ((E.col("s").cast(T.FLOAT64) / E.lit(7.0)).alias("avg_yearly"),)
+    )
+
+
+def q18(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Large volume customers: orders whose lineitem quantity sum > 300."""
+    l = P.Scan("lineitem", SCHEMAS["lineitem"])
+    perorder = l.aggregate([E.col("l_orderkey")], [E.AggExpr("sum", E.col("l_quantity"), "qty")])
+    perorder.max_groups = max_groups
+    big = P.Filter(perorder, E.col("qty") > E.lit(300, _dec(25, 2)))
+    o = P.Scan("orders", SCHEMAS["orders"])
+    ob = P.HashJoin(o, big, (E.col("o_orderkey"),), (E.col("l_orderkey"),), P.JoinType.LEFT_SEMI, "right")
+    c = P.Scan("customer", SCHEMAS["customer"])
+    oc = P.HashJoin(ob, c, (E.col("o_custkey"),), (E.col("c_custkey"),), P.JoinType.INNER, "right")
+    l2 = P.Scan("lineitem", SCHEMAS["lineitem"])
+    j = P.HashJoin(l2, oc, (E.col("l_orderkey"),), (E.col("o_orderkey"),), P.JoinType.INNER, "right")
+    agg = j.aggregate(
+        [E.col("c_name"), E.col("c_custkey"), E.col("o_orderkey"), E.col("o_orderdate"), E.col("o_totalprice")],
+        [E.AggExpr("sum", E.col("l_quantity"), "sum_qty")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("o_totalprice"), ascending=False), E.SortOrder(E.col("o_orderdate"))],
+        fetch=100,
+    )
+
+
 QUERIES = {
-    "q1": q1, "q3": q3, "q4": q4, "q5": q5, "q6": q6,
-    "q10": q10, "q12": q12, "q14": q14, "q19": q19,
+    "q1": q1, "q2": q2, "q3": q3, "q4": q4, "q5": q5, "q6": q6, "q7": q7,
+    "q8": q8, "q9": q9, "q10": q10, "q11": q11, "q12": q12, "q13": q13,
+    "q14": q14, "q15": q15, "q16": q16, "q17": q17, "q18": q18, "q19": q19,
 }
