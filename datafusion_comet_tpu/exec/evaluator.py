@@ -1604,12 +1604,37 @@ def _xxhash64_column(cv: ColumnVector, seed: jax.Array) -> jax.Array:
 
 
 def _f64_bits_i64(d: jax.Array) -> jax.Array:
-    """float64 → IEEE bits as int64 without a 64-bit bitcast (TPU X64-rewrite
-    lacks it): bitcast to 2×int32 words and recombine."""
-    words = jax.lax.bitcast_convert_type(d, jnp.int32)  # (..., 2) little-endian
-    lo = words[..., 0].astype(jnp.int64) & np.int64(0xFFFFFFFF)
-    hi = words[..., 1].astype(jnp.int64)
-    return (hi << 32) | lo
+    """float64 → IEEE-754 bits as int64 WITHOUT any bitcast (the TPU
+    X64-rewrite has no f64 bitcast): reconstructs sign/exponent/mantissa via
+    the exact power-of-two decomposition (sortkeys.f64_decompose). NaN is
+    canonicalized like Java's doubleToLongBits (Spark hashing contract)."""
+    from datafusion_comet_tpu.exec.sortkeys import f64_decompose
+
+    nan = jnp.isnan(d)
+    inf = jnp.isinf(d)
+    zero = d == 0.0
+    neg = (d < 0.0) & ~nan
+    finite = ~zero & ~inf & ~nan
+    e, m52 = f64_decompose(jnp.where(finite, d, 1.0))
+    normal = e >= -1022
+    exp_field = jnp.where(normal, e + 1023, 0).astype(jnp.int64)
+    # subnormal: frac = floor((2^52 + m52) / 2^(1022 - e... )) with shift 1..52
+    shift = jnp.clip(-1022 - e, 0, 52)  # 0 for normals
+    m_full = m52 + np.float64(2.0**52)
+    scale = jnp.ones_like(m_full)
+    for k in (32, 16, 8, 4, 2, 1):
+        hit = (shift & k) != 0
+        scale = jnp.where(hit, scale * np.float64(2.0) ** (-k), scale)
+    frac_sub = jnp.floor(m_full * scale)
+    frac = jnp.where(normal, m52, frac_sub).astype(jnp.int64)
+    frac = jnp.where(finite, frac, 0)
+    exp_field = jnp.where(finite, exp_field, 0)
+    bits = (exp_field << 52) | frac
+    bits = jnp.where(inf, np.int64(0x7FF0000000000000), bits)
+    bits = jnp.where(zero, np.int64(0), bits)
+    bits = jnp.where(neg, bits | np.int64(-0x8000000000000000), bits)
+    bits = jnp.where(nan, np.int64(0x7FF8000000000000), bits)
+    return bits
 
 
 def _murmur3_column(cv: ColumnVector, seed: jax.Array) -> jax.Array:

@@ -169,7 +169,8 @@ def _minmax_identity(dt: T.DataType, is_min: bool):
 # -------------------------------------------------------------------------------------
 
 
-_PACK_BITS_CAP = 20  # direct-bucket path: at most 2^20 buckets
+_PACK_BITS_CAP = 24  # packed-key paths: at most 2^24 distinct codes
+_BUCKET_BITS_CAP = 16  # direct scatter only below 2^16 buckets (compile cost)
 
 
 def _try_pack_keys(key_cols: Sequence[ColumnVector]):
@@ -222,11 +223,16 @@ def hash_aggregate(
     max_groups = min(max_groups, batch.capacity)
     key_cols = [evaluate(g, batch, ctx) for g in group_exprs]
     packed = _try_pack_keys(key_cols) if key_cols else None
-    if packed is not None:
+    if packed is not None and packed[1] <= (1 << _BUCKET_BITS_CAP):
         return _bucket_aggregate(
             batch, key_cols, agg_exprs, mode, packed, out_schema, ctx
         )
-    perm, seg, num_groups, first_orig = _segments(key_cols, batch.row_mask, max_groups)
+    # packed but too many buckets for direct scatter: the packed int32 still
+    # replaces multi-limb string keys as a single cheap sort key
+    key_limbs = [packed[0]] if packed is not None else None
+    perm, seg, num_groups, first_orig = _segments(
+        key_cols, batch.row_mask, max_groups, key_limbs
+    )
 
     out_cols: List[ColumnVector] = []
     # group-key output columns: gather each group's first row.

@@ -38,30 +38,66 @@ def _f32_orderable(f32: jax.Array) -> jax.Array:
     return jnp.where(bits < 0, jnp.int32(-0x80000000) - bits, bits)
 
 
-def _float_orderable(data: jax.Array) -> List[jax.Array]:
-    """Map floats to i64 limbs whose lexicographic signed order equals Spark
-    float order (NaN canonicalized greatest, -0.0 == 0.0).
+def f64_decompose(d: jax.Array):
+    """Exact (exponent, 52-bit mantissa) of |d| via arithmetic only — the TPU
+    X64-rewrite has no f64 bitcast at all, so bits are reconstructed with
+    power-of-two scaling (every step multiplies by an exact 2^±k, so the
+    normalized value a ∈ [1,2) is bit-exact).
 
-    TPU-safe: the X64-rewrite pass has no f64→s64 bitcast, so float64 is
-    decomposed into a non-overlapping (hi, mid, lo) float32 expansion
-    (x == hi+mid+lo exactly for finite x); each component orders natively
-    via an f32→i32 bitcast. float32 needs one limb."""
+    Returns (e, m52) as (int32, float64-integer) with a == (1 + m52/2^52),
+    d == ±a·2^e. Caller handles 0/NaN/Inf.
+
+    Known deviation: XLA enables flush-to-zero/denormals-are-zero, so
+    subnormal doubles compare equal to 0.0 and are classified as zero by
+    callers — consistent with every other arithmetic op in the engine, but
+    different from Spark-on-CPU for |x| < 2.23e-308 (documented, analogous
+    to the reference's allowIncompatible expressions)."""
+    a = jnp.abs(d)
+    e = jnp.zeros(d.shape, jnp.int32)
+    # scale down: bring a < 2
+    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        big = a >= np.float64(2.0) ** k
+        a = jnp.where(big, a * np.float64(2.0) ** (-k), a)
+        e = e + jnp.where(big, k, 0)
+    # scale up: bring a >= 1 (subnormals included; exact multiplies).
+    # 512 appears twice: one greedy pass covers a deficit of at most the sum
+    # of remaining steps, and subnormals need up to 2^1074 (> 1023).
+    for k in (512, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        small = a < np.float64(2.0) ** (1 - k)
+        a = jnp.where(small, a * np.float64(2.0) ** k, a)
+        e = e - jnp.where(small, k, 0)
+    m52 = (a - 1.0) * np.float64(2.0**52)  # exact integer in [0, 2^52)
+    return e, m52
+
+
+def _float_orderable(data: jax.Array) -> List[jax.Array]:
+    """Map floats to int32 limbs whose lexicographic signed order equals
+    Spark float order (NaN canonicalized greatest, -0.0 == 0.0). float64 uses
+    the arithmetic decomposition above: limbs (class, ±e, ±m_hi, ±m_lo)."""
     nan = jnp.isnan(data)
     if data.dtype == jnp.float32:
         d = jnp.where(data == 0.0, jnp.float32(0.0), data)
         d = jnp.where(nan, jnp.float32(jnp.inf), d)
         limb = _f32_orderable(d) + nan.astype(jnp.int32)  # NaN > +inf
-        return [limb.astype(jnp.int64)]
-    d = jnp.where(data == 0.0, 0.0, data).astype(jnp.float64)
-    d = jnp.where(nan, jnp.inf, d)
-    hi = d.astype(jnp.float32)
-    hi = jnp.where(jnp.isinf(hi) & ~jnp.isinf(d), jnp.sign(d).astype(jnp.float32) * jnp.float32(3.4e38), hi)
-    mid = (d - hi.astype(jnp.float64)).astype(jnp.float32)
-    lo = (d - hi.astype(jnp.float64) - mid.astype(jnp.float64)).astype(jnp.float32)
-    l0 = _f32_orderable(jnp.where(nan, jnp.float32(jnp.inf), hi)) + nan.astype(jnp.int32)
-    l1 = _f32_orderable(jnp.where(nan, jnp.float32(0), mid))
-    l2 = _f32_orderable(jnp.where(nan, jnp.float32(0), lo))
-    return [l0.astype(jnp.int64), l1.astype(jnp.int64), l2.astype(jnp.int64)]
+        return [limb]
+    d = data.astype(jnp.float64)
+    zero = d == 0.0
+    inf = jnp.isinf(d)
+    neg = (d < 0.0) & ~nan
+    finite = ~zero & ~inf & ~nan
+    e, m52 = f64_decompose(jnp.where(finite, d, 1.0))
+    mhi = jnp.floor(m52 * np.float64(2.0**-26)).astype(jnp.int32)
+    mlo = (m52 - mhi.astype(jnp.float64) * np.float64(2.0**26)).astype(jnp.int32)
+    BIGE = jnp.int32(5000)
+    e = jnp.where(zero, -BIGE, jnp.where(inf, BIGE, jnp.where(nan, BIGE + 1, e)))
+    mhi = jnp.where(finite, mhi, 0)
+    mlo = jnp.where(finite, mlo, 0)
+    # sign class first; within negatives all magnitude limbs reverse
+    l0 = jnp.where(nan, jnp.int32(2), jnp.where(zero, 0, jnp.where(neg, -1, 1)))
+    l1 = jnp.where(neg, -e, e)
+    l2 = jnp.where(neg, -mhi, mhi)
+    l3 = jnp.where(neg, -mlo, mlo)
+    return [l0, l1, l2, l3]
 
 
 def _string_limbs(cv: ColumnVector) -> List[jax.Array]:
