@@ -110,16 +110,22 @@ def state_fields(a: E.AggExpr) -> List[T.Field]:
 
 
 def _segments(
-    key_cols: Sequence[ColumnVector], row_mask: jax.Array, max_groups: int
+    key_cols: Sequence[ColumnVector],
+    row_mask: jax.Array,
+    max_groups: int,
+    key_limbs: Optional[List[jax.Array]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sort rows by group key; return (perm, seg_id(per sorted row, dead rows
     → max_groups so segment ops drop them), num_groups, first_row_src_index).
+    ``key_limbs`` overrides the per-column limbs (e.g. a packed int32 key).
     """
     cap = row_mask.shape[0]
-    if key_cols:
-        limbs = [(~row_mask).astype(jnp.int64)] + sortkeys.grouping_limbs(key_cols)
+    if key_limbs is not None:
+        limbs = [(~row_mask).astype(jnp.int32)] + list(key_limbs)
+    elif key_cols:
+        limbs = [(~row_mask).astype(jnp.int32)] + sortkeys.grouping_limbs(key_cols)
     else:
-        limbs = [(~row_mask).astype(jnp.int64)]
+        limbs = [(~row_mask).astype(jnp.int32)]
     perm = sortkeys.lexsort(limbs)
     sorted_mask = row_mask[perm]
     changed = jnp.zeros(cap, bool).at[0].set(True)

@@ -48,7 +48,7 @@ def sort_op(
     """Total sort; live rows end up front-packed in sort order. fetch/skip
     trim via the mask (reference: Sort carries limit+offset,
     planner.rs:1479-1512)."""
-    limbs = [(~batch.row_mask).astype(jnp.int64)]
+    limbs = [(~batch.row_mask).astype(jnp.int32)]
     for o in orders:
         cv = evaluate(o.child, batch, ctx)
         limbs += sortkeys.order_limbs(cv, o.ascending, o.resolved_nulls_first(), batch.row_mask)

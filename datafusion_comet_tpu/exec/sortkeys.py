@@ -105,6 +105,13 @@ def _string_limbs(cv: ColumnVector) -> List[jax.Array]:
     compare == unsigned byte compare. Zero padding encodes prefix order."""
     mat = cv.data
     cap, w = mat.shape
+    if w <= 4:
+        # short strings: one native int32 limb (big-endian pack + sign flip)
+        m = jnp.zeros(cap, jnp.int32)
+        for i in range(4):
+            b = mat[:, i].astype(jnp.int32) if i < w else jnp.zeros(cap, jnp.int32)
+            m = (m << 8) | b
+        return [m ^ jnp.int32(-0x80000000)]
     n_limbs = (w + 7) // 8
     padded_w = n_limbs * 8
     if padded_w != w:
@@ -149,7 +156,7 @@ def order_limbs(
         # descending: bitwise-not (= -v-1) reverses signed order limb-wise,
         # which reverses the lexicographic order of the limb sequence.
         vals = [~v for v in vals]
-    null_rank = jnp.where(cv.validity, 1, 0 if nulls_first else 2).astype(jnp.int64)
+    null_rank = jnp.where(cv.validity, 1, 0 if nulls_first else 2).astype(jnp.int32)
     return [null_rank] + vals
 
 
@@ -158,7 +165,7 @@ def grouping_limbs(cols: Sequence[ColumnVector]) -> List[jax.Array]:
     its own group)."""
     out: List[jax.Array] = []
     for cv in cols:
-        out.append((~cv.validity).astype(jnp.int64))
+        out.append((~cv.validity).astype(jnp.int32))
         vals = column_limbs(cv)
         # neutralize null rows' values so all nulls land in one group
         out.extend([jnp.where(cv.validity, v, 0) for v in vals])
