@@ -37,16 +37,22 @@ def main() -> None:
     plan = tpch.q1()
     bound, fn = sess.compile(plan)
 
+    def sync(out):
+        # device_get forces completion even where block_until_ready is a
+        # no-op (remote/async backends); pull one fixed-width output column
+        np.asarray(out.row_mask)
+        np.asarray(out.columns[-1].data)
+
     t_c = time.time()
     out, _ = fn(sess.tables)  # compile + first run
-    jax.block_until_ready(out.row_mask)
+    sync(out)
     compile_s = time.time() - t_c
 
     times = []
     for _ in range(reps):
         t0 = time.time()
         out, _ = fn(sess.tables)
-        jax.block_until_ready(out.row_mask)
+        sync(out)
         times.append(time.time() - t0)
     best = min(times)
     rows_per_s = n_rows / best

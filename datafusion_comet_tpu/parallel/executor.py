@@ -189,6 +189,7 @@ def run_plan_spmd(
     axis_name: str = PARTITION_AXIS,
     join_fanout: int = 4,
     single_device: bool = False,
+    shuffle_slack: int = 2,
 ) -> Tuple[Batch, jax.Array]:
     """Execute a distributed plan; call inside shard_map (tables are the
     per-device shards). Returns (local result batch, overflow flag)."""
@@ -196,15 +197,15 @@ def run_plan_spmd(
     if not single_device:
         ctx.partition_id = jax.lax.axis_index(axis_name)
     flags: List[jax.Array] = []
-    out = _exec_spmd(plan, tables, ctx, flags, num_partitions, axis_name, join_fanout, single_device)
+    out = _exec_spmd(plan, tables, ctx, flags, num_partitions, axis_name, join_fanout, single_device, shuffle_slack)
     ovf = jnp.any(jnp.stack(flags)) if flags else jnp.zeros((), bool)
     if not single_device:
         ovf = jax.lax.pmax(ovf.astype(jnp.int32), axis_name).astype(bool)
     return out, ovf
 
 
-def _exec_spmd(plan, tables, ctx, flags, np_, axis, fanout, single) -> Batch:
-    rec = lambda p: _exec_spmd(p, tables, ctx, flags, np_, axis, fanout, single)
+def _exec_spmd(plan, tables, ctx, flags, np_, axis, fanout, single, slack=2) -> Batch:
+    rec = lambda p: _exec_spmd(p, tables, ctx, flags, np_, axis, fanout, single, slack)
     if isinstance(plan, Broadcast):
         child = rec(plan.child)
         if single:
@@ -220,9 +221,11 @@ def _exec_spmd(plan, tables, ctx, flags, np_, axis, fanout, single) -> Batch:
             pids = partition_ids_round_robin(child, np_)
         else:
             raise NotImplementedError(f"partitioning {plan.partitioning}")
-        slot_cap = None
         if plan.partitioning == "single":
             slot_cap = child.capacity  # everything lands on device 0
+        else:
+            # skew headroom: slack× the perfectly-balanced rows/partition
+            slot_cap = max((slack * child.capacity) // np_, 16)
         out, ovf = shuffle_batch(child, pids, axis, np_, slot_cap=slot_cap, single_device=single)
         flags.append(ovf)
         return out
@@ -305,18 +308,18 @@ class DistributedSession:
         sh = NamedSharding(self.mesh, PSpec(PARTITION_AXIS))
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
-    def compile(self, plan: P.PlanNode):
+    def compile(self, plan: P.PlanNode, shuffle_slack: int = 2, join_fanout=None):
         bound = P.bind_plan(plan) if plan.schema is None else plan
         dplan = distribute(bound, self.num_partitions)
         np_ = self.num_partitions
-        fanout = self.join_fanout
+        fanout = join_fanout or self.join_fanout
         mesh = self.mesh
-
-        in_specs = jax.tree_util.tree_map(lambda _: PSpec(PARTITION_AXIS), self.tables)
 
         def step(tables):
             fn = shard_map(
-                lambda t: run_plan_spmd(dplan, t, np_, PARTITION_AXIS, fanout),
+                lambda t: run_plan_spmd(
+                    dplan, t, np_, PARTITION_AXIS, fanout, False, shuffle_slack
+                ),
                 mesh=mesh,
                 in_specs=(PSpec(PARTITION_AXIS),),
                 out_specs=(PSpec(PARTITION_AXIS), PSpec()),
@@ -327,11 +330,19 @@ class DistributedSession:
         return dplan, jax.jit(step)
 
     def execute(self, plan: P.PlanNode) -> Batch:
-        dplan, fn = self.compile(plan)
-        out, ovf = fn(self.tables)
-        if bool(jnp.any(ovf)):
-            raise RuntimeError("shuffle/join overflow — re-plan with more headroom")
-        return out
+        """Execute with skew re-planning: on shuffle-bucket or join-fanout
+        overflow, retry with doubled slot slack and 4x join fan-out (the
+        AQE-like adaptive re-plan; reference analog: spill-on-pressure +
+        AQE skew splitting, SURVEY.md §5)."""
+        slack, fanout = 2, self.join_fanout
+        for attempt in range(4):
+            dplan, fn = self.compile(plan, shuffle_slack=slack, join_fanout=fanout)
+            out, ovf = fn(self.tables)
+            if not bool(jnp.any(ovf)):
+                return out
+            slack *= 2
+            fanout *= 4
+        raise RuntimeError("shuffle/join overflow after skew re-planning retries")
 
     def collect(self, plan: P.PlanNode):
         return to_numpy(self.execute(plan))
