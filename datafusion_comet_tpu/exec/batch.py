@@ -33,7 +33,15 @@ import numpy as np
 
 from datafusion_comet_tpu import types as T
 
-__all__ = ["ColumnVector", "Batch", "pad_capacity", "from_numpy", "to_numpy"]
+__all__ = [
+    "ColumnVector",
+    "Batch",
+    "pad_capacity",
+    "from_numpy",
+    "to_numpy",
+    "nested_from_py",
+    "nested_to_py",
+]
 
 
 def pad_capacity(n: int, minimum: int = 8) -> int:
@@ -46,29 +54,36 @@ def pad_capacity(n: int, minimum: int = 8) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["data", "validity", "lengths"],
+    data_fields=["data", "validity", "lengths", "children"],
     meta_fields=["dtype"],
 )
 @dataclasses.dataclass
 class ColumnVector:
     """One column: data buffer + validity mask (+ lengths for var-len types).
 
-    data:     (cap,) for fixed-width types; (cap, max_len) uint8 for STRING/BYTES.
+    data:     (cap,) for fixed-width types; (cap, max_len) uint8 for STRING/BYTES;
+              (cap,) int32 per-row element counts for LIST/MAP; (cap,) int8
+              placeholder for STRUCT.
     validity: (cap,) bool, True = non-null.
     lengths:  (cap,) int32 for STRING/BYTES else None.
+    children: nested children (static-shape analog of Arrow child arrays):
+              LIST/MAP → one element CV whose buffers carry an extra
+              ``max_elems`` axis after the row axis (data (cap, E, ...),
+              validity (cap, E)); STRUCT → one CV per field, row-shaped.
     """
 
     data: jax.Array
     validity: jax.Array
     lengths: Optional[jax.Array]
     dtype: T.DataType
+    children: Tuple["ColumnVector", ...] = ()
 
     @property
     def capacity(self) -> int:
         return self.data.shape[0]
 
     def with_validity(self, validity: jax.Array) -> "ColumnVector":
-        return ColumnVector(self.data, validity, self.lengths, self.dtype)
+        return ColumnVector(self.data, validity, self.lengths, self.dtype, self.children)
 
     def take(self, indices: jax.Array, fill_invalid: bool = False) -> "ColumnVector":
         """Gather rows by index. Indices must be in-range; callers mask
@@ -76,7 +91,8 @@ class ColumnVector:
         data = jnp.take(self.data, indices, axis=0)
         validity = jnp.take(self.validity, indices, axis=0)
         lengths = None if self.lengths is None else jnp.take(self.lengths, indices, axis=0)
-        return ColumnVector(data, validity, lengths, self.dtype)
+        children = tuple(c.take(indices) for c in self.children)
+        return ColumnVector(data, validity, lengths, self.dtype, children)
 
 
 @partial(
@@ -116,6 +132,121 @@ class Batch:
 # -------------------------------------------------------------------------------------
 # Host <-> device conversion
 # -------------------------------------------------------------------------------------
+
+
+def _reshape_cv(cv: ColumnVector, lead: Tuple[int, ...]) -> ColumnVector:
+    """Recursively reshape a CV's row axis (cap*E, ...) -> (cap, E, ...)."""
+
+    def rs(a):
+        return None if a is None else jnp.reshape(a, lead + a.shape[1:])
+
+    return ColumnVector(
+        rs(cv.data), rs(cv.validity), rs(cv.lengths), cv.dtype,
+        tuple(_reshape_cv(c, lead) for c in cv.children),
+    )
+
+
+def nested_from_py(values, dtype: T.DataType, cap: int) -> ColumnVector:
+    """Build a (possibly nested) ColumnVector from a length-n Python sequence,
+    padded to ``cap`` rows. Accepts None (null), lists (LIST), dicts (MAP or
+    STRUCT by name), tuples (STRUCT by position), and scalars."""
+    n = len(values)
+    valid = np.zeros(cap, bool)
+    valid[:n] = [v is not None for v in values]
+    if dtype.is_list or dtype.is_map:
+        E = dtype.max_elems
+        lens = np.zeros(cap, np.int32)
+        flat = []
+        for i, v in enumerate(values):
+            if dtype.is_map and isinstance(v, dict):
+                v = sorted(v.items())  # map normalization: entries sorted by key
+            items = list(v) if v is not None else []
+            if len(items) > E:
+                raise ValueError(f"list of {len(items)} items exceeds max_elems={E}")
+            lens[i] = len(items)
+            flat.extend(items + [None] * (E - len(items)))
+        flat.extend([None] * ((cap - n) * E))
+        elem = nested_from_py(flat, dtype.element, cap * E)
+        elem = _reshape_cv(elem, (cap, E))
+        return ColumnVector(jnp.asarray(lens), jnp.asarray(valid), None, dtype, (elem,))
+    if dtype.is_struct:
+        kids = []
+        for j, f in enumerate(dtype.struct_fields):
+            fv = [
+                (None if v is None else (v.get(f.name) if isinstance(v, dict) else v[j]))
+                for v in values
+            ]
+            kids.append(nested_from_py(fv, f.dtype, cap))
+        return ColumnVector(
+            jnp.zeros(cap, jnp.int8), jnp.asarray(valid), None, dtype, tuple(kids)
+        )
+    if dtype.is_binary:
+        max_len = dtype.byte_width
+        mat, lens = _pad_strings_np(np.array(values, dtype=object), max_len)
+        mat_pad = np.zeros((cap, max_len), np.uint8)
+        mat_pad[:n] = mat
+        lens_pad = np.zeros(cap, np.int32)
+        lens_pad[:n] = lens
+        return ColumnVector(jnp.asarray(mat_pad), jnp.asarray(valid), jnp.asarray(lens_pad), dtype)
+    phys = dtype.np_dtype()
+    buf = np.zeros(cap, phys)
+    scale = 10 ** dtype.scale if dtype.is_decimal else 1
+    for i, v in enumerate(values):
+        if v is not None:
+            buf[i] = round(v * scale) if dtype.is_decimal and isinstance(v, float) else v
+    return ColumnVector(jnp.asarray(buf), jnp.asarray(valid), None, dtype)
+
+
+def nested_to_py(cv: ColumnVector, idx=None):
+    """Pull a (possibly nested) CV back to host Python values (row-major list).
+    ``idx``: optional row indices (numpy) selecting live rows."""
+    valid = np.asarray(cv.validity)
+    data = np.asarray(cv.data)
+    if idx is None:
+        idx = np.arange(valid.shape[0])
+    dt = cv.dtype
+    if dt.is_list or dt.is_map:
+        elem = cv.children[0]
+        out = []
+        for i in idx:
+            if not valid[i]:
+                out.append(None)
+                continue
+            row_elem = ColumnVector(
+                elem.data[i], elem.validity[i],
+                None if elem.lengths is None else elem.lengths[i],
+                dt.element, tuple(_index_child(c, i) for c in elem.children),
+            )
+            items = nested_to_py(row_elem, np.arange(int(data[i])))
+            if dt.is_map:
+                out.append({it["key"]: it["value"] for it in items})
+            else:
+                out.append(items)
+        return out
+    if dt.is_struct:
+        kids = [nested_to_py(c, idx) for c in cv.children]
+        names = [f.name for f in dt.struct_fields]
+        return [
+            ({n: k[j] for n, k in zip(names, kids)} if valid[i] else None)
+            for j, i in enumerate(idx)
+        ]
+    if dt.is_binary:
+        lens = np.asarray(cv.lengths)
+        return [
+            bytes(data[i, : lens[i]]).decode("utf-8", "replace") if valid[i] else None
+            for i in idx
+        ]
+    if dt.is_decimal and dt.scale:
+        return [int(data[i]) / 10**dt.scale if valid[i] else None for i in idx]
+    return [data[i].item() if valid[i] else None for i in idx]
+
+
+def _index_child(cv: ColumnVector, i) -> ColumnVector:
+    return ColumnVector(
+        cv.data[i], cv.validity[i],
+        None if cv.lengths is None else cv.lengths[i],
+        cv.dtype, tuple(_index_child(c, i) for c in cv.children),
+    )
 
 
 def _pad_strings_np(values: np.ndarray, max_len: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -160,6 +291,9 @@ def from_numpy(
     cols = []
     for f in schema.fields:
         raw = data[f.name]
+        if f.dtype.is_nested:
+            cols.append(nested_from_py(list(raw), f.dtype, cap))
+            continue
         if isinstance(raw, tuple):  # pre-padded (matrix, lengths)
             v = raw[0]
         else:
@@ -213,6 +347,14 @@ def to_numpy(batch: Batch) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for f, col in zip(batch.schema.fields, batch.columns):
         valid = np.asarray(col.validity)[mask]
+        if f.dtype.is_nested:
+            idx = np.nonzero(mask)[0]
+            vals = np.empty(len(idx), dtype=object)
+            for j, v in enumerate(nested_to_py(col, idx)):
+                vals[j] = v
+            out[f.name] = vals
+            out[f.name + "__valid"] = valid
+            continue
         if f.dtype.is_binary:
             mat = np.asarray(col.data)[mask]
             lens = np.asarray(col.lengths)[mask]

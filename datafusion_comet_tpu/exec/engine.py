@@ -86,6 +86,11 @@ def _exec_inner(plan, tables, ctx, flags, fanout, metrics=None) -> Batch:
         return B.limit_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.limit, plan.offset)
     if isinstance(plan, P.Expand):
         return B.expand_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.projections, plan.schema, ctx)
+    if isinstance(plan, P.Explode):
+        return B.explode_op(
+            _exec(plan.child, tables, ctx, flags, fanout, metrics),
+            plan.expr, plan.schema, plan.outer, plan.pos, ctx,
+        )
     if isinstance(plan, P.Sample):
         return B.sample_op(
             _exec(plan.child, tables, ctx, flags, fanout, metrics),

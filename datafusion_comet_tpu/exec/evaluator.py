@@ -97,6 +97,10 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
         return _math_func(e, b, ctx)
     if isinstance(e, E.HashFunc):
         return _hash_func(e, b, ctx)
+    if isinstance(e, (E.ArrayExpr, E.StructExpr, E.GetStructField, E.MapExpr)):
+        from datafusion_comet_tpu.exec import nested as NESTED
+
+        return NESTED.ev_nested(e, b, ctx, _ev)
     if isinstance(e, E.MonotonicallyIncreasingId):
         # Spark: partition_id << 33 | row index within partition
         idx = jnp.arange(b.capacity, dtype=jnp.int64) + ctx.batch_row_offset

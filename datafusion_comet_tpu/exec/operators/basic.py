@@ -21,7 +21,15 @@ from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
 from datafusion_comet_tpu.exec.evaluator import EvalContext, evaluate, evaluate_predicate
 from datafusion_comet_tpu.ir import expr as E
 
-__all__ = ["filter_op", "project_op", "sort_op", "limit_op", "expand_op", "sample_op"]
+__all__ = [
+    "filter_op",
+    "project_op",
+    "sort_op",
+    "limit_op",
+    "expand_op",
+    "explode_op",
+    "sample_op",
+]
 
 _DEFAULT_CTX = EvalContext()
 
@@ -95,6 +103,58 @@ def expand_op(
         out_cols.append(ColumnVector(data, val, ln, out_schema.fields[ci].dtype))
     mask = jnp.repeat(batch.row_mask, n_proj)
     return Batch(tuple(out_cols), mask, out_schema)
+
+
+def explode_op(
+    batch: Batch,
+    expr: E.Expr,
+    out_schema: T.Schema,
+    outer: bool = False,
+    pos: bool = False,
+    ctx: EvalContext = _DEFAULT_CTX,
+) -> Batch:
+    """explode/posexplode(_outer) over a LIST or MAP column (reference:
+    planner.rs:1918 Explode arm). Static shapes: out[r*E + e] = element e of
+    row r, live iff e < len(r); ``outer`` keeps a single null-element row for
+    null/empty inputs. Repeated child columns via an index gather XLA fuses
+    with downstream ops."""
+    arr = evaluate(expr, batch, ctx)
+    cap = batch.capacity
+    E_ = arr.children[0].validity.shape[1]
+    lens = arr.data
+    pos_mat = jnp.broadcast_to(jnp.arange(E_, dtype=jnp.int32)[None, :], (cap, E_))
+    live = pos_mat < lens[:, None]
+    gen_valid = jnp.ones((cap, E_), bool)
+    if outer:
+        # empty or null input → keep slot 0 with a null generated value
+        empty = (~arr.validity) | (lens == 0)
+        live = live | (empty[:, None] & (pos_mat == 0))
+        gen_valid = gen_valid & ~empty[:, None]
+    row_live = (live & batch.row_mask[:, None]).reshape(cap * E_)
+    src = jnp.repeat(jnp.arange(cap, dtype=jnp.int32), E_)
+    out_cols = [c.take(src) for c in batch.columns]
+    flat = lambda a: a.reshape((cap * E_,) + a.shape[2:])  # noqa: E731
+    if pos:
+        out_cols.append(
+            ColumnVector(flat(pos_mat), flat(gen_valid), None, T.INT32)
+        )
+
+    def flat_cv(cv: ColumnVector) -> ColumnVector:
+        from datafusion_comet_tpu.exec.nested import _map_elem
+
+        return _map_elem(cv, lambda a: None if a is None else flat(a))
+
+    elem = arr.children[0]
+    if expr.dtype.is_map:
+        key_cv, val_cv = elem.children
+        kf = flat_cv(key_cv)
+        vf = flat_cv(val_cv)
+        out_cols.append(kf.with_validity(kf.validity & flat(gen_valid)))
+        out_cols.append(vf.with_validity(vf.validity & flat(gen_valid)))
+    else:
+        ef = flat_cv(elem)
+        out_cols.append(ef.with_validity(ef.validity & flat(gen_valid)))
+    return Batch(tuple(out_cols), row_live, out_schema)
 
 
 def sample_op(

@@ -40,6 +40,10 @@ __all__ = [
     "TemporalFunc",
     "MathFunc",
     "HashFunc",
+    "ArrayExpr",
+    "StructExpr",
+    "GetStructField",
+    "MapExpr",
     "SortOrder",
     "AggExpr",
     "AggFunc",
@@ -336,6 +340,61 @@ class HashFunc(Expr):
     func: str
     args: Tuple[Expr, ...]
     seed: int = 42
+
+    def children(self):
+        return self.args
+
+
+@_node
+class ArrayExpr(Expr):
+    """Array functions over LIST columns (reference: spark-expr/src/array_funcs/).
+
+    funcs: array (make), size, array_contains, array_position, element_at,
+    get_array_item (0-based), array_min, array_max, sort_array, array_distinct,
+    array_remove, array_append, array_prepend, array_repeat, arrays_overlap,
+    slice, array_join, array_union, array_intersect, array_except,
+    array_compact, array_reverse, flatten."""
+
+    func: str
+    args: Tuple[Expr, ...]
+
+    def children(self):
+        return self.args
+
+
+@_node
+class StructExpr(Expr):
+    """struct/named_struct construction (reference: spark-expr/src/struct_funcs/)."""
+
+    args: Tuple[Expr, ...]
+    names: Tuple[str, ...]
+
+    def children(self):
+        return self.args
+
+
+@_node
+class GetStructField(Expr):
+    """Extract one field of a STRUCT column (reference: struct_funcs
+    GetStructField). ``field`` may be a name (str) or an ordinal (int)."""
+
+    child: Expr
+    field: object
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class MapExpr(Expr):
+    """Map functions over MAP columns — stored as entry lists normalized
+    sorted by key (reference: spark-expr/src/map_funcs/ incl. map_sort).
+
+    funcs: map (make from k1,v1,k2,v2,...), map_from_arrays, map_keys,
+    map_values, map_entries, element_at, map_contains_key, size."""
+
+    func: str
+    args: Tuple[Expr, ...]
 
     def children(self):
         return self.args
@@ -708,6 +767,35 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         out = HashFunc(e.func, args, e.seed)
         object.__setattr__(out, "dtype", T.INT32 if e.func == "murmur3" else T.INT64)
         return out
+    if isinstance(e, ArrayExpr):
+        args = tuple(_bind(a, schema) for a in e.args)
+        out = ArrayExpr(e.func, args)
+        object.__setattr__(out, "dtype", _array_func_type(e.func, args))
+        return out
+    if isinstance(e, StructExpr):
+        args = tuple(_bind(a, schema) for a in e.args)
+        names = e.names or tuple(f"col{i+1}" for i in range(len(args)))
+        out = StructExpr(args, names)
+        object.__setattr__(
+            out, "dtype", T.struct(*[(n, a.dtype) for n, a in zip(names, args)])
+        )
+        return out
+    if isinstance(e, GetStructField):
+        c = _bind(e.child, schema)
+        st = c.dtype
+        assert st is not None and st.is_struct, f"get_struct_field on {st!r}"
+        if isinstance(e.field, str):
+            idx = next(i for i, f in enumerate(st.struct_fields) if f.name == e.field)
+        else:
+            idx = int(e.field)
+        out = GetStructField(c, idx)
+        object.__setattr__(out, "dtype", st.struct_fields[idx].dtype)
+        return out
+    if isinstance(e, MapExpr):
+        args = tuple(_bind(a, schema) for a in e.args)
+        out = MapExpr(e.func, args)
+        object.__setattr__(out, "dtype", _map_func_type(e.func, args))
+        return out
     if isinstance(e, RandExpr):
         out = RandExpr(e.func, e.seed)
         object.__setattr__(out, "dtype", T.FLOAT64)
@@ -738,6 +826,82 @@ def _binary_result_type(op: str, l: Expr, r: Expr) -> T.DataType:
             return T.FLOAT64
         return T.common_type(lt, rt)
     raise NotImplementedError(op)
+
+
+def _array_func_type(func: str, args: Sequence[Expr]) -> T.DataType:
+    a0 = args[0].dtype if args else None
+    if func == "array":
+        ct = args[0].dtype
+        for a in args[1:]:
+            ct = T.common_type(ct, a.dtype)
+        return T.list_(ct, max(len(args), 1))
+    if func == "size":
+        return T.INT32
+    if func in ("array_contains", "arrays_overlap"):
+        return T.BOOL
+    if func == "array_position":
+        return T.INT64
+    if func in ("element_at", "get_array_item", "array_min", "array_max"):
+        assert a0 is not None and a0.is_list
+        return a0.element
+    if func in ("sort_array", "array_distinct", "array_remove", "array_compact",
+                "array_reverse", "slice"):
+        assert a0 is not None and a0.is_list
+        return a0
+    if func in ("array_append", "array_prepend"):
+        return T.list_(a0.element, a0.max_elems + 1)
+    if func == "array_repeat":
+        n = args[1]
+        count = n.value if isinstance(n, Literal) else T.DEFAULT_LIST_ELEMS
+        return T.list_(args[0].dtype, max(int(count), 1))
+    if func == "array_union":
+        b = args[1].dtype
+        return T.list_(T.common_type(a0.element, b.element), a0.max_elems + b.max_elems)
+    if func == "array_intersect":
+        b = args[1].dtype
+        return T.list_(a0.element, min(a0.max_elems, b.max_elems))
+    if func == "array_except":
+        return a0
+    if func == "array_join":
+        assert a0 is not None and a0.is_list and a0.element.is_string
+        sep_w = args[1].dtype.byte_width if args[1].dtype.is_binary else 4
+        return T.string(a0.max_elems * (a0.element.byte_width + sep_w))
+    if func == "flatten":
+        assert a0 is not None and a0.is_list and a0.element.is_list
+        return T.list_(a0.element.element, a0.max_elems * a0.element.max_elems)
+    raise NotImplementedError(f"array func {func}")
+
+
+def _map_func_type(func: str, args: Sequence[Expr]) -> T.DataType:
+    a0 = args[0].dtype if args else None
+    if func == "map":
+        kt = args[0].dtype
+        vt = args[1].dtype
+        for i in range(2, len(args), 2):
+            kt = T.common_type(kt, args[i].dtype)
+            vt = T.common_type(vt, args[i + 1].dtype)
+        return T.map_(kt, vt, max(len(args) // 2, 1))
+    if func == "map_from_arrays":
+        ka, va = args[0].dtype, args[1].dtype
+        assert ka.is_list and va.is_list
+        return T.map_(ka.element, va.element, ka.max_elems)
+    if func == "map_keys":
+        assert a0 is not None and a0.is_map
+        return T.list_(a0.key_type, a0.max_elems)
+    if func == "map_values":
+        assert a0 is not None and a0.is_map
+        return T.list_(a0.value_type, a0.max_elems)
+    if func == "map_entries":
+        assert a0 is not None and a0.is_map
+        return T.list_(a0.element, a0.max_elems)
+    if func == "element_at":
+        assert a0 is not None and a0.is_map
+        return a0.value_type
+    if func == "map_contains_key":
+        return T.BOOL
+    if func == "size":
+        return T.INT32
+    raise NotImplementedError(f"map func {func}")
 
 
 def _string_func_type(func: str, args: Sequence[Expr]) -> T.DataType:

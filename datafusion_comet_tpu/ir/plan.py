@@ -233,12 +233,16 @@ class Window(PlanNode):
 
 @_plan
 class Explode(PlanNode):
-    """Generate/explode arrays (reference: operators/explode; placeholder
-    until LIST type lands)."""
+    """Generate one output row per array/map element (reference:
+    native/core/src/execution/operators/explode — planner.rs:1918). Static
+    shape: output capacity = child capacity × max_elems; absent slots stay
+    masked. ``pos`` adds a 0-based position column (posexplode); ``outer``
+    keeps a null row for empty/null inputs."""
 
     child: PlanNode
     expr: E.Expr
     outer: bool = False
+    pos: bool = False
 
     def children(self):
         return (self.child,)
@@ -408,6 +412,23 @@ def bind_plan(plan: PlanNode) -> PlanNode:
             list(child.schema.fields)
             + [T.Field(w.out_name, W.result_dtype(w)) for w in wexprs]
         )
+        return out
+    if isinstance(plan, Explode):
+        child = kids[0]
+        ex = E.bind(plan.expr, child.schema)
+        out = Explode(child, ex, plan.outer, plan.pos)
+        gen_fields = []
+        if plan.pos:
+            gen_fields.append(T.Field("pos", T.INT32))
+        if ex.dtype.is_map:
+            gen_fields += [
+                T.Field("key", ex.dtype.key_type),
+                T.Field("value", ex.dtype.value_type),
+            ]
+        else:
+            assert ex.dtype.is_list, f"explode over {ex.dtype!r}"
+            gen_fields.append(T.Field("col", ex.dtype.element))
+        out.schema = T.Schema(list(child.schema.fields) + gen_fields)
         return out
     if isinstance(plan, Sample):
         out = Sample(kids[0], plan.lower_bound, plan.upper_bound, plan.with_replacement, plan.seed)

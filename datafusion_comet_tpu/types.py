@@ -42,6 +42,9 @@ __all__ = [
     "string",
     "binary",
     "decimal",
+    "list_",
+    "struct",
+    "map_",
     "Field",
     "Schema",
 ]
@@ -68,6 +71,12 @@ class DataType:
     scale: int = 0  # decimal only
     max_len: int = 0  # string/binary only: padded byte width
     tz: Optional[str] = None  # timestamp only
+    # Nested types (reference: types.proto LIST/MAP/STRUCT variants). LIST/MAP
+    # carry a fixed per-row element capacity — the static-shape analog of
+    # Arrow's variable-length list offsets (SURVEY.md §7 hard part 1).
+    element: Optional["DataType"] = None  # LIST: element type; MAP: entry STRUCT
+    max_elems: int = 0  # LIST/MAP: padded per-row element capacity
+    struct_fields: Tuple["Field", ...] = ()  # STRUCT only
 
     # ---- classification helpers -------------------------------------------------
     @property
@@ -102,6 +111,33 @@ class DataType:
     def is_boolean(self) -> bool:
         return self.type_id == "BOOL"
 
+    @property
+    def is_list(self) -> bool:
+        return self.type_id == "LIST"
+
+    @property
+    def is_map(self) -> bool:
+        return self.type_id == "MAP"
+
+    @property
+    def is_struct(self) -> bool:
+        return self.type_id == "STRUCT"
+
+    @property
+    def is_nested(self) -> bool:
+        return self.type_id in ("LIST", "MAP", "STRUCT")
+
+    # MAP convenience: entries are a STRUCT(key, value)
+    @property
+    def key_type(self) -> "DataType":
+        assert self.is_map and self.element is not None
+        return self.element.struct_fields[0].dtype
+
+    @property
+    def value_type(self) -> "DataType":
+        assert self.is_map and self.element is not None
+        return self.element.struct_fields[1].dtype
+
     # ---- physical mapping --------------------------------------------------------
     def np_dtype(self) -> np.dtype:
         """numpy dtype of the primary data buffer (device representation)."""
@@ -130,6 +166,10 @@ class DataType:
             return np.dtype(np.int64)
         if self.type_id in ("STRING", "BYTES"):
             return np.dtype(np.uint8)
+        if self.type_id in ("LIST", "MAP"):
+            return np.dtype(np.int32)  # parent buffer holds per-row lengths
+        if self.type_id == "STRUCT":
+            return np.dtype(np.int8)  # placeholder; data lives in children
         raise NotImplementedError(f"no physical dtype for {self}")
 
     @property
@@ -151,6 +191,13 @@ class DataType:
             return f"string({self.max_len})" if self.max_len else "string"
         if self.type_id == "TIMESTAMP" and self.tz:
             return f"timestamp<{self.tz}>"
+        if self.type_id == "LIST":
+            return f"array<{self.element!r}>[{self.max_elems}]"
+        if self.type_id == "MAP":
+            return f"map<{self.key_type!r},{self.value_type!r}>[{self.max_elems}]"
+        if self.type_id == "STRUCT":
+            inner = ",".join(f"{f.name}:{f.dtype!r}" for f in self.struct_fields)
+            return f"struct<{inner}>"
         return self.type_id.lower()
 
 
@@ -185,6 +232,26 @@ def decimal(precision: int, scale: int) -> DataType:
 StringType = string
 BinaryType = binary
 DecimalType = decimal
+
+# Default per-row element capacity for LIST/MAP when unspecified.
+DEFAULT_LIST_ELEMS = 16
+
+
+def list_(element: DataType, max_elems: int = DEFAULT_LIST_ELEMS) -> DataType:
+    """ARRAY<element> with a fixed per-row capacity (static-shape design)."""
+    return DataType("LIST", element=element, max_elems=max_elems)
+
+
+def struct(*fields) -> DataType:
+    """STRUCT<fields>; accepts Field objects or (name, dtype) pairs."""
+    fs = tuple(f if isinstance(f, Field) else Field(f[0], f[1]) for f in fields)
+    return DataType("STRUCT", struct_fields=fs)
+
+
+def map_(key: DataType, value: DataType, max_elems: int = DEFAULT_LIST_ELEMS) -> DataType:
+    """MAP<key,value> stored as a LIST of entry structs, normalized sorted by
+    key (reference: spark-expr/src/map_funcs map_sort normalization)."""
+    return DataType("MAP", element=struct(("key", key), ("value", value)), max_elems=max_elems)
 
 
 # ---- schema ------------------------------------------------------------------------
