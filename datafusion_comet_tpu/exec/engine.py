@@ -187,6 +187,7 @@ class Session:
         self.max_join_retries = max_join_retries
         self._subqueries: Dict[int, Tuple[P.PlanNode, int]] = {}
         self._next_subquery_id = 0
+        self._next_stage_id = 0
         self._cache: Dict[Tuple[int, int], Callable] = {}
 
     # -- registration ------------------------------------------------------------
@@ -243,8 +244,67 @@ class Session:
 
         return bound, jax.jit(fn)
 
+    def _stage_udfs(self, plan: P.PlanNode) -> P.PlanNode:
+        """Bottom-up: materialize below every node holding PythonUdf exprs,
+        run the UDF on the host, splice its result in as a temp-table column
+        (see module comment — the C2R/R2C transition analog)."""
+        kids = [self._stage_udfs(c) for c in plan.children()]
+        for old, new in zip(plan.children(), kids):
+            if old is not new:
+                plan = _replace_child(plan, old, new)
+        box: List[E.PythonUdf] = []
+        for e in _node_own_exprs(plan):
+            _expr_udfs(e, box)
+        if not box:
+            return plan
+        if not isinstance(plan, (P.Projection, P.Filter)):
+            raise NotImplementedError(
+                f"PythonUdf inside {type(plan).__name__} on a backend without "
+                "host callbacks — wrap the UDF in a Projection first"
+            )
+        from datafusion_comet_tpu.exec.host_udf import host_eval_udf
+
+        child = plan.children()[0]
+        batch = self.execute(child)
+        mapping: Dict[int, str] = {}
+        new_cols = list(batch.columns)
+        new_fields = list(child.schema.fields)
+        for u in box:
+            name = f"__udf{self._next_stage_id}"
+            self._next_stage_id += 1
+            cv = host_eval_udf(u, batch)
+            new_cols.append(cv)
+            new_fields.append(T.Field(name, u.out_dtype))
+            mapping[id(u)] = name
+        temp_schema = T.Schema(new_fields)
+        temp_name = f"__stage{self._next_stage_id}"
+        self._next_stage_id += 1
+        self.tables[temp_name] = Batch(tuple(new_cols), batch.row_mask, temp_schema)
+        scan = P.Scan(temp_name, temp_schema)
+        scan.schema = temp_schema
+        if isinstance(plan, P.Projection):
+            exprs = tuple(
+                E.bind(_rewrite_expr(x, mapping), temp_schema) for x in plan.exprs
+            )
+            out = P.Projection(scan, exprs)
+            out.schema = T.Schema([T.Field(x.name, x.dtype) for x in exprs])
+        else:
+            pred = E.bind(_rewrite_expr(plan.predicate, mapping), temp_schema)
+            flt = P.Filter(scan, pred)
+            flt.schema = temp_schema
+            # project the helper columns back out to preserve the contract
+            exprs = tuple(
+                E.bind(E.col(f.name), temp_schema) for f in child.schema.fields
+            )
+            out = P.Projection(flt, exprs)
+            out.schema = child.schema
+        return out
+
     def execute(self, plan: P.PlanNode) -> Batch:
         """Execute with automatic join-fanout re-planning."""
+        bound0 = P.bind_plan(plan) if _needs_bind(plan) else plan
+        if _plan_has_udf(bound0) and not _callbacks_supported():
+            plan = self._stage_udfs(bound0)
         fanout = self.join_fanout
         for attempt in range(self.max_join_retries):
             bound, fn = self.compile(plan, join_fanout=fanout)
@@ -299,6 +359,97 @@ class Session:
 
 def _needs_bind(plan: P.PlanNode) -> bool:
     return plan.schema is None
+
+
+# -------------------------------------------------------------------------------------
+# Host-UDF staging (the C2R/R2C transition analog)
+# -------------------------------------------------------------------------------------
+# Some backends (the axon TPU tunnel) cannot run jax.pure_callback inside a
+# compiled program. The reference faces the same boundary with JVM UDFs and
+# solves it with explicit columnar<->row transitions around the foreign code
+# (reference: CometColumnarToRowExec / CometSparkToColumnarExec,
+# jvm_udf/mod.rs). Mirror that: split the plan at nodes holding PythonUdf
+# expressions, materialize the child (jitted, on device), evaluate the UDF on
+# the host once per stage, append the result as a column of a temp table,
+# and continue the upper plan jitted.
+
+_CALLBACKS_SUPPORTED: Optional[bool] = None
+
+
+def _callbacks_supported() -> bool:
+    global _CALLBACKS_SUPPORTED
+    if _CALLBACKS_SUPPORTED is None:
+        try:
+            out = jax.jit(
+                lambda x: jax.pure_callback(
+                    lambda a: np.asarray(a), jax.ShapeDtypeStruct((), jnp.int32), x
+                )
+            )(jnp.int32(3))
+            _CALLBACKS_SUPPORTED = int(out) == 3
+        except Exception:
+            _CALLBACKS_SUPPORTED = False
+    return _CALLBACKS_SUPPORTED
+
+
+def _expr_udfs(e: E.Expr, out: List[E.PythonUdf]) -> None:
+    if isinstance(e, E.PythonUdf):
+        out.append(e)
+        return  # nested UDFs inside UDF args are evaluated by the same stage
+    for c in e.children():
+        _expr_udfs(c, out)
+
+
+def _node_own_exprs(plan: P.PlanNode) -> List[E.Expr]:
+    if isinstance(plan, P.Projection):
+        return list(plan.exprs)
+    if isinstance(plan, P.Filter):
+        return [plan.predicate]
+    out: List[E.Expr] = []
+    for f in dataclasses.fields(plan):
+        v = getattr(plan, f.name, None)
+        if isinstance(v, E.Expr):
+            out.append(v)
+        elif isinstance(v, tuple):
+            out += [x for x in v if isinstance(x, E.Expr)]
+    return out
+
+
+def _plan_has_udf(plan: P.PlanNode) -> bool:
+    box: List[E.PythonUdf] = []
+    for e in _node_own_exprs(plan):
+        _expr_udfs(e, box)
+    if box:
+        return True
+    return any(_plan_has_udf(c) for c in plan.children())
+
+
+def _replace_child(plan: P.PlanNode, old: P.PlanNode, new: P.PlanNode) -> P.PlanNode:
+    for f in dataclasses.fields(plan):
+        v = getattr(plan, f.name, None)
+        if v is old:
+            setattr(plan, f.name, new)
+        elif isinstance(v, tuple) and any(x is old for x in v):
+            setattr(plan, f.name, tuple(new if x is old else x for x in v))
+    return plan
+
+
+def _rewrite_expr(e: E.Expr, mapping: Dict[int, str]) -> E.Expr:
+    if id(e) in mapping:
+        return E.ColumnRef(mapping[id(e)])
+    if not e.children():
+        return e
+
+    def rw(v):
+        if isinstance(v, E.Expr):
+            return _rewrite_expr(v, mapping)
+        if isinstance(v, tuple):
+            return tuple(rw(x) for x in v)
+        return v
+
+    kwargs = {
+        f.name: rw(getattr(e, f.name)) for f in dataclasses.fields(e) if f.init
+    }
+    return type(e)(**kwargs)
 
 
 def _fill_metrics(tree, plan: P.PlanNode, resolved: Dict[int, int]) -> None:

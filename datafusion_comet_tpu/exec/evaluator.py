@@ -101,6 +101,17 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
         from datafusion_comet_tpu.exec import nested as NESTED
 
         return NESTED.ev_nested(e, b, ctx, _ev)
+    if isinstance(e, E.RLike):
+        from datafusion_comet_tpu.exec.regex_dfa import compile_dfa, dfa_match
+
+        cv = _ev(e.child, b, ctx)
+        trans, accepting = compile_dfa(e.pattern)
+        m = dfa_match(cv.data, cv.lengths, trans, accepting)
+        return ColumnVector(~m if e.negated else m, cv.validity, None, T.BOOL)
+    if isinstance(e, E.PythonUdf):
+        from datafusion_comet_tpu.exec.host_udf import eval_python_udf
+
+        return eval_python_udf(e, b, ctx, _ev)
     if isinstance(e, E.MonotonicallyIncreasingId):
         # Spark: partition_id << 33 | row index within partition
         idx = jnp.arange(b.capacity, dtype=jnp.int64) + ctx.batch_row_offset

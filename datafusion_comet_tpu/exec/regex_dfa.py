@@ -1,0 +1,351 @@
+"""Regex → DFA compiler + vectorized TPU matcher for RLIKE.
+
+TPU-native design (reference: native/spark-expr/src/predicate_funcs/rlike.rs,
+which delegates to the Rust `regex` crate per row): the pattern is a *plan
+literal*, so we compile it ON THE HOST into a byte-level DFA (Thompson NFA →
+subset construction), then matching is a dense `lax.scan` over the padded
+byte matrix — one table gather + select per byte per row on the VPU, no
+per-row control flow and no host round-trip.
+
+Search ("find anywhere") semantics are normalized at NFA build time: the
+pattern is wrapped as ``Σ* p Σ*`` (dropping a side when anchored with ^/$),
+so acceptance is simply "final state accepting after consuming len bytes".
+
+Supported syntax: literals (UTF-8 bytes), ``.``, ``[...]`` classes with
+ranges and negation, ``* + ? {m} {m,} {m,n}``, alternation ``|``, groups
+``()`` (non-capturing for matching purposes), escapes ``\\d \\w \\s`` and
+complements, anchors ``^ $`` at pattern boundaries. ``.`` matches any byte
+except ``\\n`` (Java default). Deviation (documented): byte-level ``.`` and
+classes treat non-ASCII input per byte, not per codepoint.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, FrozenSet, List, Set, Tuple
+
+import numpy as np
+
+__all__ = ["compile_dfa", "dfa_match"]
+
+_ALL = frozenset(range(256))
+_DOT = frozenset(b for b in range(256) if b != 0x0A)
+_DIGIT = frozenset(range(ord("0"), ord("9") + 1))
+_WORD = frozenset(
+    list(range(ord("a"), ord("z") + 1))
+    + list(range(ord("A"), ord("Z") + 1))
+    + list(range(ord("0"), ord("9") + 1))
+    + [ord("_")]
+)
+_SPACE = frozenset(b" \t\n\r\x0b\x0c")
+
+
+# -------------------------------------------------------------------------------------
+# parser: pattern → AST
+# -------------------------------------------------------------------------------------
+# AST nodes: ("char", frozenset) | ("cat", [..]) | ("alt", [..]) |
+#            ("star", node) | ("plus", node) | ("opt", node) | ("empty",)
+
+
+class _Parser:
+    def __init__(self, pat: str):
+        self.b = pat.encode("utf-8")
+        self.i = 0
+
+    def peek(self):
+        return self.b[self.i] if self.i < len(self.b) else None
+
+    def eat(self):
+        c = self.b[self.i]
+        self.i += 1
+        return c
+
+    def parse(self):
+        node = self._alt()
+        if self.i != len(self.b):
+            raise ValueError(f"unexpected {chr(self.b[self.i])!r} at {self.i}")
+        return node
+
+    def _alt(self):
+        parts = [self._cat()]
+        while self.peek() == ord("|"):
+            self.eat()
+            parts.append(self._cat())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    def _cat(self):
+        parts = []
+        while self.peek() is not None and self.peek() not in (ord("|"), ord(")")):
+            parts.append(self._repeat())
+        if not parts:
+            return ("empty",)
+        return parts[0] if len(parts) == 1 else ("cat", parts)
+
+    def _repeat(self):
+        node = self._atom()
+        while self.peek() in (ord("*"), ord("+"), ord("?"), ord("{")):
+            c = self.peek()
+            if c == ord("{"):
+                save = self.i
+                rep = self._try_braces()
+                if rep is None:
+                    self.i = save
+                    break
+                m, n = rep
+                node = self._expand_braces(node, m, n)
+            else:
+                self.eat()
+                node = {ord("*"): ("star", node), ord("+"): ("plus", node), ord("?"): ("opt", node)}[c]
+        return node
+
+    def _try_braces(self):
+        self.eat()  # {
+        digs = bytearray()
+        while self.peek() is not None and chr(self.peek()).isdigit():
+            digs.append(self.eat())
+        if not digs:
+            return None
+        m = int(digs.decode())
+        if self.peek() == ord("}"):
+            self.eat()
+            return (m, m)
+        if self.peek() != ord(","):
+            return None
+        self.eat()
+        digs2 = bytearray()
+        while self.peek() is not None and chr(self.peek()).isdigit():
+            digs2.append(self.eat())
+        if self.peek() != ord("}"):
+            return None
+        self.eat()
+        n = int(digs2.decode()) if digs2 else None
+        return (m, n)
+
+    def _expand_braces(self, node, m: int, n):
+        parts = [node] * m
+        if n is None:
+            parts.append(("star", node))
+        else:
+            if n > 64:
+                raise ValueError("repetition bound too large")
+            parts += [("opt", node)] * (n - m)
+        if not parts:
+            return ("empty",)
+        return parts[0] if len(parts) == 1 else ("cat", parts)
+
+    def _atom(self):
+        c = self.eat()
+        if c == ord("("):
+            # swallow non-capturing / capturing markers
+            if self.peek() == ord("?"):
+                self.eat()
+                if self.peek() in (ord(":"), ord("i")):  # (?: or (?i — flags ignored
+                    self.eat()
+            node = self._alt()
+            if self.peek() != ord(")"):
+                raise ValueError("unbalanced (")
+            self.eat()
+            return node
+        if c == ord("["):
+            return ("char", self._char_class())
+        if c == ord("."):
+            return ("char", _DOT)
+        if c == ord("\\"):
+            return ("char", self._escape(self.eat()))
+        return ("char", frozenset([c]))
+
+    def _escape(self, c: int) -> FrozenSet[int]:
+        m = {
+            ord("d"): _DIGIT,
+            ord("D"): _ALL - _DIGIT,
+            ord("w"): _WORD,
+            ord("W"): _ALL - _WORD,
+            ord("s"): _SPACE,
+            ord("S"): _ALL - _SPACE,
+            ord("n"): frozenset([0x0A]),
+            ord("t"): frozenset([0x09]),
+            ord("r"): frozenset([0x0D]),
+        }
+        return m.get(c, frozenset([c]))
+
+    def _char_class(self) -> FrozenSet[int]:
+        neg = False
+        if self.peek() == ord("^"):
+            neg = True
+            self.eat()
+        out: Set[int] = set()
+        first = True
+        while True:
+            c = self.peek()
+            if c is None:
+                raise ValueError("unbalanced [")
+            if c == ord("]") and not first:
+                self.eat()
+                break
+            first = False
+            c = self.eat()
+            if c == ord("\\"):
+                out |= self._escape(self.eat())
+                continue
+            if self.peek() == ord("-") and self.i + 1 < len(self.b) and self.b[self.i + 1] != ord("]"):
+                self.eat()  # -
+                hi = self.eat()
+                if hi == ord("\\"):
+                    hi = self.eat()
+                out |= set(range(c, hi + 1))
+            else:
+                out.add(c)
+        return frozenset(_ALL - out) if neg else frozenset(out)
+
+
+# -------------------------------------------------------------------------------------
+# NFA (Thompson) → DFA (subset construction)
+# -------------------------------------------------------------------------------------
+
+
+class _NFA:
+    def __init__(self):
+        self.eps: List[Set[int]] = []  # state → epsilon successors
+        self.trans: List[List[Tuple[FrozenSet[int], int]]] = []  # state → [(bytes, next)]
+
+    def new_state(self) -> int:
+        self.eps.append(set())
+        self.trans.append([])
+        return len(self.eps) - 1
+
+    def add(self, node) -> Tuple[int, int]:
+        """Build fragment; returns (start, end)."""
+        kind = node[0]
+        if kind == "empty":
+            s = self.new_state()
+            return s, s
+        if kind == "char":
+            s, e = self.new_state(), self.new_state()
+            self.trans[s].append((node[1], e))
+            return s, e
+        if kind == "cat":
+            first = prev_end = None
+            for child in node[1]:
+                cs, ce = self.add(child)
+                if first is None:
+                    first = cs
+                else:
+                    self.eps[prev_end].add(cs)
+                prev_end = ce
+            return first, prev_end
+        if kind == "alt":
+            s, e = self.new_state(), self.new_state()
+            for child in node[1]:
+                cs, ce = self.add(child)
+                self.eps[s].add(cs)
+                self.eps[ce].add(e)
+            return s, e
+        if kind in ("star", "opt", "plus"):
+            cs, ce = self.add(node[1])
+            s, e = self.new_state(), self.new_state()
+            self.eps[s].add(cs)
+            if kind != "plus":
+                self.eps[s].add(e)
+            self.eps[ce].add(e)
+            if kind != "opt":
+                self.eps[ce].add(cs)
+            return s, e
+        raise AssertionError(kind)
+
+    def eclose(self, states: FrozenSet[int]) -> FrozenSet[int]:
+        stack, seen = list(states), set(states)
+        while stack:
+            s = stack.pop()
+            for t in self.eps[s]:
+                if t not in seen:
+                    seen.add(t)
+                    stack.append(t)
+        return frozenset(seen)
+
+
+@lru_cache(maxsize=512)
+def compile_dfa(pattern: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Compile a regex into (trans (S,256) int32, accepting (S,) bool) with
+    search semantics folded in (Σ* p Σ*, anchors trimming the Σ* sides)."""
+    anchored_start = pattern.startswith("^")
+    anchored_end = pattern.endswith("$") and not pattern.endswith("\\$")
+    core = pattern[1 if anchored_start else 0 : len(pattern) - (1 if anchored_end else 0)]
+    ast = _Parser(core).parse()
+    sigma_star = ("star", ("char", _ALL))
+    parts = []
+    if not anchored_start:
+        parts.append(sigma_star)
+    parts.append(ast)
+    if not anchored_end:
+        parts.append(sigma_star)
+    full = ("cat", parts) if len(parts) > 1 else parts[0]
+
+    nfa = _NFA()
+    start, end = nfa.add(full)
+
+    # subset construction over 256 input bytes, grouped by equivalence classes
+    # of bytes that behave identically (keeps the work proportional to the
+    # pattern's alphabet, then expanded back to the 256-wide table)
+    start_set = nfa.eclose(frozenset([start]))
+    dfa_index: Dict[FrozenSet[int], int] = {start_set: 0}
+    order = [start_set]
+    rows: List[Dict[int, int]] = []
+    i = 0
+    while i < len(order):
+        cur = order[i]
+        i += 1
+        # collect outgoing byte→target-set
+        byte_targets: Dict[int, Set[int]] = {}
+        for s in cur:
+            for bytes_set, nxt in nfa.trans[s]:
+                for bb in bytes_set:
+                    byte_targets.setdefault(bb, set()).add(nxt)
+        row: Dict[int, int] = {}
+        # group bytes by identical target sets to close each set once
+        groups: Dict[FrozenSet[int], List[int]] = {}
+        for bb, tgt in byte_targets.items():
+            groups.setdefault(frozenset(tgt), []).append(bb)
+        for tgt, bbs in groups.items():
+            closed = nfa.eclose(tgt)
+            if closed not in dfa_index:
+                dfa_index[closed] = len(order)
+                order.append(closed)
+            for bb in bbs:
+                row[bb] = dfa_index[closed]
+        rows.append(row)
+        if len(order) > 4096:
+            raise ValueError("regex DFA too large")
+
+    S = len(order) + 1  # extra dead state at index S-1
+    dead = S - 1
+    trans = np.full((S, 256), dead, np.int32)
+    for si, row in enumerate(rows):
+        for bb, tgt in row.items():
+            trans[si, bb] = tgt
+    accepting = np.zeros(S, bool)
+    for st, si in dfa_index.items():
+        if end in st:
+            accepting[si] = True
+    return trans, accepting
+
+
+def dfa_match(mat, lens, trans: np.ndarray, accepting: np.ndarray):
+    """Vectorized match: run the DFA over each row's live bytes; returns
+    (cap,) bool. One fused gather+select per scanned byte column."""
+    import jax
+    import jax.numpy as jnp
+
+    cap, L = mat.shape
+    t = jnp.asarray(trans.reshape(-1))
+    acc = jnp.asarray(accepting)
+
+    def step(state, inp):
+        byte_col, pos = inp
+        nxt = jnp.take(t, state * 256 + byte_col.astype(jnp.int32))
+        state = jnp.where(pos < lens, nxt, state)
+        return state, None
+
+    positions = jnp.arange(L, dtype=jnp.int32)
+    init = jnp.zeros(cap, jnp.int32)
+    final, _ = jax.lax.scan(step, init, (mat.T, positions))
+    return jnp.take(acc, final)

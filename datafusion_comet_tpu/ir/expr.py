@@ -44,6 +44,8 @@ __all__ = [
     "StructExpr",
     "GetStructField",
     "MapExpr",
+    "RLike",
+    "PythonUdf",
     "SortOrder",
     "AggExpr",
     "AggFunc",
@@ -340,6 +342,38 @@ class HashFunc(Expr):
     func: str
     args: Tuple[Expr, ...]
     seed: int = 42
+
+    def children(self):
+        return self.args
+
+
+@_node
+class RLike(Expr):
+    """Regex match (Spark RLIKE / regexp_like; reference:
+    spark-expr/src/predicate_funcs/rlike.rs). Pattern must be a literal —
+    compiled to a DFA on the host, matched by a vectorized byte scan on
+    device (exec/regex_dfa.py)."""
+
+    child: Expr
+    pattern: str
+    negated: bool = False
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class PythonUdf(Expr):
+    """Scalar Python UDF evaluated on the HOST via jax.pure_callback — the
+    analog of the reference's JVM-callback UDF bridge (reference:
+    native/spark-expr/src/jvm_udf/mod.rs:38 JvmScalarUdfExpr, which calls
+    back into the JVM per batch). fn(row_values...) -> python value; nulls
+    are passed as None and a None result is a null."""
+
+    fn: object  # Callable[..., Any], row-at-a-time
+    args: Tuple[Expr, ...]
+    out_dtype: T.DataType
+    udf_name: str = "python_udf"
 
     def children(self):
         return self.args
@@ -766,6 +800,16 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         args = tuple(_bind(a, schema) for a in e.args)
         out = HashFunc(e.func, args, e.seed)
         object.__setattr__(out, "dtype", T.INT32 if e.func == "murmur3" else T.INT64)
+        return out
+    if isinstance(e, RLike):
+        c = _bind(e.child, schema)
+        out = RLike(c, e.pattern, e.negated)
+        object.__setattr__(out, "dtype", T.BOOL)
+        return out
+    if isinstance(e, PythonUdf):
+        args = tuple(_bind(a, schema) for a in e.args)
+        out = PythonUdf(e.fn, args, e.out_dtype, e.udf_name)
+        object.__setattr__(out, "dtype", e.out_dtype)
         return out
     if isinstance(e, ArrayExpr):
         args = tuple(_bind(a, schema) for a in e.args)

@@ -1,0 +1,165 @@
+"""SQL function builders with Spark semantics that evaluate on the host.
+
+These wrap exact Python implementations as PythonUdf expressions (the
+JVM-callback analog — see exec/host_udf.py). Device-native regex matching
+(RLIKE) lives in exec/regex_dfa.py; the extraction/replacement forms need
+submatch groups, which the reference implements with the Rust ``regex``
+crate per row (reference: spark-expr/src/string_funcs/ regexp kernels,
+json_funcs get_json_object JSON-path) — here the per-row engine is host
+Python ``re``/``json``.
+
+Deviation (documented, matches the reference's own "Incompatible" tier for
+regexp): Python ``re`` differs from Java's regex dialect in corner cases
+(possessive quantifiers, \\p classes); the reference likewise guards regexp
+with ``allowIncompatible`` (CometConf spark.comet.regexp.allowIncompatible).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.ir import expr as E
+
+__all__ = [
+    "rlike",
+    "regexp_extract",
+    "regexp_replace",
+    "split",
+    "get_json_object",
+    "json_array_length",
+    "python_udf",
+]
+
+
+def rlike(child: E.Expr, pattern: str, negated: bool = False) -> E.RLike:
+    return E.RLike(child, pattern, negated)
+
+
+def _java_replacement(repl: str) -> str:
+    """Java $1 group references → Python \\1."""
+    return re.sub(r"\$(\d+)", r"\\\1", repl)
+
+
+def regexp_extract(child: E.Expr, pattern: str, idx: int = 1, out_len: int = 0) -> E.PythonUdf:
+    """Spark regexp_extract: empty string when no match / unmatched group."""
+    rx = re.compile(pattern)
+
+    def fn(s):
+        if s is None:
+            return None
+        m = rx.search(s)
+        if m is None:
+            return ""
+        g = m.group(idx)
+        return g if g is not None else ""
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "regexp_extract")
+
+
+def regexp_replace(child: E.Expr, pattern: str, replacement: str, out_len: int = 0) -> E.PythonUdf:
+    rx = re.compile(pattern)
+    py_repl = _java_replacement(replacement)
+
+    def fn(s):
+        return None if s is None else rx.sub(py_repl, s)
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "regexp_replace")
+
+
+def split(child: E.Expr, pattern: str, limit: int = -1, max_elems: int = 16, elem_len: int = 0) -> E.PythonUdf:
+    """Spark split(str, regex, limit): limit>0 caps the parts; limit<=0 keeps
+    all parts including trailing empty strings (Java split(regex, -1))."""
+    rx = re.compile(pattern)
+
+    def fn(s):
+        if s is None:
+            return None
+        parts = rx.split(s, maxsplit=limit - 1 if limit > 0 else 0)
+        return parts
+
+    return E.PythonUdf(
+        fn, (child,),
+        T.list_(T.string(elem_len or T.DEFAULT_STRING_LEN), max_elems),
+        "split",
+    )
+
+
+def _json_path_get(doc, path: str):
+    """Tiny $.a.b[0] JSON-path evaluator (reference: json_funcs
+    get_json_object JSON-path subset)."""
+    if not path.startswith("$"):
+        return None
+    cur = doc
+    i = 1
+    n = len(path)
+    while i < n:
+        c = path[i]
+        if c == ".":
+            j = i + 1
+            while j < n and path[j] not in ".[":
+                j += 1
+            key = path[i + 1 : j]
+            if not isinstance(cur, dict) or key not in cur:
+                return None
+            cur = cur[key]
+            i = j
+        elif c == "[":
+            j = path.index("]", i)
+            idx_s = path[i + 1 : j]
+            if idx_s == "*":
+                return None  # wildcard unsupported
+            if not isinstance(cur, list):
+                return None
+            k = int(idx_s)
+            if k >= len(cur) or k < -len(cur):
+                return None
+            cur = cur[k]
+            i = j + 1
+        else:
+            return None
+    return cur
+
+
+def get_json_object(child: E.Expr, path: str, out_len: int = 0) -> E.PythonUdf:
+    """Spark get_json_object: returns the matched value as a string (objects
+    and arrays re-serialized as JSON; scalars unquoted); null on bad JSON or
+    missing path."""
+
+    def fn(s):
+        if s is None:
+            return None
+        try:
+            doc = json.loads(s)
+        except (ValueError, TypeError):
+            return None
+        v = _json_path_get(doc, path)
+        if v is None:
+            return None
+        if isinstance(v, (dict, list)):
+            return json.dumps(v, separators=(",", ":"))
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "get_json_object")
+
+
+def json_array_length(child: E.Expr) -> E.PythonUdf:
+    def fn(s):
+        if s is None:
+            return None
+        try:
+            doc = json.loads(s)
+        except (ValueError, TypeError):
+            return None
+        return len(doc) if isinstance(doc, list) else None
+
+    return E.PythonUdf(fn, (child,), T.INT32, "json_array_length")
+
+
+def python_udf(fn, args, out_dtype: T.DataType, name: str = "python_udf") -> E.PythonUdf:
+    """Register-free scalar Python UDF (the ScalaUDF analog: reference
+    QueryPlanSerde.scala:358 ScalaUDF serde + CometScalaUDFCodegen)."""
+    return E.PythonUdf(fn, tuple(args), out_dtype, name)
