@@ -232,8 +232,15 @@ def nested_to_py(cv: ColumnVector, idx=None):
         ]
     if dt.is_binary:
         lens = np.asarray(cv.lengths)
+        raw = dt.type_id == "BYTES"
         return [
-            bytes(data[i, : lens[i]]).decode("utf-8", "replace") if valid[i] else None
+            (
+                bytes(data[i, : lens[i]])
+                if raw
+                else bytes(data[i, : lens[i]]).decode("utf-8", "replace")
+            )
+            if valid[i]
+            else None
             for i in idx
         ]
     if dt.is_decimal and dt.scale:
@@ -358,9 +365,14 @@ def to_numpy(batch: Batch) -> Dict[str, np.ndarray]:
         if f.dtype.is_binary:
             mat = np.asarray(col.data)[mask]
             lens = np.asarray(col.lengths)[mask]
+            raw = f.dtype.type_id == "BYTES"
             vals = np.empty(len(mat), dtype=object)
             for i in range(len(mat)):
-                vals[i] = bytes(mat[i, : lens[i]]).decode("utf-8", "replace") if valid[i] else None
+                if not valid[i]:
+                    vals[i] = None
+                else:
+                    bs = bytes(mat[i, : lens[i]])
+                    vals[i] = bs if raw else bs.decode("utf-8", "replace")
             out[f.name] = vals
         else:
             out[f.name] = np.asarray(col.data)[mask]

@@ -186,6 +186,8 @@ class Session:
         self.join_fanout = join_fanout
         self.max_join_retries = max_join_retries
         self._subqueries: Dict[int, Tuple[P.PlanNode, int]] = {}
+        self._subquery_values: Dict[int, Tuple[object, bool]] = {}
+        self._in_materialize = False
         self._next_subquery_id = 0
         self._next_stage_id = 0
         self._cache: Dict[Tuple[int, int], Callable] = {}
@@ -217,17 +219,26 @@ class Session:
         return E.ScalarSubquery(sid, bound.schema.fields[column].dtype)
 
     def _materialize_subqueries(self) -> Dict[int, Tuple[object, bool]]:
-        values: Dict[int, Tuple[object, bool]] = {}
-        for sid, (sub, column) in self._subqueries.items():
-            out = to_numpy(self.execute(sub))
-            name = sub.schema.fields[column].name
-            vals = out[name]
-            valid = out[name + "__valid"]
-            if len(vals) == 0:
-                values[sid] = (None, False)
-            else:
-                values[sid] = (vals[0], bool(valid[0]))
-        return values
+        # memoized + reentrancy-guarded: executing a subquery plan re-enters
+        # compile(), which must not re-materialize the in-flight subquery
+        if self._in_materialize:
+            return dict(self._subquery_values)
+        self._in_materialize = True
+        try:
+            for sid, (sub, column) in list(self._subqueries.items()):
+                if sid in self._subquery_values:
+                    continue
+                out = to_numpy(self.execute(sub))
+                name = sub.schema.fields[column].name
+                vals = out[name]
+                valid = out[name + "__valid"]
+                if len(vals) == 0:
+                    self._subquery_values[sid] = (None, False)
+                else:
+                    self._subquery_values[sid] = (vals[0], bool(valid[0]))
+        finally:
+            self._in_materialize = False
+        return dict(self._subquery_values)
 
     # -- execution ---------------------------------------------------------------
     def compile(self, plan: P.PlanNode, join_fanout: Optional[int] = None):

@@ -112,6 +112,22 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
         from datafusion_comet_tpu.exec.host_udf import eval_python_udf
 
         return eval_python_udf(e, b, ctx, _ev)
+    if isinstance(e, E.BloomMightContain):
+        from datafusion_comet_tpu.exec.operators.agg_special import bloom_might_contain
+
+        flt = e.filter
+        if isinstance(flt, E.Literal):
+            fb = flt.value
+        elif isinstance(flt, E.ScalarSubquery):
+            assert ctx.subquery_values is not None
+            val, ok = ctx.subquery_values[flt.subquery_id]
+            fb = val if ok else None
+        else:
+            raise NotImplementedError("bloom filter must be a literal or scalar subquery")
+        if isinstance(fb, str):
+            fb = fb.encode("latin-1")
+        cv = _ev(e.child, b, ctx)
+        return bloom_might_contain(fb, cv)
     if isinstance(e, E.MonotonicallyIncreasingId):
         # Spark: partition_id << 33 | row index within partition
         idx = jnp.arange(b.capacity, dtype=jnp.int64) + ctx.batch_row_offset
@@ -1214,8 +1230,14 @@ def _temporal_func(e: E.TemporalFunc, b: Batch, ctx: EvalContext) -> ColumnVecto
     args = [_ev(a, b, ctx) for a in e.args]
     cv = args[0]
     if cv.dtype.type_id in ("TIMESTAMP", "TIMESTAMP_NTZ"):
-        days = jnp.floor_divide(cv.data, np.int64(86_400_000_000))
-        micros_in_day = cv.data - days * np.int64(86_400_000_000)
+        micros0 = cv.data.astype(jnp.int64)
+        # session-timezone extraction: shift instant to wall-clock first
+        if e.tz and f not in ("from_utc_timestamp", "to_utc_timestamp",
+                              "date_trunc", "from_unixtime", "unix_timestamp",
+                              "unix_micros", "unix_millis"):
+            micros0 = micros0 + _tz_offset_micros(micros0, e.tz, local=False)
+        days = jnp.floor_divide(micros0, np.int64(86_400_000_000))
+        micros_in_day = micros0 - days * np.int64(86_400_000_000)
     else:
         days = cv.data.astype(jnp.int64)
         micros_in_day = jnp.zeros_like(days)
@@ -1285,7 +1307,169 @@ def _temporal_func(e: E.TemporalFunc, b: Batch, ctx: EvalContext) -> ColumnVecto
         else:
             raise NotImplementedError(f"trunc unit {unit}")
         return ColumnVector(data.astype(jnp.int32), validity, None, T.DATE)
+    if f in ("from_utc_timestamp", "to_utc_timestamp"):
+        tz = e.args[1].value if len(e.args) > 1 and isinstance(e.args[1], E.Literal) else e.tz
+        micros = cv.data.astype(jnp.int64)
+        off = _tz_offset_micros(micros, tz, local=(f == "to_utc_timestamp"))
+        data = micros + off if f == "from_utc_timestamp" else micros - off
+        rt = T.TIMESTAMP_NTZ if f == "from_utc_timestamp" else T.TIMESTAMP
+        return ColumnVector(data, validity, None, rt)
+    if f == "unix_timestamp":
+        return ColumnVector(
+            jnp.floor_divide(cv.data.astype(jnp.int64), np.int64(1_000_000)),
+            validity, None, T.INT64,
+        )
+    if f == "unix_micros":
+        return ColumnVector(cv.data.astype(jnp.int64), validity, None, T.INT64)
+    if f == "unix_millis":
+        return ColumnVector(
+            jnp.floor_divide(cv.data.astype(jnp.int64), np.int64(1000)),
+            validity, None, T.INT64,
+        )
+    if f in ("timestamp_seconds", "timestamp_millis", "timestamp_micros"):
+        mult = {"timestamp_seconds": 1_000_000, "timestamp_millis": 1000, "timestamp_micros": 1}[f]
+        return ColumnVector(
+            cv.data.astype(jnp.int64) * np.int64(mult), validity, None, T.TIMESTAMP
+        )
+    if f == "date_trunc":
+        # args: (unit literal, ts); tz-aware: truncate in wall-clock space
+        unit = e.args[0].value.lower() if isinstance(e.args[0], E.Literal) else "day"
+        ts = args[1]
+        micros = ts.data.astype(jnp.int64)
+        off = _tz_offset_micros(micros, e.tz, local=False) if e.tz else jnp.int64(0)
+        local = micros + off
+        MU_DAY = np.int64(86_400_000_000)
+        ldays = jnp.floor_divide(local, MU_DAY)
+        in_day = local - ldays * MU_DAY
+        if unit in ("second", "minute", "hour"):
+            q = {"second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000}[unit]
+            data = local - (in_day % np.int64(q))
+        elif unit in ("day", "dd"):
+            data = ldays * MU_DAY
+        elif unit == "week":
+            dow = (ldays + 3) % 7
+            data = (ldays - dow) * MU_DAY
+        elif unit in ("month", "mon", "mm", "quarter", "year", "yyyy", "yy"):
+            y, m, d = _civil_from_days(ldays)
+            if unit in ("month", "mon", "mm"):
+                days0 = _days_from_civil(y, m, jnp.ones_like(d))
+            elif unit == "quarter":
+                days0 = _days_from_civil(y, ((m - 1) // 3) * 3 + 1, jnp.ones_like(d))
+            else:
+                days0 = _days_from_civil(y, jnp.ones_like(m), jnp.ones_like(d))
+            data = days0 * MU_DAY
+        else:
+            raise NotImplementedError(f"date_trunc unit {unit}")
+        data = data - off
+        return ColumnVector(data, ts.validity, None, T.TIMESTAMP)
+    if f == "add_months":
+        n = args[1].data.astype(jnp.int64)
+        y, m, d = _civil_from_days(days)
+        tot = (y.astype(jnp.int64) * 12 + (m.astype(jnp.int64) - 1)) + n
+        ny = tot // 12
+        nm = (tot % 12) + 1
+        # clamp day to last day of target month (Spark semantics)
+        nxt_y = jnp.where(nm == 12, ny + 1, ny)
+        nxt_m = jnp.where(nm == 12, 1, nm + 1)
+        last = _days_from_civil(nxt_y, nxt_m, jnp.ones_like(nm)) - _days_from_civil(ny, nm, jnp.ones_like(nm))
+        nd = jnp.minimum(d.astype(jnp.int64), last)
+        data = _days_from_civil(ny, nm, nd)
+        return ColumnVector(data.astype(jnp.int32), validity & args[1].validity, None, T.DATE)
+    if f == "months_between":
+        # Spark: whole months + day fraction over 31, 8-digit rounding;
+        # same day-of-month (or both month-ends) → integral result
+        t2 = args[1]
+        if t2.dtype.type_id in ("TIMESTAMP", "TIMESTAMP_NTZ"):
+            days2 = jnp.floor_divide(t2.data, np.int64(86_400_000_000))
+            mic2 = t2.data - days2 * np.int64(86_400_000_000)
+        else:
+            days2 = t2.data.astype(jnp.int64)
+            mic2 = jnp.zeros_like(days2)
+        y1, m1, d1 = _civil_from_days(days)
+        y2, m2, d2 = _civil_from_days(days2)
+        months = (y1 - y2) * 12 + (m1 - m2)
+        last1 = (_civil_from_days(days + 1)[1] != m1)
+        last2 = (_civil_from_days(days2 + 1)[1] != m2)
+        both_last = last1 & last2
+        sec1 = d1.astype(jnp.float64) * 86400 + micros_in_day.astype(jnp.float64) / 1e6
+        sec2 = d2.astype(jnp.float64) * 86400 + mic2.astype(jnp.float64) / 1e6
+        frac = (sec1 - sec2) / (31.0 * 86400.0)
+        res = months.astype(jnp.float64) + jnp.where(
+            both_last | (d1 == d2), 0.0, frac
+        )
+        res = jnp.round(res * 1e8) / 1e8
+        return ColumnVector(res, validity & t2.validity, None, T.FLOAT64)
+    if f == "next_day":
+        # args[1]: literal day-of-week name
+        dow_names = {"mon": 0, "tue": 1, "wed": 2, "thu": 3, "fri": 4, "sat": 5, "sun": 6}
+        name = str(e.args[1].value).lower()[:3]
+        target = dow_names.get(name)
+        if target is None:
+            return ColumnVector(jnp.zeros_like(days, jnp.int32), jnp.zeros_like(validity), None, T.DATE)
+        cur = (days + 3) % 7  # 0 = Monday
+        delta = (target - cur) % 7
+        delta = jnp.where(delta == 0, 7, delta)
+        return ColumnVector((days + delta).astype(jnp.int32), validity, None, T.DATE)
+    if f == "make_date":
+        y, m, d = (a.data.astype(jnp.int64) for a in args)
+        ok = (m >= 1) & (m <= 12) & (d >= 1) & (d <= 31)
+        data = _days_from_civil(y, jnp.clip(m, 1, 12), jnp.clip(d, 1, 31))
+        # reject day overflow (e.g. Feb 30): round-trip check
+        ry, rm, rd = _civil_from_days(data)
+        ok = ok & (ry.astype(jnp.int64) == y) & (rm.astype(jnp.int64) == m) & (rd.astype(jnp.int64) == d)
+        v = validity & args[1].validity & args[2].validity & ok
+        return ColumnVector(data.astype(jnp.int32), v, None, T.DATE)
+    if f == "from_unixtime":
+        secs = cv.data.astype(jnp.int64)
+        micros = secs * np.int64(1_000_000)
+        off = _tz_offset_micros(micros, e.tz, local=False) if e.tz else jnp.int64(0)
+        local = micros + off
+        return _format_timestamp_string(local, validity)
     raise NotImplementedError(f"temporal func {f}")
+
+
+def _tz_offset_micros(micros: jax.Array, tz: Optional[str], local: bool) -> jax.Array:
+    """UTC offset (µs) of each instant in ``tz``. ``local=True`` interprets
+    the input as wall-clock time (reverse lookup)."""
+    from datafusion_comet_tpu.utils.tz import local_to_utc_offsets, utc_to_local_offsets
+
+    trans, offs = (local_to_utc_offsets if local else utc_to_local_offsets)(tz or "UTC")
+    secs = jnp.floor_divide(micros, np.int64(1_000_000))
+    if len(trans) == 0:
+        return jnp.full_like(micros, np.int64(int(offs[0]) * 1_000_000))
+    idx = jnp.searchsorted(jnp.asarray(trans), secs, side="right")
+    return jnp.take(jnp.asarray(offs.astype(np.int64)), idx) * np.int64(1_000_000)
+
+
+def _format_timestamp_string(local_micros: jax.Array, validity: jax.Array) -> ColumnVector:
+    """Device-side 'yyyy-MM-dd HH:mm:ss' rendering: each character position
+    is a small integer computation over the whole column."""
+    MU_DAY = np.int64(86_400_000_000)
+    days = jnp.floor_divide(local_micros, MU_DAY)
+    secs = (local_micros - days * MU_DAY) // np.int64(1_000_000)
+    y, mo, d = _civil_from_days(days)
+    hh = secs // 3600
+    mi = (secs // 60) % 60
+    ss = secs % 60
+    Z = ord("0")
+
+    def dig(v, p):
+        return ((v // p) % 10 + Z).astype(jnp.uint8)
+
+    dash = jnp.full(y.shape, ord("-"), jnp.uint8)
+    colon = jnp.full(y.shape, ord(":"), jnp.uint8)
+    space = jnp.full(y.shape, ord(" "), jnp.uint8)
+    parts = [
+        dig(y, 1000), dig(y, 100), dig(y, 10), dig(y, 1), dash,
+        dig(mo, 10), dig(mo, 1), dash,
+        dig(d, 10), dig(d, 1), space,
+        dig(hh, 10), dig(hh, 1), colon,
+        dig(mi, 10), dig(mi, 1), colon,
+        dig(ss, 10), dig(ss, 1),
+    ]
+    mat = jnp.stack(parts, axis=1)
+    lens = jnp.full(y.shape, 19, jnp.int32)
+    return ColumnVector(mat, validity, lens, T.string(19))
 
 
 # -------------------------------------------------------------------------------------

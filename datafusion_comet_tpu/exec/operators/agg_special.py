@@ -1,0 +1,363 @@
+"""Special aggregates: collect_list/set, exact percentile/median, HLL++
+approx_count_distinct, and the Spark-compatible bloom filter aggregate.
+
+Reference kernels being re-designed TPU-first:
+- collect_list/collect_set   (spark-expr/src/agg_funcs/ collect ops)
+- percentile                 (agg_funcs/percentile — exact, interpolated)
+- approx_count_distinct      (agg_funcs/hll_plus_plus.rs — HLL++ dense)
+- bloom_filter_agg           (spark-expr/src/bloom_filter/, spark_bit_array.rs)
+
+All are formulated as segmented scatter/reduce over a (group, value)-sorted
+permutation — no per-group loops:
+- collect: position-within-group scatter into a (groups, E) element matrix;
+- percentile: rank-within-group gather + linear interpolation;
+- HLL++: segment_max over (group × register) flattened ids;
+- bloom: scatter-or into a (groups × num_bits) bit matrix, then on-device
+  big-endian long packing matching Spark's BloomFilterImpl.writeTo layout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
+from datafusion_comet_tpu.exec import sortkeys
+from datafusion_comet_tpu.ir import expr as E
+
+__all__ = [
+    "collect_agg",
+    "percentile_agg",
+    "hll_agg",
+    "bloom_agg",
+    "bloom_might_contain",
+    "bloom_num_hash_functions",
+]
+
+
+def _group_of_row(perm, seg, cap):
+    return jnp.zeros(cap, seg.dtype).at[perm].set(seg)
+
+
+def _seg_sum(x, seg, m):
+    return jax.ops.segment_sum(x, seg, num_segments=m + 1)[:m]
+
+
+def _seg_min(x, seg, m):
+    return jax.ops.segment_min(x, seg, num_segments=m + 1)[:m]
+
+
+def _seg_max(x, seg, m):
+    return jax.ops.segment_max(x, seg, num_segments=m + 1)[:m]
+
+
+# -------------------------------------------------------------------------------------
+# collect_list / collect_set
+# -------------------------------------------------------------------------------------
+
+
+def collect_agg(
+    a: E.AggExpr,
+    cv: ColumnVector,
+    valid: jax.Array,  # (cap,) value non-null AND row active, original order
+    perm,
+    seg,
+    m: int,
+    group_mask,
+) -> List[ColumnVector]:
+    """collect_list/collect_set over one group-sorted batch. Values beyond
+    ``max_elems`` per group are dropped (static capacity; mirror of the
+    reference's unbounded growth — callers size max_elems to the workload)."""
+    cap = valid.shape[0]
+    gor = _group_of_row(perm, seg, cap)
+    Emax = a.max_elems
+    if a.func == E.AggFunc.COLLECT_SET:
+        # sort by (group, value) and keep first occurrence per run
+        limbs = [jnp.where(valid, gor, m).astype(jnp.int64)] + sortkeys.column_limbs(cv)
+        perm2 = sortkeys.lexsort(limbs)
+        sorted_valid = valid[perm2]
+        changed = jnp.zeros(cap, bool).at[0].set(True)
+        for l in limbs:
+            s = l[perm2]
+            changed = changed | jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+        keep = sorted_valid & changed
+        use_perm, use_valid = perm2, keep
+    else:
+        use_perm = perm
+        use_valid = valid[perm]
+
+    g_sorted = gor[use_perm]
+    g_eff = jnp.where(use_valid, g_sorted, m)
+    # position within group among KEPT values: exclusive running count per seg
+    ones = use_valid.astype(jnp.int32)
+    incl = _running_count(g_eff, ones, m, cap)
+    pos = incl - 1  # 0-based slot
+    slot_ok = use_valid & (pos < Emax) & (pos >= 0)
+    flat = jnp.where(slot_ok, g_eff * Emax + pos, m * Emax)
+
+    src = ColumnVector(
+        cv.data[use_perm],
+        cv.validity[use_perm],
+        None if cv.lengths is None else cv.lengths[use_perm],
+        cv.dtype,
+        tuple(c.take(use_perm) for c in cv.children),
+    )
+
+    def scatter(arr, fill=0):
+        out_shape = (m * Emax + 1,) + arr.shape[1:]
+        out = jnp.full(out_shape, fill, arr.dtype)
+        out = out.at[flat].set(arr, mode="drop")
+        return out[: m * Emax].reshape((m, Emax) + arr.shape[1:])
+
+    elem = ColumnVector(
+        scatter(src.data),
+        scatter(src.validity.astype(bool), False),
+        None if src.lengths is None else scatter(src.lengths),
+        cv.dtype,
+        tuple(
+            ColumnVector(scatter(c.data), scatter(c.validity, False),
+                         None if c.lengths is None else scatter(c.lengths), c.dtype)
+            for c in src.children
+        ),
+    )
+    lens = _seg_sum(slot_ok.astype(jnp.int32), g_eff, m)
+    out_dtype = T.list_(cv.dtype, Emax)
+    return [ColumnVector(lens, group_mask, None, out_dtype, (elem,))]
+
+
+def _running_count(seg_sorted, ones, m, cap):
+    """Inclusive running count of ones within each segment (rows sorted by
+    segment): cumsum minus the segment's base offset."""
+    c = jnp.cumsum(ones)
+    base_per_seg = _seg_min(jnp.where(ones > 0, c - ones, np.iinfo(np.int32).max), seg_sorted, m)
+    base_per_seg = jnp.concatenate([base_per_seg, jnp.zeros(1, base_per_seg.dtype)])
+    base = jnp.take(base_per_seg, jnp.minimum(seg_sorted, m))
+    return c - base
+
+
+# -------------------------------------------------------------------------------------
+# exact percentile / median
+# -------------------------------------------------------------------------------------
+
+
+def percentile_agg(
+    a: E.AggExpr,
+    cv: ColumnVector,
+    valid: jax.Array,
+    perm,
+    seg,
+    m: int,
+    group_mask,
+) -> List[ColumnVector]:
+    """Spark exact percentile: linear interpolation at rank (n-1)*p.
+    median(x) = percentile(x, 0.5)."""
+    if a.func == E.AggFunc.MEDIAN:
+        p = 0.5
+    else:
+        lit = a.extra[0]
+        assert isinstance(lit, E.Literal), "percentile percentage must be literal"
+        p = float(lit.value)
+    cap = valid.shape[0]
+    gor = _group_of_row(perm, seg, cap)
+    limbs = [jnp.where(valid, gor, m).astype(jnp.int64)] + sortkeys.column_limbs(cv)
+    perm2 = sortkeys.lexsort(limbs)
+    sv = valid[perm2]
+    g2 = jnp.where(sv, gor[perm2], m)
+    x2 = cv.data[perm2].astype(jnp.float64)
+    n = _seg_sum(sv.astype(jnp.int32), g2, m)
+    # rank of each sorted row within its group
+    rank = _running_count(g2, sv.astype(jnp.int32), m, cap) - 1
+    target = (n.astype(jnp.float64) - 1.0) * p
+    lo = jnp.floor(target).astype(jnp.int32)
+    hi = jnp.ceil(target).astype(jnp.int32)
+    frac = target - lo.astype(jnp.float64)
+
+    def value_at(k):  # (m,) k per group → value of that rank
+        k_per_row = jnp.take(jnp.concatenate([k, jnp.zeros(1, k.dtype)]), jnp.minimum(g2, m))
+        hit = sv & (rank == k_per_row)
+        contrib = jnp.where(hit, x2, 0.0)
+        return _seg_sum(contrib, g2, m)
+
+    vlo = value_at(lo)
+    vhi = value_at(hi)
+    res = vlo + (vhi - vlo) * frac
+    has = (n > 0) & group_mask
+    return [ColumnVector(res, has, None, T.FLOAT64)]
+
+
+# -------------------------------------------------------------------------------------
+# HLL++ approx_count_distinct
+# -------------------------------------------------------------------------------------
+
+_HLL_P = 9  # 512 registers ≈ Spark default rsd 0.05
+
+
+def hll_agg(
+    a: E.AggExpr,
+    cv: ColumnVector,
+    valid: jax.Array,
+    perm,
+    seg,
+    m: int,
+    group_mask,
+) -> List[ColumnVector]:
+    """Dense HLL++ (reference: agg_funcs/hll_plus_plus.rs). xxhash64 values,
+    top-p bits pick a register, rank = leading-zeros-of-rest + 1, registers
+    combine by max; standard bias-corrected estimate + linear counting for
+    the small range. Deviation (documented): Spark's empirical bias-table
+    correction is omitted — both are approximations within rsd."""
+    from datafusion_comet_tpu.exec.evaluator import _xxhash64_column
+
+    P = _HLL_P
+    M = 1 << P
+    cap = valid.shape[0]
+    gor = _group_of_row(perm, seg, cap)
+    h = _xxhash64_column(cv, jnp.int64(42))
+    reg = jnp.right_shift(h, np.int64(64 - P)) & np.int64(M - 1)
+    rest = h << np.int64(P)
+    # leading zeros of a 64-bit value via float trick-free bit scan
+    lz = _clz64(rest)
+    rank = jnp.minimum(lz + 1, 64 - P + 1).astype(jnp.int32)
+    flat = jnp.where(valid, gor.astype(jnp.int64) * M + reg, np.int64(m) * M)
+    regs = (
+        jnp.zeros(m * M + 1, jnp.int32).at[flat].max(rank, mode="drop")[: m * M]
+    ).reshape(m, M)
+    alpha = 0.7213 / (1.0 + 1.079 / M)
+    z = jnp.sum(jnp.exp2(-regs.astype(jnp.float64)), axis=1)
+    est = alpha * M * M / z
+    zeros = jnp.sum(regs == 0, axis=1).astype(jnp.float64)
+    lin = M * jnp.log(M / jnp.maximum(zeros, 1.0))
+    use_lin = (est <= 2.5 * M) & (zeros > 0)
+    est = jnp.where(use_lin, lin, est)
+    has = _seg_max(valid[perm], seg, m) & group_mask
+    return [ColumnVector(jnp.round(est).astype(jnp.int64), has, None, T.INT64)]
+
+
+def _clz64(x: jax.Array) -> jax.Array:
+    """Count leading zeros of int64 (bit-parallel, no 64-bit float casts)."""
+    n = jnp.zeros(x.shape, jnp.int32)
+    y = x
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = y >> np.int64(64 - shift) == 0
+        n = jnp.where(mask, n + shift, n)
+        y = jnp.where(mask, y << np.int64(shift), y)
+    return jnp.where(x == 0, 64, n)
+
+
+# -------------------------------------------------------------------------------------
+# bloom filter aggregate + might_contain
+# -------------------------------------------------------------------------------------
+
+
+def bloom_num_hash_functions(num_bits: int, num_items: int) -> int:
+    """Spark BloomFilter.optimalNumOfHashFunctions(n, m) = max(1, round(m/n ln2))."""
+    return max(1, int(round(num_bits / max(num_items, 1) * math.log(2))))
+
+
+def _bloom_hashes(cv: ColumnVector):
+    from datafusion_comet_tpu.exec.evaluator import (
+        murmur3_hash_bytes,
+        murmur3_hash_i64,
+    )
+
+    if cv.dtype.is_binary:
+        h1 = murmur3_hash_bytes(cv.data, cv.lengths, jnp.int32(0), cv.dtype.byte_width)
+        h2 = murmur3_hash_bytes(cv.data, cv.lengths, h1, cv.dtype.byte_width)
+    else:
+        x = cv.data.astype(jnp.int64)
+        h1 = murmur3_hash_i64(x, jnp.int32(0))
+        h2 = murmur3_hash_i64(x, h1)
+    return h1, h2
+
+
+def _bloom_bit_indices(cv: ColumnVector, k: int, num_bits: int):
+    """k bit indices per row — Spark BloomFilterImpl.putLong combined-hash
+    scheme: combined = h1 + i*h2 (i32 wraparound), ~x when negative,
+    % bitSize."""
+    h1, h2 = _bloom_hashes(cv)
+    idxs = []
+    for i in range(1, k + 1):
+        combined = h1 + jnp.int32(i) * h2
+        combined = jnp.where(combined < 0, ~combined, combined)
+        idxs.append(combined.astype(jnp.int64) % np.int64(num_bits))
+    return idxs
+
+
+def bloom_agg(
+    a: E.AggExpr,
+    cv: ColumnVector,
+    valid: jax.Array,
+    perm,
+    seg,
+    m: int,
+    group_mask,
+) -> List[ColumnVector]:
+    num_bits = a.num_bits
+    assert num_bits % 64 == 0
+    k = bloom_num_hash_functions(num_bits, getattr(a, "num_items", 1000000) or 1000000)
+    # Spark caps by expected items; allow explicit override via extra literal
+    if a.extra:
+        k = bloom_num_hash_functions(num_bits, int(a.extra[0].value))
+    cap = valid.shape[0]
+    gor = _group_of_row(perm, seg, cap)
+    bits = jnp.zeros(m * num_bits + 1, jnp.uint8)
+    base = jnp.where(valid, gor.astype(jnp.int64) * num_bits, np.int64(m) * num_bits)
+    for idx in _bloom_bit_indices(cv, k, num_bits):
+        bits = bits.at[jnp.where(valid, base + idx, np.int64(m) * num_bits)].max(
+            np.uint8(1), mode="drop"
+        )
+    bit_mat = bits[: m * num_bits].reshape(m, num_bits)
+    W = num_bits // 64
+    # pack to Java-serialized layout: per long, big-endian bytes; bit j of a
+    # long is (1L << j) → BE byte b holds bits 56-8b .. 63-8b of the long
+    bytes_out = jnp.zeros((m, W, 8), jnp.uint8)
+    for b in range(8):
+        acc = jnp.zeros((m, W), jnp.uint8)
+        for t in range(8):
+            p = 56 - 8 * b + t
+            acc = acc | (bit_mat[:, p::64].astype(jnp.uint8) << t)
+        bytes_out = bytes_out.at[:, :, b].set(acc)
+    body = bytes_out.reshape(m, W * 8)
+    header = np.zeros(12, np.uint8)
+    header[0:4] = np.frombuffer(np.int32(1).byteswap().tobytes(), np.uint8)  # V1
+    header[4:8] = np.frombuffer(np.int32(k).byteswap().tobytes(), np.uint8)
+    header[8:12] = np.frombuffer(np.int32(W).byteswap().tobytes(), np.uint8)
+    hdr = jnp.broadcast_to(jnp.asarray(header)[None, :], (m, 12))
+    data = jnp.concatenate([hdr, body], axis=1)
+    total = 12 + W * 8
+    has = _seg_max(valid[perm], seg, m) & group_mask
+    out_dtype = T.binary(total)
+    return [
+        ColumnVector(data, has, jnp.full(m, total, jnp.int32), out_dtype)
+    ]
+
+
+def parse_bloom_bytes(buf: bytes):
+    """Host-side parse of the Spark serialized filter → (k, bits bool array)."""
+    version = int.from_bytes(buf[0:4], "big", signed=True)
+    assert version == 1, f"unsupported bloom version {version}"
+    k = int.from_bytes(buf[4:8], "big", signed=True)
+    w = int.from_bytes(buf[8:12], "big", signed=True)
+    words = np.frombuffer(buf[12 : 12 + w * 8], dtype=">i8").astype(np.int64)
+    num_bits = w * 64
+    j = np.arange(num_bits)
+    bits = (words[j >> 6] >> (j & 63)) & 1
+    return k, bits.astype(bool)
+
+
+def bloom_might_contain(filter_bytes: Optional[bytes], cv: ColumnVector) -> ColumnVector:
+    cap = cv.capacity
+    if filter_bytes is None:
+        return ColumnVector(jnp.zeros(cap, bool), jnp.zeros(cap, bool), None, T.BOOL)
+    k, bits = parse_bloom_bytes(filter_bytes)
+    num_bits = bits.shape[0]
+    table = jnp.asarray(bits)
+    ok = jnp.ones(cap, bool)
+    for idx in _bloom_bit_indices(cv, k, num_bits):
+        ok = ok & jnp.take(table, idx)
+    return ColumnVector(ok, cv.validity, None, T.BOOL)

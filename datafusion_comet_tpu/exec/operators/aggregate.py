@@ -53,6 +53,14 @@ _COVAR_FUNCS = (E.AggFunc.COVAR_SAMP, E.AggFunc.COVAR_POP, E.AggFunc.CORR)
 _MINMAX_LIKE = (E.AggFunc.MIN, E.AggFunc.MAX, E.AggFunc.FIRST, E.AggFunc.LAST)
 _BIT_FUNCS = (E.AggFunc.BIT_AND, E.AggFunc.BIT_OR, E.AggFunc.BIT_XOR)
 _BOOL_FUNCS = (E.AggFunc.BOOL_AND, E.AggFunc.BOOL_OR)
+_SPECIAL_FUNCS = (
+    E.AggFunc.COLLECT_LIST,
+    E.AggFunc.COLLECT_SET,
+    E.AggFunc.PERCENTILE,
+    E.AggFunc.MEDIAN,
+    E.AggFunc.APPROX_COUNT_DISTINCT,
+    E.AggFunc.BLOOM_FILTER,
+)
 
 
 def _sum_state_dtype(a: E.AggExpr) -> T.DataType:
@@ -438,6 +446,20 @@ def _input_agg(
         has = _seg_max(valid, seg, m) & group_mask
         return [ColumnVector(s, has, None, T.BOOL)]
 
+    if f in _SPECIAL_FUNCS:
+        from datafusion_comet_tpu.exec.operators import agg_special as SP
+
+        raw_valid = cv.validity & active  # original row order
+        fn = {
+            E.AggFunc.COLLECT_LIST: SP.collect_agg,
+            E.AggFunc.COLLECT_SET: SP.collect_agg,
+            E.AggFunc.PERCENTILE: SP.percentile_agg,
+            E.AggFunc.MEDIAN: SP.percentile_agg,
+            E.AggFunc.APPROX_COUNT_DISTINCT: SP.hll_agg,
+            E.AggFunc.BLOOM_FILTER: SP.bloom_agg,
+        }[f]
+        return fn(a, cv, raw_valid, perm, seg, m, group_mask)
+
     raise NotImplementedError(f"aggregate {f}")
 
 
@@ -621,7 +643,7 @@ def _fake_bound(dt: T.DataType) -> E.BoundRef:
 def _finalize(a: E.AggExpr, vals: List[ColumnVector], group_mask) -> ColumnVector:
     f = a.func
     rt = a.result_dtype()
-    if f in (E.AggFunc.COUNT, E.AggFunc.COUNT_DISTINCT, E.AggFunc.SUM) or f in _MINMAX_LIKE or f in _BIT_FUNCS or f in _BOOL_FUNCS:
+    if f in (E.AggFunc.COUNT, E.AggFunc.COUNT_DISTINCT, E.AggFunc.SUM) or f in _MINMAX_LIKE or f in _BIT_FUNCS or f in _BOOL_FUNCS or f in _SPECIAL_FUNCS:
         out = vals[0]
         if f == E.AggFunc.SUM and rt != out.dtype and not rt.is_decimal:
             return ColumnVector(out.data.astype(rt.np_dtype()), out.validity, None, rt)

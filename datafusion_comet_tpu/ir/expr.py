@@ -46,6 +46,7 @@ __all__ = [
     "MapExpr",
     "RLike",
     "PythonUdf",
+    "BloomMightContain",
     "SortOrder",
     "AggExpr",
     "AggFunc",
@@ -310,11 +311,17 @@ class StringFunc(Expr):
 @_node
 class TemporalFunc(Expr):
     """year/month/day/quarter/dayofweek/dayofyear/hour/minute/second/
-    date_add/date_sub/datediff/trunc_date/last_day/unix_date.
-    Reference: spark-expr/src/datetime_funcs/."""
+    date_add/date_sub/datediff/trunc_date/last_day/unix_date, plus the
+    timezone-aware family: from_utc_timestamp/to_utc_timestamp/date_trunc/
+    unix_timestamp/timestamp_seconds|millis|micros/unix_micros|millis/
+    add_months/months_between/next_day/make_date/from_unixtime.
+    ``tz`` (a plan-time constant) applies the named zone's offset before
+    field extraction (Spark session-timezone semantics).
+    Reference: spark-expr/src/datetime_funcs/ + timezone.rs."""
 
     func: str
     args: Tuple[Expr, ...]
+    tz: Optional[str] = None
 
     def children(self):
         return self.args
@@ -435,6 +442,21 @@ class MapExpr(Expr):
 
 
 @_node
+class BloomMightContain(Expr):
+    """Probe a Spark-compatible bloom filter (reference:
+    spark-expr/src/bloom_filter/ BloomFilterMightContain +
+    spark_bit_array.rs). ``filter`` must be host-resolvable at plan time
+    (Literal bytes or ScalarSubquery over a bloom_filter aggregate) — the
+    bit array becomes a device constant, the probe is k gathers per row."""
+
+    filter: Expr
+    child: Expr
+
+    def children(self):
+        return (self.filter, self.child)
+
+
+@_node
 class RandExpr(Expr):
     """rand()/randn() seeded per partition (reference:
     native/core/src/execution/expressions/random.rs — Spark XORShift)."""
@@ -497,6 +519,12 @@ class AggFunc:
     BOOL_AND = "bool_and"
     BOOL_OR = "bool_or"
     COUNT_DISTINCT = "count_distinct"
+    COLLECT_LIST = "collect_list"
+    COLLECT_SET = "collect_set"
+    PERCENTILE = "percentile"  # exact; extra[0] = percentage literal
+    MEDIAN = "median"
+    APPROX_COUNT_DISTINCT = "approx_count_distinct"  # HLL++
+    BLOOM_FILTER = "bloom_filter"  # BloomFilterAgg (join pushdown)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -514,7 +542,9 @@ class AggExpr:
     out_name: str
     filter: Optional[Expr] = None
     ignore_nulls: bool = True  # first/last
-    extra: Tuple[Expr, ...] = ()  # second arg for covar/corr
+    extra: Tuple[Expr, ...] = ()  # second arg for covar/corr; percentage for percentile
+    max_elems: int = 16  # collect_list/collect_set output capacity
+    num_bits: int = 4096  # bloom_filter: filter size in bits (Spark numBits)
 
     def result_dtype(self) -> T.DataType:
         cd = self.child.dtype if self.child is not None else None
@@ -545,7 +575,15 @@ class AggExpr:
             return cd
         if f in (AggFunc.BOOL_AND, AggFunc.BOOL_OR):
             return T.BOOL
-        # variance/covariance family → double (Spark semantics)
+        if f in (AggFunc.COLLECT_LIST, AggFunc.COLLECT_SET):
+            assert cd is not None
+            return T.list_(cd, self.max_elems)
+        if f == AggFunc.APPROX_COUNT_DISTINCT:
+            return T.INT64
+        if f == AggFunc.BLOOM_FILTER:
+            # Spark BloomFilterImpl.writeTo: 3 big-endian ints + longs
+            return T.binary(12 + (self.num_bits // 64) * 8)
+        # variance/covariance family, percentile, median → double
         return T.FLOAT64
 
 
@@ -763,8 +801,22 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
             "last_day": T.DATE,
             "trunc_date": T.DATE,
             "datediff": T.INT32,
+            "from_utc_timestamp": T.TIMESTAMP_NTZ,
+            "to_utc_timestamp": T.TIMESTAMP,
+            "date_trunc": T.TIMESTAMP,
+            "unix_timestamp": T.INT64,
+            "unix_micros": T.INT64,
+            "unix_millis": T.INT64,
+            "timestamp_seconds": T.TIMESTAMP,
+            "timestamp_millis": T.TIMESTAMP,
+            "timestamp_micros": T.TIMESTAMP,
+            "add_months": T.DATE,
+            "next_day": T.DATE,
+            "make_date": T.DATE,
+            "months_between": T.FLOAT64,
+            "from_unixtime": T.string(19),
         }[e.func]
-        out = TemporalFunc(e.func, args)
+        out = TemporalFunc(e.func, args, e.tz)
         object.__setattr__(out, "dtype", dt)
         return out
     if isinstance(e, MathFunc):
@@ -800,6 +852,12 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         args = tuple(_bind(a, schema) for a in e.args)
         out = HashFunc(e.func, args, e.seed)
         object.__setattr__(out, "dtype", T.INT32 if e.func == "murmur3" else T.INT64)
+        return out
+    if isinstance(e, BloomMightContain):
+        flt = _bind(e.filter, schema)
+        c = _bind(e.child, schema)
+        out = BloomMightContain(flt, c)
+        object.__setattr__(out, "dtype", T.BOOL)
         return out
     if isinstance(e, RLike):
         c = _bind(e.child, schema)
