@@ -204,6 +204,11 @@ class Session:
 
         self.tables[name] = read_parquet(path, schema=schema)
 
+    def register_csv(self, name: str, path: str, schema: Optional[T.Schema] = None, **opts) -> None:
+        from datafusion_comet_tpu.io.csv import read_csv
+
+        self.tables[name] = read_csv(path, schema=schema, **opts)
+
     def table_schema(self, name: str) -> T.Schema:
         return self.tables[name].schema
 

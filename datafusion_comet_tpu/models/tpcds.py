@@ -1,13 +1,17 @@
-"""TPC-DS workload subset: schemas, skewed-key generator, queries q3/q34/q95.
+"""TPC-DS workload: schemas, skewed-key generator, 20 queries.
 
-BASELINE.json configs[3] names "TPC-DS SF1000 subset (q3, q34, q64, q95) with
-skewed join keys". The generator draws fact-table join keys from a Zipf-like
-distribution so shuffle/join skew handling is actually exercised. q64 (the
-two-channel cross-year self-join) is tracked for round 2.
+BASELINE.json configs[3] names "TPC-DS SF1000 subset with skewed join keys".
+The generator draws fact-table join keys from a Zipf-like distribution so
+shuffle/join skew handling is actually exercised.
 
 Reference parity surface: the reference runs the full TPC-DS suite as tests
 (CometTPCDSQuerySuite) and benchmarks (benchmarks/tpc); golden answers here
-come from the same differential-oracle pattern as models/tpch.py.
+come from the same differential-oracle pattern as models/tpch.py. Queries
+cover the operator shapes of the full suite: star joins + group-by (q3/q42/
+q52/q55/q19/q7), ticket/session aggregation (q34/q68/q73/q79), multi-channel
+semi-joins (q95), day-of-week pivots via sum(case) (q43/q62/q99/q50), ratio
+subqueries (q90), window ratios (q98), store-item rollups (q65), count-only
+star joins (q96), address/channel joins (q15).
 """
 
 from __future__ import annotations
@@ -20,7 +24,7 @@ from datafusion_comet_tpu import types as T
 from datafusion_comet_tpu.ir import expr as E
 from datafusion_comet_tpu.ir import plan as P
 
-__all__ = ["SCHEMAS", "generate_table", "generate_tables", "q3", "q34", "q95", "QUERIES"]
+__all__ = ["SCHEMAS", "generate_table", "generate_tables", "QUERIES"]
 
 _dec = T.decimal
 
@@ -31,20 +35,64 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("d_year", T.INT32, False),
             T.Field("d_moy", T.INT32, False),
             T.Field("d_dom", T.INT32, False),
+            T.Field("d_dow", T.INT32, False),
+            T.Field("d_qoy", T.INT32, False),
+            T.Field("d_day_name", T.string(9), False),
+            T.Field("d_month_seq", T.INT32, False),
+        ]
+    ),
+    "time_dim": T.Schema(
+        [
+            T.Field("t_time_sk", T.INT64, False),
+            T.Field("t_hour", T.INT32, False),
+            T.Field("t_minute", T.INT32, False),
         ]
     ),
     "item": T.Schema(
         [
             T.Field("i_item_sk", T.INT64, False),
+            T.Field("i_item_id", T.string(16), False),
+            T.Field("i_item_desc", T.string(40), False),
             T.Field("i_brand_id", T.INT32, False),
             T.Field("i_brand", T.string(30), False),
             T.Field("i_manufact_id", T.INT32, False),
+            T.Field("i_manager_id", T.INT32, False),
+            T.Field("i_category", T.string(12), False),
+            T.Field("i_class", T.string(12), False),
+            T.Field("i_current_price", _dec(7, 2), False),
         ]
     ),
     "store": T.Schema(
         [
             T.Field("s_store_sk", T.INT64, False),
+            T.Field("s_store_id", T.string(16), False),
+            T.Field("s_store_name", T.string(12), False),
             T.Field("s_county", T.string(20), False),
+            T.Field("s_city", T.string(12), False),
+        ]
+    ),
+    "warehouse": T.Schema(
+        [
+            T.Field("w_warehouse_sk", T.INT64, False),
+            T.Field("w_warehouse_name", T.string(20), False),
+        ]
+    ),
+    "ship_mode": T.Schema(
+        [
+            T.Field("sm_ship_mode_sk", T.INT64, False),
+            T.Field("sm_type", T.string(12), False),
+        ]
+    ),
+    "web_site": T.Schema(
+        [
+            T.Field("web_site_sk", T.INT64, False),
+            T.Field("web_name", T.string(12), False),
+        ]
+    ),
+    "call_center": T.Schema(
+        [
+            T.Field("cc_call_center_sk", T.INT64, False),
+            T.Field("cc_name", T.string(20), False),
         ]
     ),
     "household_demographics": T.Schema(
@@ -55,9 +103,34 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("hd_vehicle_count", T.INT32, False),
         ]
     ),
+    "customer_demographics": T.Schema(
+        [
+            T.Field("cd_demo_sk", T.INT64, False),
+            T.Field("cd_gender", T.string(1), False),
+            T.Field("cd_marital_status", T.string(1), False),
+            T.Field("cd_education_status", T.string(16), False),
+        ]
+    ),
+    "customer_address": T.Schema(
+        [
+            T.Field("ca_address_sk", T.INT64, False),
+            T.Field("ca_city", T.string(12), False),
+            T.Field("ca_state", T.string(2), False),
+            T.Field("ca_zip", T.string(5), False),
+            T.Field("ca_gmt_offset", T.INT32, False),
+        ]
+    ),
+    "promotion": T.Schema(
+        [
+            T.Field("p_promo_sk", T.INT64, False),
+            T.Field("p_channel_email", T.string(1), False),
+            T.Field("p_channel_event", T.string(1), False),
+        ]
+    ),
     "customer": T.Schema(
         [
             T.Field("c_customer_sk", T.INT64, False),
+            T.Field("c_current_addr_sk", T.INT64, False),
             T.Field("c_last_name", T.string(20), False),
             T.Field("c_first_name", T.string(16), False),
             T.Field("c_salutation", T.string(6), False),
@@ -67,28 +140,70 @@ SCHEMAS: Dict[str, T.Schema] = {
     "store_sales": T.Schema(
         [
             T.Field("ss_sold_date_sk", T.INT64, False),
+            T.Field("ss_sold_time_sk", T.INT64, False),
             T.Field("ss_item_sk", T.INT64, False),
             T.Field("ss_customer_sk", T.INT64, False),
+            T.Field("ss_cdemo_sk", T.INT64, False),
+            T.Field("ss_addr_sk", T.INT64, False),
             T.Field("ss_store_sk", T.INT64, False),
             T.Field("ss_hdemo_sk", T.INT64, False),
+            T.Field("ss_promo_sk", T.INT64, False),
             T.Field("ss_ticket_number", T.INT64, False),
+            T.Field("ss_quantity", T.INT32, False),
+            T.Field("ss_sales_price", _dec(7, 2), False),
+            T.Field("ss_list_price", _dec(7, 2), False),
             T.Field("ss_ext_sales_price", _dec(7, 2), False),
+            T.Field("ss_ext_discount_amt", _dec(7, 2), False),
+            T.Field("ss_ext_wholesale_cost", _dec(7, 2), False),
+            T.Field("ss_coupon_amt", _dec(7, 2), False),
+            T.Field("ss_net_profit", _dec(7, 2), False),
+        ]
+    ),
+    "store_returns": T.Schema(
+        [
+            T.Field("sr_item_sk", T.INT64, False),
+            T.Field("sr_customer_sk", T.INT64, False),
+            T.Field("sr_ticket_number", T.INT64, False),
+            T.Field("sr_returned_date_sk", T.INT64, False),
+            T.Field("sr_return_amt", _dec(7, 2), False),
         ]
     ),
     "web_sales": T.Schema(
         [
             T.Field("ws_order_number", T.INT64, False),
+            T.Field("ws_item_sk", T.INT64, False),
+            T.Field("ws_sold_time_sk", T.INT64, False),
             T.Field("ws_warehouse_sk", T.INT64, False),
+            T.Field("ws_sold_date_sk", T.INT64, False),
             T.Field("ws_ship_date_sk", T.INT64, False),
             T.Field("ws_ship_addr_sk", T.INT64, False),
+            T.Field("ws_bill_customer_sk", T.INT64, False),
             T.Field("ws_web_site_sk", T.INT64, False),
+            T.Field("ws_ship_mode_sk", T.INT64, False),
+            T.Field("ws_sales_price", _dec(7, 2), False),
             T.Field("ws_ext_ship_cost", _dec(7, 2), False),
+            T.Field("ws_ext_sales_price", _dec(7, 2), False),
             T.Field("ws_net_profit", _dec(7, 2), False),
         ]
     ),
     "web_returns": T.Schema(
         [
             T.Field("wr_order_number", T.INT64, False),
+        ]
+    ),
+    "catalog_sales": T.Schema(
+        [
+            T.Field("cs_sold_date_sk", T.INT64, False),
+            T.Field("cs_ship_date_sk", T.INT64, False),
+            T.Field("cs_item_sk", T.INT64, False),
+            T.Field("cs_bill_customer_sk", T.INT64, False),
+            T.Field("cs_warehouse_sk", T.INT64, False),
+            T.Field("cs_ship_mode_sk", T.INT64, False),
+            T.Field("cs_call_center_sk", T.INT64, False),
+            T.Field("cs_quantity", T.INT32, False),
+            T.Field("cs_sales_price", _dec(7, 2), False),
+            T.Field("cs_ext_sales_price", _dec(7, 2), False),
+            T.Field("cs_net_profit", _dec(7, 2), False),
         ]
     ),
 }
@@ -105,15 +220,29 @@ def _zipf_keys(rng, n, max_key, a=1.3):
 def table_rows(name: str, sf: float) -> int:
     base = {
         "date_dim": 2000,
+        "time_dim": 1440,
         "item": 2000,
         "store": 12,
+        "warehouse": 6,
+        "ship_mode": 10,
+        "web_site": 8,
+        "call_center": 6,
         "household_demographics": 720,
+        "customer_demographics": 1000,
+        "customer_address": 3000,
+        "promotion": 100,
         "customer": 10000,
         "store_sales": 300000,
+        "store_returns": 30000,
         "web_sales": 60000,
         "web_returns": 6000,
+        "catalog_sales": 90000,
     }[name]
-    if name in ("date_dim", "store", "household_demographics"):
+    fixed = (
+        "date_dim", "time_dim", "store", "warehouse", "ship_mode", "web_site",
+        "call_center", "household_demographics", "customer_demographics", "promotion",
+    )
+    if name in fixed:
         return base
     return max(int(base * sf), 10)
 
@@ -127,21 +256,100 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
         doy = (sk - 1) % 365
         moy = (doy // 30) % 12 + 1
         dom = doy % 30 + 1
-        return {"d_date_sk": sk, "d_year": year.astype(np.int32),
-                "d_moy": moy.astype(np.int32), "d_dom": dom.astype(np.int32)}
+        dow = (sk - 1) % 7
+        day_names = np.array(
+            ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"],
+            object,
+        )
+        return {
+            "d_date_sk": sk,
+            "d_year": year.astype(np.int32),
+            "d_moy": moy.astype(np.int32),
+            "d_dom": dom.astype(np.int32),
+            "d_dow": dow.astype(np.int32),
+            "d_qoy": ((moy - 1) // 3 + 1).astype(np.int32),
+            "d_day_name": day_names[dow],
+            "d_month_seq": ((year - 1998) * 12 + moy - 1).astype(np.int32),
+        }
+    if name == "time_dim":
+        sk = np.arange(0, n, dtype=np.int64)
+        return {
+            "t_time_sk": sk,
+            "t_hour": (sk // 60).astype(np.int32),
+            "t_minute": (sk % 60).astype(np.int32),
+        }
     if name == "item":
         sk = np.arange(1, n + 1, dtype=np.int64)
         brand = rng.integers(1, 1000, n).astype(np.int32)
+        cats = np.array(["Books", "Electronics", "Home", "Jewelry", "Men", "Music",
+                         "Shoes", "Sports", "Children", "Women"], object)
         return {
             "i_item_sk": sk,
+            "i_item_id": np.array([f"ITEM{k:012d}" for k in sk], object),
+            "i_item_desc": np.array([f"desc of item {k}" for k in sk], object),
             "i_brand_id": brand,
             "i_brand": np.array([f"brand#{b}" for b in brand], object),
             "i_manufact_id": rng.integers(1, 1000, n).astype(np.int32),
+            "i_manager_id": rng.integers(1, 100, n).astype(np.int32),
+            "i_category": cats[rng.integers(0, len(cats), n)],
+            "i_class": np.array([f"class{x:02d}" for x in rng.integers(0, 16, n)], object),
+            "i_current_price": rng.integers(99, 30000, n).astype(np.int64),
         }
     if name == "store":
         return {
             "s_store_sk": np.arange(1, n + 1, dtype=np.int64),
+            "s_store_id": np.array([f"STORE{i:010d}" for i in range(n)], object),
+            "s_store_name": np.array([f"store_{i % 6}" for i in range(n)], object),
             "s_county": np.array([f"county {i % 8}" for i in range(n)], object),
+            "s_city": np.array([f"city{i % 5}" for i in range(n)], object),
+        }
+    if name == "warehouse":
+        return {
+            "w_warehouse_sk": np.arange(1, n + 1, dtype=np.int64),
+            "w_warehouse_name": np.array([f"warehouse {i}" for i in range(n)], object),
+        }
+    if name == "ship_mode":
+        types = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY",
+                 "LIBRARY", "MAIL", "AIR", "SEA", "TRUCK"]
+        return {
+            "sm_ship_mode_sk": np.arange(1, n + 1, dtype=np.int64),
+            "sm_type": np.array(types[:n], object),
+        }
+    if name == "web_site":
+        return {
+            "web_site_sk": np.arange(1, n + 1, dtype=np.int64),
+            "web_name": np.array([f"site_{i}" for i in range(n)], object),
+        }
+    if name == "call_center":
+        return {
+            "cc_call_center_sk": np.arange(1, n + 1, dtype=np.int64),
+            "cc_name": np.array([f"call center {i}" for i in range(n)], object),
+        }
+    if name == "customer_demographics":
+        return {
+            "cd_demo_sk": np.arange(1, n + 1, dtype=np.int64),
+            "cd_gender": np.array(["M", "F"], object)[rng.integers(0, 2, n)],
+            "cd_marital_status": np.array(["M", "S", "D", "W", "U"], object)[rng.integers(0, 5, n)],
+            "cd_education_status": np.array(
+                ["Primary", "Secondary", "College", "2 yr Degree", "4 yr Degree",
+                 "Advanced Degree", "Unknown"], object
+            )[rng.integers(0, 7, n)],
+        }
+    if name == "customer_address":
+        states = np.array(["CA", "TX", "NY", "FL", "WA", "GA", "IL", "OH"], object)
+        return {
+            "ca_address_sk": np.arange(1, n + 1, dtype=np.int64),
+            "ca_city": np.array([f"city{i % 40}" for i in range(n)], object),
+            "ca_state": states[rng.integers(0, len(states), n)],
+            "ca_zip": np.array([f"{z:05d}" for z in rng.integers(10000, 99999, n)], object),
+            "ca_gmt_offset": rng.integers(-8, -4, n).astype(np.int32),
+        }
+    if name == "promotion":
+        yn = np.array(["Y", "N"], object)
+        return {
+            "p_promo_sk": np.arange(1, n + 1, dtype=np.int64),
+            "p_channel_email": yn[rng.integers(0, 2, n)],
+            "p_channel_event": yn[rng.integers(0, 2, n)],
         }
     if name == "household_demographics":
         return {
@@ -154,34 +362,78 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
         sk = np.arange(1, n + 1, dtype=np.int64)
         return {
             "c_customer_sk": sk,
+            "c_current_addr_sk": rng.integers(1, max(int(3000 * sf), 10) + 1, n).astype(np.int64),
             "c_last_name": np.array([f"Last{k % 500:03d}" for k in sk], object),
             "c_first_name": np.array([f"First{k % 300:03d}" for k in sk], object),
             "c_salutation": np.array(["Mr.", "Ms.", "Dr.", "Mrs.", "Sir"], object)[rng.integers(0, 5, n)],
             "c_preferred_cust_flag": np.array(["Y", "N"], object)[rng.integers(0, 2, n)],
         }
     if name == "store_sales":
+        qty = rng.integers(1, 100, n).astype(np.int32)
+        sales_price = rng.integers(100, 20000, n).astype(np.int64)
         return {
             "ss_sold_date_sk": rng.integers(1, table_rows("date_dim", sf) + 1, n).astype(np.int64),
+            "ss_sold_time_sk": rng.integers(0, 1440, n).astype(np.int64),
             "ss_item_sk": _zipf_keys(rng, n, table_rows("item", sf)),  # skewed
             "ss_customer_sk": _zipf_keys(rng, n, table_rows("customer", sf)),
+            "ss_cdemo_sk": rng.integers(1, 1001, n).astype(np.int64),
+            "ss_addr_sk": rng.integers(1, max(int(3000 * sf), 10) + 1, n).astype(np.int64),
             "ss_store_sk": rng.integers(1, table_rows("store", sf) + 1, n).astype(np.int64),
             "ss_hdemo_sk": rng.integers(1, table_rows("household_demographics", sf) + 1, n).astype(np.int64),
+            "ss_promo_sk": rng.integers(1, 101, n).astype(np.int64),
             "ss_ticket_number": rng.integers(1, max(n // 6, 2), n).astype(np.int64),
+            "ss_quantity": qty,
+            "ss_sales_price": sales_price,
+            "ss_list_price": sales_price + rng.integers(0, 5000, n).astype(np.int64),
             "ss_ext_sales_price": rng.integers(100, 1000000, n).astype(np.int64),
+            "ss_ext_discount_amt": rng.integers(0, 50000, n).astype(np.int64),
+            "ss_ext_wholesale_cost": rng.integers(50, 500000, n).astype(np.int64),
+            "ss_coupon_amt": rng.integers(0, 20000, n).astype(np.int64),
+            "ss_net_profit": rng.integers(-50000, 200000, n).astype(np.int64),
+        }
+    if name == "store_returns":
+        nss = table_rows("store_sales", sf)
+        return {
+            "sr_item_sk": _zipf_keys(rng, n, table_rows("item", sf)),
+            "sr_customer_sk": _zipf_keys(rng, n, table_rows("customer", sf)),
+            "sr_ticket_number": rng.integers(1, max(nss // 6, 2), n).astype(np.int64),
+            "sr_returned_date_sk": rng.integers(1, table_rows("date_dim", sf) + 1, n).astype(np.int64),
+            "sr_return_amt": rng.integers(100, 50000, n).astype(np.int64),
         }
     if name == "web_sales":
         return {
             "ws_order_number": rng.integers(1, max(n // 4, 2), n).astype(np.int64),
+            "ws_item_sk": _zipf_keys(rng, n, table_rows("item", sf)),
+            "ws_sold_time_sk": rng.integers(0, 1440, n).astype(np.int64),
             "ws_warehouse_sk": rng.integers(1, 6, n).astype(np.int64),
+            "ws_sold_date_sk": rng.integers(1, table_rows("date_dim", sf) + 1, n).astype(np.int64),
             "ws_ship_date_sk": rng.integers(1, table_rows("date_dim", sf) + 1, n).astype(np.int64),
-            "ws_ship_addr_sk": rng.integers(1, 1000, n).astype(np.int64),
-            "ws_web_site_sk": rng.integers(1, 30, n).astype(np.int64),
+            "ws_ship_addr_sk": rng.integers(1, max(int(3000 * sf), 10) + 1, n).astype(np.int64),
+            "ws_bill_customer_sk": _zipf_keys(rng, n, table_rows("customer", sf)),
+            "ws_web_site_sk": rng.integers(1, 9, n).astype(np.int64),
+            "ws_ship_mode_sk": rng.integers(1, 11, n).astype(np.int64),
+            "ws_sales_price": rng.integers(100, 20000, n).astype(np.int64),
             "ws_ext_ship_cost": rng.integers(100, 10000, n).astype(np.int64),
+            "ws_ext_sales_price": rng.integers(100, 100000, n).astype(np.int64),
             "ws_net_profit": rng.integers(-5000, 20000, n).astype(np.int64),
         }
     if name == "web_returns":
         return {
             "wr_order_number": rng.integers(1, max(table_rows("web_sales", sf) // 4, 2), n).astype(np.int64),
+        }
+    if name == "catalog_sales":
+        return {
+            "cs_sold_date_sk": rng.integers(1, table_rows("date_dim", sf) + 1, n).astype(np.int64),
+            "cs_ship_date_sk": rng.integers(1, table_rows("date_dim", sf) + 1, n).astype(np.int64),
+            "cs_item_sk": _zipf_keys(rng, n, table_rows("item", sf)),
+            "cs_bill_customer_sk": _zipf_keys(rng, n, table_rows("customer", sf)),
+            "cs_warehouse_sk": rng.integers(1, 7, n).astype(np.int64),
+            "cs_ship_mode_sk": rng.integers(1, 11, n).astype(np.int64),
+            "cs_call_center_sk": rng.integers(1, 7, n).astype(np.int64),
+            "cs_quantity": rng.integers(1, 100, n).astype(np.int32),
+            "cs_sales_price": rng.integers(100, 20000, n).astype(np.int64),
+            "cs_ext_sales_price": rng.integers(100, 100000, n).astype(np.int64),
+            "cs_net_profit": rng.integers(-5000, 50000, n).astype(np.int64),
         }
     raise KeyError(name)
 
@@ -287,4 +539,499 @@ def q95(max_groups: int = 8) -> P.PlanNode:
     return agg
 
 
-QUERIES = {"q3": q3, "q34": q34, "q95": q95}
+def _scan(name: str) -> P.PlanNode:
+    return P.Scan(name, SCHEMAS[name])
+
+
+def _j(left, right, lk, rk, jt=P.JoinType.INNER, side="right", cond=None):
+    return P.HashJoin(left, right, tuple(E.col(k) for k in lk), tuple(E.col(k) for k in rk), jt, side, condition=cond)
+
+
+def q7(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Average sales metrics per item for a demographic + promotion slice."""
+    cd = _scan("customer_demographics").filter(
+        (E.col("cd_gender") == E.lit("M"))
+        & (E.col("cd_marital_status") == E.lit("S"))
+        & (E.col("cd_education_status") == E.lit("College"))
+    )
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(2000))
+    pr = _scan("promotion").filter(
+        (E.col("p_channel_email") == E.lit("N")) | (E.col("p_channel_event") == E.lit("N"))
+    )
+    j = _j(_scan("store_sales"), cd, ["ss_cdemo_sk"], ["cd_demo_sk"])
+    j = _j(j, dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, pr, ["ss_promo_sk"], ["p_promo_sk"])
+    j = _j(j, _scan("item"), ["ss_item_sk"], ["i_item_sk"])
+    agg = j.aggregate(
+        [E.col("i_item_id")],
+        [
+            E.AggExpr("avg", E.col("ss_quantity"), "agg1"),
+            E.AggExpr("avg", E.col("ss_list_price"), "agg2"),
+            E.AggExpr("avg", E.col("ss_coupon_amt"), "agg3"),
+            E.AggExpr("avg", E.col("ss_sales_price"), "agg4"),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("i_item_id"))], fetch=100)
+
+
+def q15(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Catalog sales by customer zip for Q2/2001, zip/state/price slice."""
+    dt = _scan("date_dim").filter((E.col("d_qoy") == E.lit(2)) & (E.col("d_year") == E.lit(2001)))
+    j = _j(_scan("catalog_sales"), _scan("customer"), ["cs_bill_customer_sk"], ["c_customer_sk"])
+    j = _j(j, _scan("customer_address"), ["c_current_addr_sk"], ["ca_address_sk"])
+    j = _j(j, dt, ["cs_sold_date_sk"], ["d_date_sk"])
+    cond = (
+        E.StringFunc("substring", (E.col("ca_zip"), E.lit(1), E.lit(2))).isin("85", "86", "88")
+        | E.col("ca_state").isin("CA", "WA", "GA")
+        | (E.col("cs_sales_price") > E.lit(100.0, T.decimal(7, 2)))
+    )
+    agg = P.Filter(j, cond).aggregate(
+        [E.col("ca_zip")], [E.AggExpr("sum", E.col("cs_sales_price"), "total")]
+    )
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("ca_zip"))], fetch=100)
+
+
+def q19(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Brand revenue for manager-8 items in Nov 1998, bought outside the
+    store's city (adaptation: city inequality instead of zip-prefix — the
+    generated store table has no zip)."""
+    dt = _scan("date_dim").filter((E.col("d_moy") == E.lit(11)) & (E.col("d_year") == E.lit(1998)))
+    it = _scan("item").filter(E.col("i_manager_id") == E.lit(8))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, it, ["ss_item_sk"], ["i_item_sk"])
+    j = _j(j, _scan("customer"), ["ss_customer_sk"], ["c_customer_sk"])
+    j = _j(j, _scan("customer_address"), ["c_current_addr_sk"], ["ca_address_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"],
+           cond=E.col("ca_city") != E.col("s_city"))
+    agg = j.aggregate(
+        [E.col("i_brand_id"), E.col("i_brand"), E.col("i_manufact_id")],
+        [E.AggExpr("sum", E.col("ss_ext_sales_price"), "ext_price")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("ext_price"), ascending=False), E.SortOrder(E.col("i_brand_id"))],
+        fetch=100,
+    )
+
+
+def _brand_month_query(manager: int, moy: int, year: int, max_groups: int) -> P.PlanNode:
+    dt = _scan("date_dim").filter((E.col("d_moy") == E.lit(moy)) & (E.col("d_year") == E.lit(year)))
+    it = _scan("item").filter(E.col("i_manager_id") == E.lit(manager))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, it, ["ss_item_sk"], ["i_item_sk"])
+    agg = j.aggregate(
+        [E.col("d_year"), E.col("i_brand_id"), E.col("i_brand")],
+        [E.AggExpr("sum", E.col("ss_ext_sales_price"), "ext_price")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("d_year")), E.SortOrder(E.col("ext_price"), ascending=False),
+         E.SortOrder(E.col("i_brand_id"))],
+        fetch=100,
+    )
+
+
+def q42(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Category revenue for a month (q42 shape: group by category)."""
+    dt = _scan("date_dim").filter((E.col("d_moy") == E.lit(11)) & (E.col("d_year") == E.lit(2000)))
+    it = _scan("item").filter(E.col("i_manager_id") == E.lit(1))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, it, ["ss_item_sk"], ["i_item_sk"])
+    agg = j.aggregate(
+        [E.col("d_year"), E.col("i_category")],
+        [E.AggExpr("sum", E.col("ss_ext_sales_price"), "total")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("total"), ascending=False), E.SortOrder(E.col("d_year")),
+         E.SortOrder(E.col("i_category"))],
+        fetch=100,
+    )
+
+
+def q52(max_groups: int = 1 << 12) -> P.PlanNode:
+    return _brand_month_query(manager=1, moy=12, year=2000, max_groups=max_groups)
+
+
+def q55(max_groups: int = 1 << 12) -> P.PlanNode:
+    return _brand_month_query(manager=28, moy=11, year=1999, max_groups=max_groups)
+
+
+def _day_case(day: str, value: str):
+    return E.AggExpr(
+        "sum", E.if_(E.col("d_day_name") == E.lit(day), E.col(value), E.lit(None, T.NULLTYPE)),
+        f"{day[:3].lower()}_sales",
+    )
+
+
+def q43(max_groups: int = 64) -> P.PlanNode:
+    """Store sales pivoted by day-of-week (sum(case ...)) per store."""
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(2000))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    days = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday"]
+    agg = j.aggregate(
+        [E.col("s_store_name"), E.col("s_store_id")],
+        [_day_case(d, "ss_sales_price") for d in days],
+    )
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("s_store_name")), E.SortOrder(E.col("s_store_id"))], fetch=100)
+
+
+def q50(max_groups: int = 64) -> P.PlanNode:
+    """Return-latency buckets per store: days between sale and return."""
+    ss = _scan("store_sales")
+    sr = _scan("store_returns")
+    j = P.HashJoin(
+        ss, sr,
+        (E.col("ss_ticket_number"), E.col("ss_item_sk"), E.col("ss_customer_sk")),
+        (E.col("sr_ticket_number"), E.col("sr_item_sk"), E.col("sr_customer_sk")),
+        P.JoinType.INNER, "right",
+    )
+    rdt = _scan("date_dim").filter(
+        (E.col("d_year") == E.lit(2001)) & (E.col("d_moy") == E.lit(8))
+    ).project([E.col("d_date_sk").alias("rd_sk")])
+    j = _j(j, rdt, ["sr_returned_date_sk"], ["rd_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    lat = E.col("sr_returned_date_sk") - E.col("ss_sold_date_sk")
+
+    def bucket(name, cond):
+        return E.AggExpr("sum", E.if_(cond, E.lit(1), E.lit(None, T.NULLTYPE)), name)
+
+    agg = j.aggregate(
+        [E.col("s_store_name"), E.col("s_store_id")],
+        [
+            bucket("d30", lat <= E.lit(30)),
+            bucket("d31_60", (lat > E.lit(30)) & (lat <= E.lit(60))),
+            bucket("d61_90", (lat > E.lit(60)) & (lat <= E.lit(90))),
+            bucket("d91_120", (lat > E.lit(90)) & (lat <= E.lit(120))),
+            bucket("d120p", lat > E.lit(120)),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("s_store_name")), E.SortOrder(E.col("s_store_id"))], fetch=100)
+
+
+def q62(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Web shipping-latency buckets by warehouse/ship-mode/site."""
+    ws = _scan("web_sales")
+    dt = _scan("date_dim").filter(E.col("d_month_seq").between(24, 35))
+    j = _j(ws, dt, ["ws_ship_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("warehouse"), ["ws_warehouse_sk"], ["w_warehouse_sk"])
+    j = _j(j, _scan("ship_mode"), ["ws_ship_mode_sk"], ["sm_ship_mode_sk"])
+    j = _j(j, _scan("web_site"), ["ws_web_site_sk"], ["web_site_sk"])
+    lat = E.col("ws_ship_date_sk") - E.col("ws_sold_date_sk")
+
+    def bucket(name, cond):
+        return E.AggExpr("sum", E.if_(cond, E.lit(1), E.lit(None, T.NULLTYPE)), name)
+
+    agg = j.aggregate(
+        [E.col("w_warehouse_name"), E.col("sm_type"), E.col("web_name")],
+        [
+            bucket("d30", lat <= E.lit(30)),
+            bucket("d31_60", (lat > E.lit(30)) & (lat <= E.lit(60))),
+            bucket("d61_90", (lat > E.lit(60)) & (lat <= E.lit(90))),
+            bucket("d91_120", (lat > E.lit(90)) & (lat <= E.lit(120))),
+            bucket("d120p", lat > E.lit(120)),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("w_warehouse_name")), E.SortOrder(E.col("sm_type")),
+         E.SortOrder(E.col("web_name"))],
+        fetch=100,
+    )
+
+
+def q99(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Catalog shipping-latency buckets by warehouse/ship-mode/call-center."""
+    cs = _scan("catalog_sales")
+    dt = _scan("date_dim").filter(E.col("d_month_seq").between(24, 35))
+    j = _j(cs, dt, ["cs_ship_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("warehouse"), ["cs_warehouse_sk"], ["w_warehouse_sk"])
+    j = _j(j, _scan("ship_mode"), ["cs_ship_mode_sk"], ["sm_ship_mode_sk"])
+    j = _j(j, _scan("call_center"), ["cs_call_center_sk"], ["cc_call_center_sk"])
+    lat = E.col("cs_ship_date_sk") - E.col("cs_sold_date_sk")
+
+    def bucket(name, cond):
+        return E.AggExpr("sum", E.if_(cond, E.lit(1), E.lit(None, T.NULLTYPE)), name)
+
+    agg = j.aggregate(
+        [E.col("w_warehouse_name"), E.col("sm_type"), E.col("cc_name")],
+        [
+            bucket("d30", lat <= E.lit(30)),
+            bucket("d31_60", (lat > E.lit(30)) & (lat <= E.lit(60))),
+            bucket("d61_90", (lat > E.lit(60)) & (lat <= E.lit(90))),
+            bucket("d91_120", (lat > E.lit(90)) & (lat <= E.lit(120))),
+            bucket("d120p", lat > E.lit(120)),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("w_warehouse_name")), E.SortOrder(E.col("sm_type")),
+         E.SortOrder(E.col("cc_name"))],
+        fetch=100,
+    )
+
+
+def q65(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Store-item revenue at most 10% of the store's average item revenue."""
+    dt = _scan("date_dim").filter(E.col("d_month_seq").between(24, 35))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    per_item = j.aggregate(
+        [E.col("ss_store_sk"), E.col("ss_item_sk")],
+        [E.AggExpr("sum", E.col("ss_sales_price"), "revenue")],
+    )
+    per_item.max_groups = max_groups
+    per_store = per_item.aggregate(
+        [E.col("ss_store_sk").alias("sb_store_sk")],
+        [E.AggExpr("avg", E.col("revenue"), "ave")],
+    )
+    per_store.max_groups = 64
+    j2 = _j(per_item, per_store, ["ss_store_sk"], ["sb_store_sk"],
+            cond=E.col("revenue").cast(T.FLOAT64) <= E.lit(0.1) * E.col("ave").cast(T.FLOAT64))
+    j2 = _j(j2, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j2 = _j(j2, _scan("item"), ["ss_item_sk"], ["i_item_sk"])
+    return j2.project(
+        [E.col("s_store_name"), E.col("i_item_desc"), E.col("revenue"),
+         E.col("i_current_price")]
+    ).sort(
+        [E.SortOrder(E.col("s_store_name")), E.SortOrder(E.col("i_item_desc"))],
+        fetch=100,
+    )
+
+
+def _ticket_query(date_pred, hd_pred, max_groups, cnt_lo, cnt_hi):
+    dt = _scan("date_dim").filter(date_pred)
+    hd = _scan("household_demographics").filter(hd_pred)
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, hd, ["ss_hdemo_sk"], ["hd_demo_sk"])
+    per = j.aggregate(
+        [E.col("ss_ticket_number"), E.col("ss_customer_sk")],
+        [E.AggExpr("count", None, "cnt")],
+    )
+    per.max_groups = max_groups
+    filt = P.Filter(per, E.col("cnt").between(cnt_lo, cnt_hi))
+    j2 = _j(filt, _scan("customer"), ["ss_customer_sk"], ["c_customer_sk"])
+    return j2.sort(
+        [E.SortOrder(E.col("cnt"), ascending=False), E.SortOrder(E.col("c_last_name")),
+         E.SortOrder(E.col("ss_ticket_number"))]
+    ).project(
+        [E.col("c_last_name"), E.col("c_first_name"), E.col("c_salutation"),
+         E.col("c_preferred_cust_flag"), E.col("ss_ticket_number"), E.col("cnt")]
+    )
+
+
+def q73(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Tickets with 1-5 items for high-dependency households."""
+    return _ticket_query(
+        (E.col("d_dom").between(1, 2)) & E.col("d_year").isin(1999, 2000, 2001),
+        E.col("hd_buy_potential").isin(">10000", "Unknown")
+        & (E.col("hd_vehicle_count") > 0)
+        & (
+            E.col("hd_dep_count").cast(T.FLOAT64)
+            / E.CaseWhen(((E.col("hd_vehicle_count") > 0, E.col("hd_vehicle_count")),), E.lit(1)).cast(T.FLOAT64)
+            > E.lit(1.0)
+        ),
+        max_groups, 1, 5,
+    )
+
+
+def q79(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Monday shoppers with many dependents or vehicles, by store city."""
+    dt = _scan("date_dim").filter((E.col("d_dow") == E.lit(1)) & E.col("d_year").isin(1999, 2000, 2001))
+    hd = _scan("household_demographics").filter(
+        (E.col("hd_dep_count") == E.lit(6)) | (E.col("hd_vehicle_count") > E.lit(2))
+    )
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, hd, ["ss_hdemo_sk"], ["hd_demo_sk"])
+    per = j.aggregate(
+        [E.col("ss_ticket_number"), E.col("ss_customer_sk"), E.col("s_city")],
+        [
+            E.AggExpr("sum", E.col("ss_coupon_amt"), "amt"),
+            E.AggExpr("sum", E.col("ss_net_profit"), "profit"),
+        ],
+    )
+    per.max_groups = max_groups
+    j2 = _j(per, _scan("customer"), ["ss_customer_sk"], ["c_customer_sk"])
+    return j2.sort(
+        [E.SortOrder(E.col("c_last_name")), E.SortOrder(E.col("c_first_name")),
+         E.SortOrder(E.col("s_city")), E.SortOrder(E.col("profit")),
+         E.SortOrder(E.col("ss_ticket_number"))],
+        fetch=100,
+    ).project(
+        [E.col("c_last_name"), E.col("c_first_name"), E.col("s_city"),
+         E.col("ss_ticket_number"), E.col("amt"), E.col("profit")]
+    )
+
+
+def q68(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Ticket extended amounts for two cities; buyer now lives elsewhere."""
+    dt = _scan("date_dim").filter(
+        (E.col("d_dom").between(1, 2)) & E.col("d_year").isin(1999, 2000, 2001)
+    )
+    hd = _scan("household_demographics").filter(
+        (E.col("hd_dep_count") == E.lit(5)) | (E.col("hd_vehicle_count") == E.lit(3))
+    )
+    ca = _scan("customer_address").filter(E.col("ca_city").isin("city0", "city1"))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, hd, ["ss_hdemo_sk"], ["hd_demo_sk"])
+    j = _j(j, ca, ["ss_addr_sk"], ["ca_address_sk"])
+    per = j.aggregate(
+        [E.col("ss_ticket_number"), E.col("ss_customer_sk"), E.col("ca_city").alias("bought_city")],
+        [
+            E.AggExpr("sum", E.col("ss_ext_sales_price"), "extended_price"),
+            E.AggExpr("sum", E.col("ss_ext_wholesale_cost"), "extended_cost"),
+        ],
+    )
+    per.max_groups = max_groups
+    j2 = _j(per, _scan("customer"), ["ss_customer_sk"], ["c_customer_sk"])
+    cur = _scan("customer_address").project(
+        [E.col("ca_address_sk").alias("cur_addr_sk"), E.col("ca_city").alias("cur_city")]
+    )
+    j3 = _j(j2, cur, ["c_current_addr_sk"], ["cur_addr_sk"],
+            cond=E.col("cur_city") != E.col("bought_city"))
+    return j3.sort(
+        [E.SortOrder(E.col("c_last_name")), E.SortOrder(E.col("ss_ticket_number"))],
+        fetch=100,
+    ).project(
+        [E.col("c_last_name"), E.col("c_first_name"), E.col("bought_city"),
+         E.col("ss_ticket_number"), E.col("extended_price"), E.col("extended_cost")]
+    )
+
+
+def q96(max_groups: int = 8) -> P.PlanNode:
+    """COUNT(*) of evening sales for dep_count-5 households at one store."""
+    td = _scan("time_dim").filter(
+        (E.col("t_hour") == E.lit(20)) & (E.col("t_minute") >= E.lit(30))
+    )
+    hd = _scan("household_demographics").filter(E.col("hd_dep_count") == E.lit(5))
+    st = _scan("store").filter(E.col("s_store_name") == E.lit("store_0"))
+    j = _j(_scan("store_sales"), hd, ["ss_hdemo_sk"], ["hd_demo_sk"])
+    j = _j(j, td, ["ss_sold_time_sk"], ["t_time_sk"])
+    j = _j(j, st, ["ss_store_sk"], ["s_store_sk"])
+    agg = j.aggregate([], [E.AggExpr("count", None, "cnt")])
+    agg.max_groups = max_groups
+    return agg
+
+
+def q90(session) -> P.PlanNode:
+    """AM/PM web sales ratio via two scalar subqueries (q90 shape)."""
+    def band(lo, hi):
+        td = _scan("time_dim").filter(E.col("t_hour").between(lo, hi))
+        j = _j(_scan("web_sales"), td, ["ws_sold_time_sk"], ["t_time_sk"])
+        agg = j.aggregate([], [E.AggExpr("count", None, "cnt")])
+        agg.max_groups = 8
+        return agg
+
+    am = session.scalar_subquery(band(8, 9))
+    pm = session.scalar_subquery(band(19, 20))
+    one = _scan("time_dim").limit(1)
+    return one.project(
+        [(am.cast(T.FLOAT64) / pm.cast(T.FLOAT64)).alias("am_pm_ratio")]
+    )
+
+
+def q98(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Item revenue with class-relative ratio via a window sum."""
+    dt = _scan("date_dim").filter((E.col("d_year") == E.lit(1999)) & (E.col("d_moy").between(2, 3)))
+    it = _scan("item").filter(E.col("i_category").isin("Sports", "Books", "Home"))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, it, ["ss_item_sk"], ["i_item_sk"])
+    agg = j.aggregate(
+        [E.col("i_item_id"), E.col("i_item_desc"), E.col("i_category"),
+         E.col("i_class"), E.col("i_current_price")],
+        [E.AggExpr("sum", E.col("ss_ext_sales_price"), "itemrevenue")],
+    )
+    agg.max_groups = max_groups
+    win = P.Window(
+        agg,
+        (E.WindowExpr(
+            "sum", E.col("itemrevenue"), "class_revenue",
+            partition_by=(E.col("i_class"),),
+            frame=E.WindowFrame("rows", None, None),
+        ),),
+    )
+    return win.project(
+        [E.col("i_item_id"), E.col("i_item_desc"), E.col("i_category"), E.col("i_class"),
+         E.col("i_current_price"), E.col("itemrevenue"),
+         (E.col("itemrevenue").cast(T.FLOAT64) * E.lit(100.0)
+          / E.col("class_revenue").cast(T.FLOAT64)).alias("revenueratio")]
+    ).sort(
+        [E.SortOrder(E.col("i_category")), E.SortOrder(E.col("i_class")),
+         E.SortOrder(E.col("i_item_id")), E.SortOrder(E.col("i_item_desc")),
+         E.SortOrder(E.col("revenueratio"))],
+        fetch=100,
+    )
+
+
+def q25(max_groups: int = 1 << 16) -> P.PlanNode:
+    """3-channel profit: store sale in April 2000, returned within 6 months,
+    re-bought on catalog by the same customer.
+
+    The (customer,item) catalog join is pre-aggregated to (sum, count) and
+    the other side's sums are count-weighted — the algebraically-equivalent
+    join-aggregation decomposition that bounds the fan-out of the Zipf-skewed
+    many-to-many join (the static-shape analog of AQE skew handling;
+    reference: CometShuffleExchangeExec participates in AQE skew splitting)."""
+    d1 = _scan("date_dim").filter((E.col("d_moy") == E.lit(4)) & (E.col("d_year") == E.lit(2000))).project(
+        [E.col("d_date_sk").alias("d1_sk")]
+    )
+    d2 = _scan("date_dim").filter(
+        E.col("d_moy").between(4, 10) & (E.col("d_year") == E.lit(2000))
+    ).project([E.col("d_date_sk").alias("d2_sk")])
+    d3 = _scan("date_dim").filter(
+        E.col("d_moy").between(4, 10) & (E.col("d_year") == E.lit(2000))
+    ).project([E.col("d_date_sk").alias("d3_sk")])
+    cs = _j(_scan("catalog_sales"), d3, ["cs_sold_date_sk"], ["d3_sk"])
+    cs_agg = cs.aggregate(
+        [E.col("cs_bill_customer_sk"), E.col("cs_item_sk")],
+        [
+            E.AggExpr("sum", E.col("cs_net_profit"), "cs_profit_sum"),
+            E.AggExpr("count", None, "cs_cnt"),
+        ],
+    )
+    cs_agg.max_groups = max_groups
+    j = P.HashJoin(
+        _scan("store_sales"), _scan("store_returns"),
+        (E.col("ss_customer_sk"), E.col("ss_item_sk"), E.col("ss_ticket_number")),
+        (E.col("sr_customer_sk"), E.col("sr_item_sk"), E.col("sr_ticket_number")),
+        P.JoinType.INNER, "right",
+    )
+    j = _j(j, d1, ["ss_sold_date_sk"], ["d1_sk"])
+    j = _j(j, d2, ["sr_returned_date_sk"], ["d2_sk"])
+    j = P.HashJoin(
+        j, cs_agg,
+        (E.col("ss_customer_sk"), E.col("ss_item_sk")),
+        (E.col("cs_bill_customer_sk"), E.col("cs_item_sk")),
+        P.JoinType.INNER, "right",
+    )
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, _scan("item"), ["ss_item_sk"], ["i_item_sk"])
+    agg = j.aggregate(
+        [E.col("i_item_id"), E.col("i_item_desc"), E.col("s_store_id"), E.col("s_store_name")],
+        [
+            E.AggExpr("sum", E.col("ss_net_profit") * E.col("cs_cnt"), "store_sales_profit"),
+            E.AggExpr("sum", E.col("sr_return_amt") * E.col("cs_cnt"), "store_returns_loss"),
+            E.AggExpr("sum", E.col("cs_profit_sum"), "catalog_sales_profit"),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("i_item_id")), E.SortOrder(E.col("i_item_desc")),
+         E.SortOrder(E.col("s_store_id")), E.SortOrder(E.col("s_store_name"))],
+        fetch=100,
+    )
+
+
+QUERIES = {
+    "q3": q3, "q7": q7, "q15": q15, "q19": q19, "q25": q25, "q34": q34,
+    "q42": q42, "q43": q43, "q50": q50, "q52": q52, "q55": q55, "q62": q62,
+    "q65": q65, "q68": q68, "q73": q73, "q79": q79, "q95": q95, "q96": q96,
+    "q98": q98, "q99": q99,
+}

@@ -34,6 +34,8 @@ from datafusion_comet_tpu.ir import expr as E
 from datafusion_comet_tpu.ir import plan as P
 from datafusion_comet_tpu.parallel.mesh import PARTITION_AXIS, make_mesh
 from datafusion_comet_tpu.parallel.shuffle import (
+    partition_ids_range,
+    range_boundaries_spmd,
     broadcast_batch,
     partition_ids_hash,
     partition_ids_round_robin,
@@ -120,7 +122,17 @@ def _dist(plan: P.PlanNode, np_: int) -> P.PlanNode:
         return out
     if isinstance(plan, P.Sort):
         child = _dist(plan.child, np_)
-        # local pre-sort (with fetch pushdown) then gather + final sort
+        if plan.fetch is None and plan.skip == 0 and plan.orders:
+            # full sort: range-exchange so every device owns one key range —
+            # concatenated device order IS the global order; no single-device
+            # merge bottleneck (reference analog: Spark RangePartitioning
+            # shuffle before Sort; partitioning.proto RangePartition)
+            ex = P.ShuffleExchange(child, "range", (), np_, plan.orders)
+            ex.schema = child.schema
+            final = P.Sort(ex, plan.orders, None, 0)
+            final.schema = plan.schema
+            return final
+        # top-K / skip: local pre-sort (fetch pushdown) then gather + final sort
         local = P.Sort(child, plan.orders, plan.fetch and plan.fetch + plan.skip, 0)
         local.schema = child.schema
         ex = P.ShuffleExchange(local, "single", (), np_)
@@ -219,6 +231,11 @@ def _exec_spmd(plan, tables, ctx, flags, np_, axis, fanout, single, slack=2) -> 
             pids = jnp.zeros(child.capacity, jnp.int32)
         elif plan.partitioning == "round_robin":
             pids = partition_ids_round_robin(child, np_)
+        elif plan.partitioning == "range":
+            blimbs = range_boundaries_spmd(
+                child, plan.sort_orders, np_, axis, ctx, single_device=single
+            )
+            pids = partition_ids_range(child, plan.sort_orders, blimbs, ctx)
         else:
             raise NotImplementedError(f"partitioning {plan.partitioning}")
         if plan.partitioning == "single":

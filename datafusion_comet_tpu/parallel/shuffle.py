@@ -28,7 +28,14 @@ from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
 from datafusion_comet_tpu.exec.evaluator import EvalContext, evaluate, _murmur3_column
 from datafusion_comet_tpu.ir import expr as E
 
-__all__ = ["partition_ids_hash", "partition_ids_round_robin", "shuffle_batch", "broadcast_batch"]
+__all__ = [
+    "partition_ids_hash",
+    "partition_ids_round_robin",
+    "partition_ids_range",
+    "sample_range_boundaries",
+    "shuffle_batch",
+    "broadcast_batch",
+]
 
 
 def partition_ids_hash(
@@ -49,6 +56,111 @@ def partition_ids_hash(
 def partition_ids_round_robin(batch: Batch, num_partitions: int, start: int = 0) -> jax.Array:
     pos = jnp.cumsum(batch.row_mask.astype(jnp.int32)) - 1
     return (pos + start) % num_partitions
+
+
+def _order_limb_arrays(
+    batch: Batch, sort_orders: Sequence[E.SortOrder], ctx: EvalContext
+) -> List[jax.Array]:
+    from datafusion_comet_tpu.exec import sortkeys
+
+    limbs: List[jax.Array] = []
+    for o in sort_orders:
+        cv = evaluate(o.child, batch, ctx)
+        limbs += sortkeys.order_limbs(cv, o.ascending, o.resolved_nulls_first(), batch.row_mask)
+    return limbs
+
+
+def sample_range_boundaries(
+    batch: Batch,
+    sort_orders: Sequence[E.SortOrder],
+    num_partitions: int,
+    ctx: Optional[EvalContext] = None,
+    seed: int = 0,
+) -> List[np.ndarray]:
+    """Driver-side boundary sampling for range partitioning.
+
+    The analog of Spark's JVM reservoir sampling whose boundary rows the
+    reference receives in the RangePartition proto (partitioning.proto:49-53;
+    CometShuffleExchangeExec computes them JVM-side). Here: evaluate the sort
+    keys into orderable limbs on device, pull the (small) limb matrix to the
+    host, sort lexicographically, and take evenly spaced quantiles. Returns
+    per-limb boundary arrays of length num_partitions - 1."""
+    ctx = ctx or EvalContext()
+    limbs = [np.asarray(l) for l in _order_limb_arrays(batch, sort_orders, ctx)]
+    mask = np.asarray(batch.row_mask)
+    live = np.nonzero(mask)[0]
+    if len(live) == 0:
+        return [np.zeros(num_partitions - 1, l.dtype) for l in limbs]
+    rng = np.random.default_rng(seed)
+    n_samples = min(len(live), max(num_partitions * 20, 100))
+    pick = rng.choice(live, size=n_samples, replace=False)
+    cols = [l[pick] for l in limbs]
+    order = np.lexsort(list(reversed(cols)))  # last key primary in lexsort
+    qs = ((np.arange(1, num_partitions) * n_samples) // num_partitions).clip(0, n_samples - 1)
+    return [c[order][qs] for c in cols]
+
+
+def range_boundaries_spmd(
+    batch: Batch,
+    sort_orders: Sequence[E.SortOrder],
+    num_partitions: int,
+    axis_name: str,
+    ctx: Optional[EvalContext] = None,
+    single_device: bool = False,
+    n_per_dev: int = 64,
+) -> List[jax.Array]:
+    """Range boundaries computed INSIDE the SPMD program — the TPU-native
+    replacement for Spark's separate driver-side sampling job (the reference
+    receives JVM-sampled boundary_rows; here a systematic per-device sample
+    of the order-limbs is all_gathered, sorted, and quantiled, so range
+    partitioning costs one tiny collective instead of an extra query run)."""
+    ctx = ctx or EvalContext()
+    limbs = _order_limb_arrays(batch, sort_orders, ctx)
+    cap = batch.capacity
+    order = jnp.argsort(~batch.row_mask, stable=True)  # live rows first
+    live = jnp.sum(batch.row_mask.astype(jnp.int32))
+    i = jnp.arange(n_per_dev, dtype=jnp.int32)
+    sidx = jnp.where(live > 0, (i * live) // n_per_dev, 0)
+    sel = order[jnp.clip(sidx, 0, cap - 1)]
+    valid = i < live
+    sample = [l[sel] for l in limbs]
+    if not single_device:
+        gathered = [jax.lax.all_gather(s, axis_name, axis=0, tiled=True) for s in sample]
+        gvalid = jax.lax.all_gather(valid, axis_name, axis=0, tiled=True)
+    else:
+        gathered, gvalid = sample, valid
+    total = jnp.sum(gvalid.astype(jnp.int32))
+    keys = [(~gvalid).astype(jnp.int32)] + list(gathered)
+    n = gvalid.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    perm = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys), is_stable=True)[-1]
+    qs = jnp.clip(
+        (jnp.arange(1, num_partitions, dtype=jnp.int32) * total) // num_partitions,
+        0, n - 1,
+    )
+    return [g[perm][qs] for g in gathered]
+
+
+def partition_ids_range(
+    batch: Batch,
+    sort_orders: Sequence[E.SortOrder],
+    boundary_limbs: Sequence[np.ndarray],
+    ctx: Optional[EvalContext] = None,
+) -> jax.Array:
+    """Range partition ids: id = #boundaries the row sorts strictly after
+    (Spark RangePartitioner.getPartition semantics). One lexicographic
+    multi-limb compare against all P-1 boundaries, fully vectorized."""
+    ctx = ctx or EvalContext()
+    limbs = _order_limb_arrays(batch, sort_orders, ctx)
+    nb = boundary_limbs[0].shape[0]
+    gt = jnp.zeros((batch.capacity, nb), bool)
+    eq = jnp.ones((batch.capacity, nb), bool)
+    for l, b in zip(limbs, boundary_limbs):
+        bj = jnp.asarray(b)[None, :]
+        lj = l[:, None]
+        gt = gt | (eq & (lj > bj))
+        eq = eq & (lj == bj)
+    return jnp.sum(gt, axis=1).astype(jnp.int32)
 
 
 def _bucketize(
