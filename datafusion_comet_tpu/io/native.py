@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["lib", "pad_utf8_arrow", "radix_sort_u64", "crc32", "zlib_compress", "zlib_decompress"]
+__all__ = ["lib", "pad_utf8_arrow", "radix_sort_u64", "crc32", "zlib_compress", "zlib_decompress", "batch_to_unsafe_rows"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "staging.cpp")
 _SO = os.path.join(os.path.dirname(_SRC), "libcomet_host.so")
@@ -151,3 +151,110 @@ def zlib_decompress(buf: bytes, out_len: int) -> bytes:
     import zlib as z
 
     return z.decompress(buf)
+
+
+# -------------------------------------------------------------------------------------
+# Columnar → Spark UnsafeRow (reference: columnar_to_row.rs:869,
+# Native.scala:232 columnarToRowInit/Convert/Close)
+# -------------------------------------------------------------------------------------
+
+
+def _register_unsafe_rows(L) -> None:
+    c = ctypes
+    if hasattr(L, "_unsafe_registered"):
+        return
+    L.unsafe_rows_offsets.restype = c.c_int64
+    L.unsafe_rows_offsets.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int32, c.c_int64, c.c_void_p,
+    ]
+    L.unsafe_rows_fill.restype = None
+    L.unsafe_rows_fill.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_int32, c.c_int64, c.c_void_p, c.c_void_p,
+    ]
+    L._unsafe_registered = True
+
+
+def batch_to_unsafe_rows(batch) -> Tuple[np.ndarray, np.ndarray]:
+    """Serialize a Batch's live rows into Spark UnsafeRow layout.
+
+    Returns (buffer uint8[total_bytes], offsets int64[n_rows+1]); row r's
+    bytes are buffer[offsets[r]:offsets[r+1]]. Decimals travel as their
+    scaled int64 (<=18 digits — Spark's compact decimal representation).
+    Uses the native kernel when available, numpy fallback otherwise."""
+    mask = np.asarray(batch.row_mask)
+    n = int(mask.sum())
+    cols, widths, var_pad, var_lens, valids, sext = [], [], [], [], [], []
+    for cv in batch.columns:
+        v = np.ascontiguousarray(np.asarray(cv.validity)[mask].astype(np.uint8))
+        valids.append(v)
+        if cv.dtype.is_binary:
+            data = np.ascontiguousarray(np.asarray(cv.data)[mask])
+            lens = np.ascontiguousarray(np.asarray(cv.lengths)[mask].astype(np.int32))
+            cols.append(data)
+            widths.append(0)
+            var_pad.append(data.shape[1] if data.ndim == 2 else 0)
+            var_lens.append(lens)
+            sext.append(0)
+        else:
+            data = np.ascontiguousarray(np.asarray(cv.data)[mask])
+            cols.append(data)
+            widths.append(data.dtype.itemsize)
+            var_pad.append(0)
+            var_lens.append(np.zeros(0, np.int32))
+            sext.append(1 if data.dtype.kind == "i" else 0)
+    n_cols = len(cols)
+    widths_np = np.asarray(widths, np.int32)
+    var_pad_np = np.asarray(var_pad, np.int32)
+    sext_np = np.asarray(sext, np.int32)
+    offsets = np.zeros(n + 1, np.int64)
+    L = lib()
+    if L is not None:
+        _register_unsafe_rows(L)
+        c = ctypes
+        arr_pp = (c.c_void_p * n_cols)(*[cv.ctypes.data for cv in cols])
+        val_pp = (c.c_void_p * n_cols)(*[v.ctypes.data for v in valids])
+        vl_pp = (c.c_void_p * n_cols)(*[vl.ctypes.data for vl in var_lens])
+        total = int(L.unsafe_rows_offsets(
+            widths_np.ctypes.data, var_pad_np.ctypes.data, vl_pp, val_pp,
+            n_cols, n, offsets.ctypes.data,
+        ))
+        out = np.zeros(total, np.uint8)
+        L.unsafe_rows_fill(
+            arr_pp, widths_np.ctypes.data, var_pad_np.ctypes.data, vl_pp, val_pp,
+            sext_np.ctypes.data, n_cols, n, offsets.ctypes.data, out.ctypes.data,
+        )
+        return out, offsets
+    # numpy fallback (row loop — correctness path only)
+    fixed = ((n_cols + 63) // 64) * 8 + n_cols * 8
+    rows = []
+    pos = 0
+    for r in range(n):
+        sz = fixed
+        for ci in range(n_cols):
+            if widths[ci] == 0 and valids[ci][r]:
+                sz += (int(var_lens[ci][r]) + 7) & ~7
+        offsets[r + 1] = offsets[r] + sz
+        row = bytearray(sz)
+        nulls = [0] * ((n_cols + 63) // 64)
+        var_off = fixed
+        for ci in range(n_cols):
+            slot = 0
+            if not valids[ci][r]:
+                nulls[ci // 64] |= 1 << (ci % 64)
+            elif widths[ci] > 0:
+                val = cols[ci][r]
+                raw = int(np.asarray(val).view({1: np.int8, 2: np.int16, 4: np.int32, 8: np.int64}[widths[ci]])) if sext[ci] else int.from_bytes(np.asarray(val).tobytes(), "little")
+                slot = raw & 0xFFFFFFFFFFFFFFFF
+            else:
+                ln = int(var_lens[ci][r])
+                row[var_off : var_off + ln] = cols[ci][r][:ln].tobytes()
+                slot = (var_off << 32) | ln
+                var_off = (var_off + ln + 7) & ~7
+            row[((n_cols + 63) // 64) * 8 + ci * 8 : ((n_cols + 63) // 64) * 8 + ci * 8 + 8] = (
+                slot & 0xFFFFFFFFFFFFFFFF
+            ).to_bytes(8, "little")
+        for wi, wv in enumerate(nulls):
+            row[wi * 8 : wi * 8 + 8] = wv.to_bytes(8, "little")
+        rows.append(bytes(row))
+    return np.frombuffer(b"".join(rows), np.uint8).copy(), offsets

@@ -136,4 +136,74 @@ void columnar_to_rows(const uint8_t** cols, const uint8_t** validity,
   }
 }
 
+// Full Spark UnsafeRow serialization (reference: columnar_to_row.rs:869
+// ColumnarToRowContext + :949 convert; Native.scala:232 columnarToRowInit/
+// Convert). Layout per row: [null bitset, ceil(n_cols/64) 8-byte words]
+// [one 8-byte slot per column] [8-byte-aligned var-len payloads]. A var-len
+// column's slot holds (offset_from_row_base << 32) | byte_length.
+// widths[c] > 0 → fixed width (1/2/4/8 bytes, data at cols[c] + r*width);
+// widths[c] == 0 → var-len: padded matrix var size var_pad_w[c] per row at
+// cols[c] + r*var_pad_w[c], true length var_lens[c][r].
+
+static inline int64_t row_fixed_size(int32_t n_cols) {
+  return ((n_cols + 63) / 64) * 8 + static_cast<int64_t>(n_cols) * 8;
+}
+
+int64_t unsafe_rows_offsets(const int32_t* widths, const int32_t* var_pad_w,
+                            const int32_t** var_lens, const uint8_t** validity,
+                            int32_t n_cols, int64_t n_rows, int64_t* offsets) {
+  const int64_t fixed = row_fixed_size(n_cols);
+  offsets[0] = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t sz = fixed;
+    for (int32_t c = 0; c < n_cols; ++c) {
+      if (widths[c] == 0 && validity[c][r]) {
+        sz += (static_cast<int64_t>(var_lens[c][r]) + 7) & ~7LL;  // 8-aligned
+      }
+    }
+    offsets[r + 1] = offsets[r] + sz;
+  }
+  return offsets[n_rows];
+}
+
+void unsafe_rows_fill(const uint8_t** cols, const int32_t* widths,
+                      const int32_t* var_pad_w, const int32_t** var_lens,
+                      const uint8_t** validity, const int32_t* sext,
+                      int32_t n_cols, int64_t n_rows,
+                      const int64_t* offsets, uint8_t* out) {
+  const int64_t fixed = row_fixed_size(n_cols);
+  const int32_t null_words = (n_cols + 63) / 64;
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < n_rows; ++r) {
+    uint8_t* row = out + offsets[r];
+    uint64_t* nulls = reinterpret_cast<uint64_t*>(row);
+    for (int32_t w = 0; w < null_words; ++w) nulls[w] = 0;
+    uint8_t* slots = row + null_words * 8;
+    int64_t var_off = fixed;  // next var payload offset from row base
+    for (int32_t c = 0; c < n_cols; ++c) {
+      uint64_t slot = 0;
+      if (!validity[c][r]) {
+        nulls[c / 64] |= (1ULL << (c % 64));
+      } else if (widths[c] > 0) {
+        std::memcpy(&slot, cols[c] + r * widths[c], static_cast<size_t>(widths[c]));
+        // sign-extend small signed ints the way Spark's writers do
+        // (floats/bools keep zero upper bytes — sext[c] gates this)
+        if (sext[c]) {
+          if (widths[c] == 1) slot = static_cast<uint64_t>(static_cast<int64_t>(static_cast<int8_t>(slot)));
+          else if (widths[c] == 2) slot = static_cast<uint64_t>(static_cast<int64_t>(static_cast<int16_t>(slot)));
+          else if (widths[c] == 4) slot = static_cast<uint64_t>(static_cast<int64_t>(static_cast<int32_t>(slot)));
+        }
+      } else {
+        const int32_t len = var_lens[c][r];
+        std::memcpy(row + var_off, cols[c] + r * var_pad_w[c], static_cast<size_t>(len));
+        // zero the alignment tail for deterministic buffers
+        for (int64_t p = var_off + len; p < var_off + ((len + 7) & ~7LL); ++p) row[p] = 0;
+        slot = (static_cast<uint64_t>(var_off) << 32) | static_cast<uint32_t>(len);
+        var_off += (len + 7) & ~7LL;
+      }
+      std::memcpy(slots + c * 8, &slot, 8);
+    }
+  }
+}
+
 }  // extern "C"
