@@ -521,6 +521,8 @@ def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: Eva
             return ColumnVector(data, validity, jnp.minimum(cv.lengths, w), to)
         if frm.is_integer or frm.is_decimal or frm.type_id == "DATE" or frm.is_boolean:
             return _cast_to_string(cv, frm, to)
+        if frm.type_id in ("TIMESTAMP", "TIMESTAMP_NTZ"):
+            return _timestamp_to_string(cv, to)
         raise NotImplementedError(f"cast {frm!r} -> string")
     if frm.is_binary:
         return _cast_string_to(cv, frm, to, mode, ctx)
@@ -691,6 +693,109 @@ def _cast_to_string(cv: ColumnVector, frm: T.DataType, to: T.DataType) -> Column
     return ColumnVector(chars.astype(jnp.uint8), cv.validity, total_len.astype(jnp.int32), to)
 
 
+def _timestamp_to_string(cv: ColumnVector, to: T.DataType) -> ColumnVector:
+    """Spark cast(timestamp as string): 'yyyy-MM-dd HH:mm:ss[.f{1,6}]' with
+    trailing fraction zeros trimmed (UTC rendering; session-tz rendering goes
+    through from_utc_timestamp first). Reference: cast.rs timestamp formatter."""
+    micros = cv.data.astype(jnp.int64)
+    base = _format_timestamp_string(micros, cv.validity)  # 19 chars
+    frac = jnp.mod(jnp.mod(micros, np.int64(86_400_000_000)) + np.int64(86_400_000_000),
+                   np.int64(1_000_000))
+    Z = ord("0")
+    digs = [(frac // np.int64(10 ** (5 - i)) % 10).astype(jnp.int32) for i in range(6)]
+    # number of fraction digits = 6 - trailing zeros (0 if frac == 0)
+    ndig = jnp.zeros_like(frac, jnp.int32)
+    seen = jnp.zeros_like(frac, bool)
+    for i in range(5, -1, -1):
+        seen = seen | (digs[i] != 0)
+        ndig = jnp.where(seen & (ndig == 0), i + 1, ndig)
+    w = max(to.byte_width, 26)
+    mat = jnp.zeros((cv.capacity, w), jnp.uint8)
+    mat = mat.at[:, :19].set(base.data[:, :19])
+    has_frac = frac > 0
+    mat = mat.at[:, 19].set(jnp.where(has_frac, ord("."), 0).astype(jnp.uint8))
+    for i in range(6):
+        ch = jnp.where(has_frac & (i < ndig), digs[i] + Z, 0).astype(jnp.uint8)
+        mat = mat.at[:, 20 + i].set(ch)
+    lens = jnp.where(has_frac, 20 + ndig, 19).astype(jnp.int32)
+    out_w = to.byte_width
+    if out_w < w:
+        mat = mat[:, :out_w]
+        lens = jnp.minimum(lens, out_w)
+    elif out_w > w:
+        mat = _pad_width(mat, out_w)
+    return ColumnVector(mat, cv.validity, lens, to)
+
+
+def _string_to_timestamp(cv: ColumnVector, to: T.DataType, mode: str, ctx) -> ColumnVector:
+    """Parse 'yyyy-MM-dd[ HH:mm[:ss[.f{1,6}]]]' ('T' separator accepted) —
+    the common subset of Spark's stringToTimestamp (cast.rs)."""
+    mat = cv.data.astype(jnp.int32)
+    lens = cv.lengths
+    cap, w = mat.shape
+    pos = jnp.arange(w)[None, :]
+    in_str = pos < lens[:, None]
+    nonspace = in_str & (mat != 32)
+    first = jnp.argmax(nonspace, axis=1)
+    last = w - 1 - jnp.argmax(jnp.flip(nonspace, axis=1), axis=1)
+    has = jnp.any(nonspace, axis=1)
+    n = last - first + 1
+
+    def ch(i):
+        return jnp.take_along_axis(mat, jnp.clip(first + i, 0, w - 1)[:, None], axis=1)[:, 0]
+
+    def dig(i):
+        c = ch(i)
+        return c - _DIGIT0, (c >= _DIGIT0) & (c <= _DIGIT0 + 9)
+
+    ok = has & (n >= 10)
+    vals, oks = zip(*[dig(i) for i in [0, 1, 2, 3, 5, 6, 8, 9]])
+    for o in oks:
+        ok = ok & o
+    ok = ok & (ch(4) == ord("-")) & (ch(7) == ord("-"))
+    y = vals[0] * 1000 + vals[1] * 100 + vals[2] * 10 + vals[3]
+    mo = vals[4] * 10 + vals[5]
+    d = vals[6] * 10 + vals[7]
+    days = _days_from_civil(y, mo, d)
+    micros = days * np.int64(86_400_000_000)
+    has_time = n >= 16
+    sep_ok = (ch(10) == ord(" ")) | (ch(10) == ord("T"))
+    hh_d, hh_ok = dig(11)
+    hh2_d, hh2_ok = dig(12)
+    mi_d, mi_ok = dig(14)
+    mi2_d, mi2_ok = dig(15)
+    time_ok = sep_ok & hh_ok & hh2_ok & mi_ok & mi2_ok & (ch(13) == ord(":"))
+    hh = hh_d * 10 + hh2_d
+    mi = mi_d * 10 + mi2_d
+    has_sec = n >= 19
+    ss_d, ss_ok = dig(17)
+    ss2_d, ss2_ok = dig(18)
+    sec_ok = ss_ok & ss2_ok & (ch(16) == ord(":"))
+    ss = ss_d * 10 + ss2_d
+    # fraction: '.', then up to 6 digits
+    has_frac = n >= 21
+    frac_ok = ch(19) == ord(".")
+    frac = jnp.zeros(cap, jnp.int64)
+    fdigits = jnp.clip(n - 20, 0, 6)
+    for i in range(6):
+        fd, fok = dig(20 + i)
+        use = i < fdigits
+        frac = frac + jnp.where(use, fd.astype(jnp.int64) * np.int64(10 ** (5 - i)), 0)
+        frac_ok = frac_ok & (fok | ~use)
+    micros = micros + jnp.where(
+        has_time & time_ok, hh.astype(jnp.int64) * 3_600_000_000 + mi.astype(jnp.int64) * 60_000_000, 0
+    )
+    micros = micros + jnp.where(has_sec & sec_ok, ss.astype(jnp.int64) * 1_000_000, 0)
+    micros = micros + jnp.where(has_frac & frac_ok, frac, 0)
+    ok = ok & (mo >= 1) & (mo <= 12) & (d >= 1) & (d <= 31)
+    ok = ok & jnp.where(has_time, time_ok & (hh < 24) & (mi < 60), n == 10)
+    ok = ok & jnp.where(has_sec, sec_ok & (ss < 60), ~has_sec | ~has_time)
+    ok = ok & jnp.where(has_frac, frac_ok, True)
+    if mode == E.EvalMode.ANSI:
+        ctx.record_error(~ok & cv.validity, "CAST_INVALID_INPUT")
+    return ColumnVector(micros, cv.validity & ok, None, to)
+
+
 def _cast_string_to(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx) -> ColumnVector:
     """string → int/float/date/bool/decimal, vectorized parse with Spark
     trim-then-parse semantics (subset: no scientific notation for ints)."""
@@ -704,6 +809,8 @@ def _cast_string_to(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str
     first = jnp.argmax(nonspace, axis=1)
     last = w - 1 - jnp.argmax(jnp.flip(nonspace, axis=1), axis=1)
     has_content = jnp.any(nonspace, axis=1)
+    if to.type_id in ("TIMESTAMP", "TIMESTAMP_NTZ"):
+        return _string_to_timestamp(cv, to, mode, ctx)
     if to.type_id == "DATE":
         # expect yyyy-mm-dd (Spark accepts more; subset)
         def dig(i):
