@@ -73,6 +73,46 @@ SHUFFLE_MODE = _entry(
     "auto|hash|broadcast preference for join distribution "
     "(spark.comet.shuffle.mode analog).",
 )
+# ---- expressions --------------------------------------------------------------------
+REGEXP_ALLOW_INCOMPATIBLE = _entry(
+    "comet.regexp.allowIncompatible", True, "expressions",
+    "Allow regexp functions whose dialect differs from Java regex in corner "
+    "cases (spark.comet.regexp.allowIncompatible analog; RLIKE runs on a "
+    "device DFA, extract/replace on the host bridge).",
+)
+CASE_SENSITIVE = _entry(
+    "comet.expression.caseSensitive", True, "expressions",
+    "Case-sensitive column resolution (spark.sql.caseSensitive analog).",
+)
+SESSION_TIMEZONE = _entry(
+    "comet.session.timezone", "UTC", "expressions",
+    "Session timezone applied by timezone-aware temporal functions "
+    "(spark.sql.session.timeZone analog); resolved to TZif transition "
+    "tables at plan time.", env_var="COMET_TZ",
+)
+# ---- shuffle (cont.) ----------------------------------------------------------------
+RANGE_SAMPLE_PER_DEVICE = _entry(
+    "comet.shuffle.range.samplesPerDevice", 64, "shuffle",
+    "Systematic sample size per device for in-program range-partition "
+    "boundary estimation (analog of Spark RangePartitioner sampleSizePerPartition).",
+)
+# ---- aggregates ---------------------------------------------------------------------
+COLLECT_MAX_ELEMS = _entry(
+    "comet.agg.collect.maxElems", 16, "exec",
+    "Default static element capacity of collect_list/collect_set results.",
+)
+BLOOM_NUM_BITS = _entry(
+    "comet.agg.bloomFilter.numBits", 4096, "exec",
+    "Default bloom filter size in bits "
+    "(spark.sql.optimizer.runtime.bloomFilter.numBits analog).",
+)
+# ---- udf ----------------------------------------------------------------------------
+UDF_STAGE_ON_NO_CALLBACK = _entry(
+    "comet.udf.stageWhenNoCallbacks", True, "exec",
+    "On backends without in-graph host callbacks, split plans at PythonUdf "
+    "nodes and evaluate the UDF between device stages (the C2R/R2C "
+    "transition analog). When false, PythonUdf raises on such backends.",
+)
 # ---- memory -------------------------------------------------------------------------
 MEMORY_FRACTION = _entry(
     "comet.memory.fraction", 0.8, "memory",

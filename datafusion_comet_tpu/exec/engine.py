@@ -335,6 +335,34 @@ class Session:
     def collect(self, plan: P.PlanNode) -> Dict[str, np.ndarray]:
         return to_numpy(self.execute(plan))
 
+    def validate(self, plan: P.PlanNode) -> List[str]:
+        """Extended-explain support check (reference: ExtendedExplainInfo +
+        withFallbackReason, CometSparkSessionExtensions.scala:301 — the
+        reference tags unconvertible nodes with reasons and falls back to
+        Spark; this engine has no host fallback, so the reasons surface
+        up-front). Returns [] when the plan is fully supported; otherwise a
+        list of human-readable reasons. The plan is traced abstractly
+        (jax.eval_shape) — no device execution, no compile."""
+        try:
+            bound = P.bind_plan(plan) if _needs_bind(plan) else plan
+        except (NotImplementedError, KeyError, TypeError, AssertionError) as e:
+            return [f"planning: {type(e).__name__}: {e}"]
+        sub_values = {
+            sid: (None, False) for sid in self._subqueries
+        }  # placeholders: validation must not execute subqueries
+
+        def fn(tables):
+            out = run_plan(bound, tables, EvalContext(subquery_values=sub_values), [], self.join_fanout)
+            return out.row_mask
+
+        try:
+            jax.eval_shape(fn, self.tables)
+        except NotImplementedError as e:
+            return [f"unsupported: {e}"]
+        except Exception as e:  # shape/type mismatches etc.
+            return [f"invalid: {type(e).__name__}: {e}"]
+        return []
+
     # -- observability -------------------------------------------------------------
     def explain(self, plan: P.PlanNode, with_metrics: bool = False) -> str:
         """Render the plan tree; with_metrics executes it and annotates
