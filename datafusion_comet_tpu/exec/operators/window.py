@@ -256,6 +256,10 @@ def _one_window(
         return _whole_partition_agg(f, x, v, part_start, rd, live)
     if frame.frame_type == "rows":
         return _sliding_rows_agg(f, x, v, part_start, pos, frame.lower, frame.upper, rd, live)
+    if frame.frame_type == "range":
+        return _sliding_range_agg(
+            w, batch, perm, f, x, v, part_start, frame.lower, frame.upper, rd, live, ctx
+        )
     raise NotImplementedError(f"window frame {frame}")
 
 
@@ -414,3 +418,94 @@ def _sliding_rows_agg(f, x, v, part_start, pos, lower, upper, rd, live) -> Colum
             any_v = any_v | valid_here
         return ColumnVector(acc, live & any_v, None, rd)
     raise NotImplementedError(f"sliding window agg {f}")
+
+
+def _lex_search(part_id, key, q_pid, q_key, left: bool):
+    """Vectorized binary search over the (part_id, key) lexicographic order
+    of the SORTED layout: returns for each query the leftmost index with
+    (pid,key) >= query (left=True) or the leftmost index with (pid,key) >
+    query (left=False). O(log cap) gathers."""
+    cap = part_id.shape[0]
+    lo = jnp.zeros(q_pid.shape[0], jnp.int32)
+    hi = jnp.full(q_pid.shape[0], cap, jnp.int32)
+    steps = max(cap.bit_length(), 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        midc = jnp.clip(mid, 0, cap - 1)
+        pm = jnp.take(part_id, midc)
+        km = jnp.take(key, midc)
+        if left:
+            less = (pm < q_pid) | ((pm == q_pid) & (km < q_key))
+        else:
+            less = (pm < q_pid) | ((pm == q_pid) & (km <= q_key))
+        lo = jnp.where(less & (mid < hi), mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
+def _sliding_range_agg(w, batch, perm, f, x, v, part_start, lower, upper, rd, live, ctx):
+    """RANGE frames with typed value offsets (reference: operator.proto:552-603
+    typed lower/upper range bounds; CometWindowExec RANGE frames): the frame of
+    row i is every same-partition row whose order-key lies in
+    [k_i - lower, k_i + upper]. Formulated as two vectorized binary searches
+    over the sorted (partition, key) layout + prefix-sum differences — no
+    per-row scanning. Supports sum/count/avg over a single numeric/temporal
+    order key; descending order handled via the direction-applied limb
+    (offset d in sort direction == limb + d)."""
+    assert len(w.order_by) == 1, "RANGE frame needs exactly one ORDER BY key"
+    o = w.order_by[0]
+    kcv = evaluate(o.child, batch, ctx)
+    assert not kcv.dtype.is_binary and not kcv.dtype.is_floating, (
+        "RANGE offsets supported for integer/date/timestamp/decimal keys"
+    )
+    limb = kcv.data.astype(jnp.int64)[perm]
+    if not o.ascending:
+        limb = ~limb  # reverses order; value offset d along sort dir = limb+d
+    # null keys cluster at their sorted end; give them a sentinel so they are
+    # only peers of each other
+    nf = o.resolved_nulls_first()
+    sentinel = jnp.int64(np.iinfo(np.int64).min // 2) if nf else jnp.int64(np.iinfo(np.int64).max // 2)
+    kvalid = kcv.validity[perm]
+    limb = jnp.where(kvalid, limb, sentinel)
+
+    cap = limb.shape[0]
+    part_id = jnp.cumsum(part_start.astype(jnp.int32)) - 1
+    part_id = jnp.where(live, part_id, jnp.int32(2**30))  # dead rows last
+    lo_bound = limb - (jnp.int64(lower) if lower is not None else 0)
+    hi_bound = limb + (jnp.int64(upper) if upper is not None else 0)
+    if lower is None:
+        start = _seg_broadcast(jnp.arange(cap, dtype=jnp.int32), part_start)
+    else:
+        start = _lex_search(part_id, limb, part_id, lo_bound, left=True)
+    if upper is None:
+        seg_start_idx = _seg_broadcast(jnp.arange(cap, dtype=jnp.int32), part_start)
+        n_part = _seg_total(jnp.where(live, 1, 0).astype(jnp.int32), part_start)
+        end = seg_start_idx + n_part
+    else:
+        end = _lex_search(part_id, limb, part_id, hi_bound, left=False)
+    # null-key rows: frame = their peer group only (Spark: null range frames
+    # include exactly the null peers)
+    xs = jnp.where(v, x, 0).astype(jnp.float64 if rd.is_floating else jnp.int64)
+    pre = jnp.cumsum(xs, axis=0)
+    pre0 = jnp.concatenate([jnp.zeros(1, pre.dtype), pre])
+    cnt_pre = jnp.concatenate([jnp.zeros(1, jnp.int64), jnp.cumsum(v.astype(jnp.int64))])
+    startc = jnp.clip(start, 0, cap)
+    endc = jnp.clip(end, 0, cap)
+    ssum = jnp.take(pre0, endc) - jnp.take(pre0, startc)
+    scnt = jnp.take(cnt_pre, endc) - jnp.take(cnt_pre, startc)
+    if f == "count":
+        return ColumnVector(scnt, live, None, rd)
+    if f == "sum":
+        has = scnt > 0
+        return ColumnVector(ssum.astype(rd.np_dtype()), live & has, None, rd)
+    if f == "avg":
+        has = scnt > 0
+        d = ssum.astype(jnp.float64) / jnp.maximum(scnt, 1).astype(jnp.float64)
+        if rd.is_decimal:
+            num = ssum.astype(jnp.int64) * np.int64(10 ** (rd.scale - (w.child.dtype.scale if w.child.dtype.is_decimal else 0)))
+            den = jnp.maximum(scnt, 1)
+            half = jnp.sign(num) * (den // 2)
+            q = (num + half) // den
+            return ColumnVector(q, live & has, None, rd)
+        return ColumnVector(d, live & has, None, rd)
+    raise NotImplementedError(f"range-frame window agg {f}")
