@@ -8,8 +8,11 @@ byte matrix — one table gather + select per byte per row on the VPU, no
 per-row control flow and no host round-trip.
 
 Search ("find anywhere") semantics are normalized at NFA build time: the
-pattern is wrapped as ``Σ* p Σ*`` (dropping a side when anchored with ^/$),
-so acceptance is simply "final state accepting after consuming len bytes".
+input is framed as ``BOS bytes EOS`` (two virtual symbols, alphabet = 258),
+anchors compile to ordinary consuming atoms over BOS/EOS (so ``^``/``$``
+work ANYWHERE in the pattern, including inside alternations), and the
+pattern is wrapped as ``BOS? Σ* p Σ* EOS?`` — acceptance is simply "final
+state accepting after consuming BOS, all bytes, and EOS".
 
 Supported syntax: literals (UTF-8 bytes), ``.``, ``[...]`` classes with
 ranges and negation, ``* + ? {m} {m,} {m,n}``, alternation ``|``, groups
@@ -28,8 +31,11 @@ import numpy as np
 
 __all__ = ["compile_dfa", "dfa_match"]
 
-_ALL = frozenset(range(256))
+_ALL = frozenset(range(256))  # real bytes only — excludes BOS/EOS
 _DOT = frozenset(b for b in range(256) if b != 0x0A)
+_BOS = 256  # virtual begin-of-string symbol (consumed by ^)
+_EOS = 257  # virtual end-of-string symbol (consumed by $)
+_NSYM = 258
 _DIGIT = frozenset(range(ord("0"), ord("9") + 1))
 _WORD = frozenset(
     list(range(ord("a"), ord("z") + 1))
@@ -135,6 +141,10 @@ class _Parser:
 
     def _atom(self):
         c = self.eat()
+        if c == ord("^"):
+            return ("char", frozenset([_BOS]))
+        if c == ord("$"):
+            return ("char", frozenset([_EOS]))
         if c == ord("("):
             # swallow non-capturing / capturing markers
             if self.peek() == ord("?"):
@@ -265,27 +275,24 @@ class _NFA:
 
 @lru_cache(maxsize=512)
 def compile_dfa(pattern: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Compile a regex into (trans (S,256) int32, accepting (S,) bool) with
-    search semantics folded in (Σ* p Σ*, anchors trimming the Σ* sides)."""
-    anchored_start = pattern.startswith("^")
-    anchored_end = pattern.endswith("$") and not pattern.endswith("\\$")
-    core = pattern[1 if anchored_start else 0 : len(pattern) - (1 if anchored_end else 0)]
-    ast = _Parser(core).parse()
+    """Compile a regex into (trans (S,258) int32, accepting (S,) bool) with
+    search semantics folded in: BOS? Σ* p Σ* EOS? over BOS+bytes+EOS input."""
+    ast = _Parser(pattern).parse()
     sigma_star = ("star", ("char", _ALL))
-    parts = []
-    if not anchored_start:
-        parts.append(sigma_star)
-    parts.append(ast)
-    if not anchored_end:
-        parts.append(sigma_star)
-    full = ("cat", parts) if len(parts) > 1 else parts[0]
+    full = ("cat", [
+        ("opt", ("char", frozenset([_BOS]))),
+        sigma_star,
+        ast,
+        sigma_star,
+        ("opt", ("char", frozenset([_EOS]))),
+    ])
 
     nfa = _NFA()
     start, end = nfa.add(full)
 
-    # subset construction over 256 input bytes, grouped by equivalence classes
+    # subset construction over the 258-symbol alphabet, grouped by classes
     # of bytes that behave identically (keeps the work proportional to the
-    # pattern's alphabet, then expanded back to the 256-wide table)
+    # of symbols behaving identically, expanded back to the full-width table)
     start_set = nfa.eclose(frozenset([start]))
     dfa_index: Dict[FrozenSet[int], int] = {start_set: 0}
     order = [start_set]
@@ -318,7 +325,7 @@ def compile_dfa(pattern: str) -> Tuple[np.ndarray, np.ndarray]:
 
     S = len(order) + 1  # extra dead state at index S-1
     dead = S - 1
-    trans = np.full((S, 256), dead, np.int32)
+    trans = np.full((S, _NSYM), dead, np.int32)
     for si, row in enumerate(rows):
         for bb, tgt in row.items():
             trans[si, bb] = tgt
@@ -330,8 +337,8 @@ def compile_dfa(pattern: str) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def dfa_match(mat, lens, trans: np.ndarray, accepting: np.ndarray):
-    """Vectorized match: run the DFA over each row's live bytes; returns
-    (cap,) bool. One fused gather+select per scanned byte column."""
+    """Vectorized match: run the DFA over BOS + each row's live bytes + EOS;
+    returns (cap,) bool. One fused gather+select per scanned byte column."""
     import jax
     import jax.numpy as jnp
 
@@ -341,11 +348,12 @@ def dfa_match(mat, lens, trans: np.ndarray, accepting: np.ndarray):
 
     def step(state, inp):
         byte_col, pos = inp
-        nxt = jnp.take(t, state * 256 + byte_col.astype(jnp.int32))
+        nxt = jnp.take(t, state * _NSYM + byte_col.astype(jnp.int32))
         state = jnp.where(pos < lens, nxt, state)
         return state, None
 
+    init = jnp.take(t, jnp.zeros(cap, jnp.int32) * _NSYM + _BOS)  # consume BOS
     positions = jnp.arange(L, dtype=jnp.int32)
-    init = jnp.zeros(cap, jnp.int32)
     final, _ = jax.lax.scan(step, init, (mat.T, positions))
+    final = jnp.take(t, final * _NSYM + _EOS)  # consume EOS
     return jnp.take(acc, final)

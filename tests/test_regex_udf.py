@@ -85,7 +85,7 @@ class TestDfaVsPythonRe:
 class TestDfaUnit:
     def test_dfa_shapes(self):
         trans, acc = compile_dfa(r"ab+c")
-        assert trans.shape[1] == 256 and acc.shape[0] == trans.shape[0]
+        assert trans.shape[1] == 258 and acc.shape[0] == trans.shape[0]
 
     def test_anchors(self):
         import jax.numpy as jnp
