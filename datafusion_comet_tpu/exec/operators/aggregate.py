@@ -145,19 +145,42 @@ def _segments(
     num_groups = seg[-1] + 1  # valid only if any row live
     num_groups = jnp.where(jnp.any(sorted_mask), num_groups, 0)
     seg = jnp.where(sorted_mask, seg, max_groups)  # dead rows dropped by segment ops
-    # source row index (pre-sort) of each group's first row, for key gather
-    first_src = jax.ops.segment_min(
-        jnp.arange(cap, dtype=jnp.int32), seg, num_segments=max_groups + 1
-    )[:max_groups]
+    # source row index (pre-sort) of each group's first row, for key gather —
+    # seg is nondecreasing, so boundaries come from searchsorted (no scatter)
+    first_src, _ = _seg_bounds(seg, max_groups)
     first_src = jnp.where(
         jnp.arange(max_groups) < num_groups, jnp.clip(first_src, 0, cap - 1), 0
-    )
+    ).astype(jnp.int32)
     # first_src currently indexes sorted order; map to original rows
     first_orig = perm[first_src]
     return perm, seg, num_groups, first_orig
 
 
+# Reduction backend: when the segment ids are SORTED (the lexsort grouping
+# path), every sum/count reduces to one cumsum + two boundary gathers — TPU
+# scatter serializes colliding updates (~700ms for 8M rows on v5e, measured),
+# while a cumsum is bandwidth-bound (~10-30ms). Boundary indices come from
+# searchsorted over the nondecreasing seg array (log-cost, no scatter).
+# min/max (value reductions) keep the scatter path. The flag is trace-time
+# only (set by hash_aggregate around the reduction calls).
+_SORTED_SEG = False
+
+
+def _seg_bounds(seg, m):
+    gids = jnp.arange(m, dtype=seg.dtype)
+    starts = jnp.searchsorted(seg, gids, side="left")
+    ends = jnp.searchsorted(seg, gids, side="right")
+    return starts, ends  # [start, end) per group; empty → start == end
+
+
 def _seg_sum(x, seg, m):
+    if _SORTED_SEG:
+        acc = jnp.cumsum(x, axis=0)
+        starts, ends = _seg_bounds(seg, m)
+        cap = x.shape[0]
+        pre_end = jnp.where(ends > 0, jnp.take(acc, jnp.clip(ends - 1, 0, cap - 1)), 0)
+        pre_start = jnp.where(starts > 0, jnp.take(acc, jnp.clip(starts - 1, 0, cap - 1)), 0)
+        return (pre_end - pre_start).astype(x.dtype)
     return jax.ops.segment_sum(x, seg, num_segments=m + 1)[:m]
 
 
@@ -166,6 +189,9 @@ def _seg_min(x, seg, m):
 
 
 def _seg_max(x, seg, m):
+    if _SORTED_SEG and x.dtype == jnp.bool_:
+        # boolean "any" per segment: count of Trues > 0 via the cumsum path
+        return _seg_sum(x.astype(jnp.int32), seg, m) > 0
     return jax.ops.segment_max(x, seg, num_segments=m + 1)[:m]
 
 
@@ -184,7 +210,13 @@ def _minmax_identity(dt: T.DataType, is_min: bool):
 
 
 _PACK_BITS_CAP = 24  # packed-key paths: at most 2^24 distinct codes
-_BUCKET_BITS_CAP = 16  # direct scatter only below 2^16 buckets (compile cost)
+_BUCKET_BITS_CAP = 16  # direct scatter always allowed below 2^16 buckets
+# Wide-bucket scatter: up to 2^20 buckets when the batch is large enough that
+# dodging the O(n log^2 n) bitonic sort pays for the bigger scatter outputs
+# (TPU lax.sort of 8M rows ~ 760ms; the same group-by as a direct scatter is
+# an order of magnitude faster). Output is compacted back to max_groups so
+# downstream operators never see the bucket capacity.
+_BUCKET_BITS_WIDE = 20
 
 
 def _try_pack_keys(key_cols: Sequence[ColumnVector]):
@@ -237,10 +269,19 @@ def hash_aggregate(
     max_groups = min(max_groups, batch.capacity)
     key_cols = [evaluate(g, batch, ctx) for g in group_exprs]
     packed = _try_pack_keys(key_cols) if key_cols else None
-    if packed is not None and packed[1] <= (1 << _BUCKET_BITS_CAP):
-        return _bucket_aggregate(
+    # Bucket (perfect-hash scatter) path only for SMALL batches: TPU scatter
+    # serializes colliding updates (~700ms per 8M-row scatter, measured),
+    # while sort + cumsum-over-sorted-segments costs one sort total. On small
+    # batches the scatter outputs are cheap and skipping the sort wins.
+    if packed is not None and packed[1] <= (1 << _BUCKET_BITS_CAP) and (
+        batch.capacity <= (1 << 18)
+    ):
+        out = _bucket_aggregate(
             batch, key_cols, agg_exprs, mode, packed, out_schema, ctx
         )
+        if out.capacity > max_groups:
+            out = _compact_groups(out, max_groups)
+        return out
     # packed but too many buckets for direct scatter: the packed int32 still
     # replaces multi-limb string keys as a single cheap sort key
     key_limbs = [packed[0]] if packed is not None else None
@@ -259,18 +300,32 @@ def hash_aggregate(
         out_cols.append(kc.take(first_orig))
 
     merging = mode in (AggMode.FINAL, AggMode.PARTIAL_MERGE)
-    for a in agg_exprs:
-        if merging:
-            vals = _merge_agg(a, batch, perm, seg, max_groups, group_mask)
-        else:
-            vals = _input_agg(a, batch, perm, seg, max_groups, group_mask, ctx)
-        if mode in (AggMode.SINGLE, AggMode.FINAL):
-            out_cols.append(_finalize(a, vals, group_mask))
-        else:
-            out_cols.extend(vals)
+    global _SORTED_SEG
+    _SORTED_SEG = True  # seg from _segments is nondecreasing → cumsum reductions
+    try:
+        for a in agg_exprs:
+            if merging:
+                vals = _merge_agg(a, batch, perm, seg, max_groups, group_mask)
+            else:
+                vals = _input_agg(a, batch, perm, seg, max_groups, group_mask, ctx)
+            if mode in (AggMode.SINGLE, AggMode.FINAL):
+                out_cols.append(_finalize(a, vals, group_mask))
+            else:
+                out_cols.extend(vals)
+    finally:
+        _SORTED_SEG = False
 
     # pad/trim columns dtypes already correct; assemble
     return Batch(tuple(out_cols), group_mask, out_schema)
+
+
+def _compact_groups(batch: Batch, max_groups: int) -> Batch:
+    """Pack live groups of a bucket-capacity batch into a max_groups-row
+    batch (stable argsort on liveness — cheap relative to the avoided
+    full-row sort; bucket order == key order, which downstream relies on)."""
+    order = jnp.argsort(~batch.row_mask, stable=True)[:max_groups]
+    mask = batch.row_mask[order]
+    return batch.take(order, mask)
 
 
 def _bucket_aggregate(
