@@ -1072,6 +1072,81 @@ def _string_func(e: E.StringFunc, b: Batch, ctx: EvalContext) -> ColumnVector:
         data = jnp.take_along_axis(mat, src, axis=1)
         data = jnp.where(pos < out_len[:, None], data, 0)
         return ColumnVector(data.astype(jnp.uint8), cv.validity, out_len, e.dtype)
+    if f in ("left", "right"):
+        n = jnp.maximum(args[1].data.astype(jnp.int32), 0)
+        out_len = jnp.minimum(n, lens)
+        pos = jnp.arange(w)[None, :]
+        if f == "left":
+            src = pos
+        else:
+            start = lens - out_len
+            src = jnp.clip(start[:, None] + pos, 0, w - 1)
+        data = jnp.take_along_axis(mat, src, axis=1)
+        data = jnp.where(pos < out_len[:, None], data, 0)
+        return ColumnVector(data.astype(jnp.uint8), cv.validity & args[1].validity, out_len, e.dtype)
+    if f == "chr":
+        # Spark chr(n): char of n % 256 (empty when n % 256 == 0 or n < 0)
+        n = args[0].data.astype(jnp.int64)
+        code = (n % 256).astype(jnp.int32)
+        ok = (n >= 0) & (code > 0)
+        data = jnp.where(ok, code, 0).astype(jnp.uint8)[:, None]
+        return ColumnVector(data, args[0].validity, ok.astype(jnp.int32), e.dtype)
+    if f == "space":
+        out_w = e.dtype.byte_width
+        n = jnp.clip(args[0].data.astype(jnp.int32), 0, out_w)
+        pos = jnp.arange(out_w)[None, :]
+        data = jnp.where(pos < n[:, None], ord(" "), 0).astype(jnp.uint8)
+        return ColumnVector(data, args[0].validity, n, e.dtype)
+    if f == "btrim":
+        pos = jnp.arange(w)[None, :]
+        in_str = pos < lens[:, None]
+        if len(args) > 1:  # custom trim-character set
+            tr = args[1]
+            tw = tr.data.shape[1]
+            member = jnp.zeros((cap, w), bool)
+            for j in range(tw):
+                is_tr = (mat == tr.data[:, j][:, None]) & (jnp.asarray(j) < tr.lengths[:, None])
+                member = member | is_tr
+            is_sp = member & in_str
+            validity = cv.validity & tr.validity
+        else:
+            is_sp = (mat == 32) & in_str
+            validity = cv.validity
+        nonsp = in_str & ~is_sp
+        any_ns = jnp.any(nonsp, axis=1)
+        first = jnp.where(any_ns, jnp.argmax(nonsp, axis=1), 0).astype(jnp.int32)
+        last = jnp.where(any_ns, w - 1 - jnp.argmax(jnp.flip(nonsp, axis=1), axis=1), -1).astype(jnp.int32)
+        out_len = jnp.maximum(last - first + 1, 0)
+        src = jnp.clip(first[:, None] + pos, 0, w - 1)
+        data = jnp.take_along_axis(mat, src, axis=1)
+        data = jnp.where(pos < out_len[:, None], data, 0)
+        return ColumnVector(data.astype(jnp.uint8), validity, out_len, e.dtype)
+    if f == "concat_ws":
+        # concat_ws(sep, s1, s2, ...): null args are SKIPPED; result null only
+        # when the separator is null (Spark semantics)
+        sep = args[0]
+        parts = args[1:]
+        total_w = e.dtype.byte_width
+        out = jnp.zeros((cap, total_w), jnp.uint8)
+        out_len = jnp.zeros(cap, jnp.int32)
+        n_written = jnp.zeros(cap, jnp.int32)
+        pos = jnp.arange(total_w)[None, :]
+
+        def append(out, out_len, piece_mat, piece_len, use):
+            aw = piece_mat.shape[1]
+            src = jnp.clip(pos - out_len[:, None], 0, aw - 1)
+            chunk = jnp.take_along_axis(_pad_width(piece_mat, max(total_w, aw))[:, :total_w], jnp.clip(pos - out_len[:, None], 0, total_w - 1), axis=1)
+            eff = jnp.where(use, piece_len, 0)
+            write = (pos >= out_len[:, None]) & (pos < (out_len + eff)[:, None])
+            return jnp.where(write, chunk, out), out_len + eff
+
+        for a in parts:
+            use = a.validity
+            need_sep = use & (n_written > 0)
+            out, out_len = append(out, out_len, sep.data, sep.lengths, need_sep)
+            out, out_len = append(out, out_len, a.data, a.lengths, use)
+            n_written = n_written + use.astype(jnp.int32)
+        return ColumnVector(out, sep.validity, jnp.minimum(out_len, total_w), e.dtype)
     if f in ("startswith", "endswith", "contains"):
         pat = args[1]
         pw = pat.data.shape[1]

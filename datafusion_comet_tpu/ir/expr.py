@@ -1020,4 +1020,13 @@ def _string_func_type(func: str, args: Sequence[Expr]) -> T.DataType:
         return T.string(max(width, 1))
     if func in ("lpad", "rpad", "repeat"):
         return T.string(a0.byte_width * 4 if a0 else T.DEFAULT_STRING_LEN)
+    if func in ("left", "right", "btrim"):
+        assert a0 is not None
+        return a0
+    if func == "chr":
+        return T.string(1)
+    if func == "space":
+        n = args[0]
+        cap = int(n.value) if isinstance(n, Literal) and n.value is not None else 64
+        return T.string(max(min(cap, 1 << 15), 1))
     raise NotImplementedError(f"string func {func}")

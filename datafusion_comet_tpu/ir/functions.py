@@ -29,6 +29,11 @@ __all__ = [
     "split",
     "get_json_object",
     "json_array_length",
+    "split_part",
+    "substring_index",
+    "soundex",
+    "format_number",
+    "str_to_map",
     "python_udf",
 ]
 
@@ -157,6 +162,91 @@ def json_array_length(child: E.Expr) -> E.PythonUdf:
         return len(doc) if isinstance(doc, list) else None
 
     return E.PythonUdf(fn, (child,), T.INT32, "json_array_length")
+
+
+def split_part(child: E.Expr, delim: str, part: int, out_len: int = 0) -> E.PythonUdf:
+    """Spark split_part: 1-based field index, negative counts from the end,
+    '' when out of range."""
+
+    def fn(s):
+        if s is None:
+            return None
+        parts = s.split(delim) if delim else [s]
+        i = part - 1 if part > 0 else len(parts) + part
+        return parts[i] if 0 <= i < len(parts) else ""
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "split_part")
+
+
+def substring_index(child: E.Expr, delim: str, count: int, out_len: int = 0) -> E.PythonUdf:
+    def fn(s):
+        if s is None:
+            return None
+        if count == 0 or not delim:
+            return ""
+        parts = s.split(delim)
+        if count > 0:
+            return delim.join(parts[:count])
+        return delim.join(parts[count:])
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "substring_index")
+
+
+def soundex(child: E.Expr, out_len: int = 0) -> E.PythonUdf:
+    codes = {**{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+             **{c: "3" for c in "DT"}, "L": "4", **{c: "5" for c in "MN"}, "R": "6"}
+
+    def fn(s):
+        if s is None:
+            return None
+        if not s or not s[0].isalpha():
+            return s
+        up = s.upper()
+        out = up[0]
+        prev = codes.get(up[0], "")
+        for ch in up[1:]:
+            code = codes.get(ch, "")
+            if code and code != prev:
+                out += code
+                if len(out) == 4:
+                    break
+            if ch not in "HW":
+                prev = code
+        return out.ljust(4, "0")
+
+    # non-alphabetic-leading inputs pass through unchanged (Spark), so the
+    # output width follows the input width
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "soundex")
+
+
+def format_number(child: E.Expr, decimals: int, out_len: int = 32) -> E.PythonUdf:
+    def fn(v):
+        if v is None:
+            return None
+        return format(round(float(v), decimals), f",.{decimals}f")
+
+    return E.PythonUdf(fn, (child,), T.string(out_len), "format_number")
+
+
+def str_to_map(child: E.Expr, pair_delim: str = ",", kv_delim: str = ":",
+               max_elems: int = 16, key_len: int = 0, val_len: int = 0) -> E.PythonUdf:
+    def fn(s):
+        if s is None:
+            return None
+        out = {}
+        for pair in s.split(pair_delim):
+            if kv_delim in pair:
+                k, v = pair.split(kv_delim, 1)
+            else:
+                k, v = pair, None
+            out[k] = v
+        return out
+
+    return E.PythonUdf(
+        fn, (child,),
+        T.map_(T.string(key_len or 32), T.string(val_len or 64), max_elems),
+        "str_to_map",
+    )
 
 
 def python_udf(fn, args, out_dtype: T.DataType, name: str = "python_udf") -> E.PythonUdf:
