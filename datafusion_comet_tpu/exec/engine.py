@@ -148,23 +148,31 @@ def _smj_build_side(plan: P.SortMergeJoin) -> str:
 def _union(kids: List[Batch], schema: T.Schema) -> Batch:
     from datafusion_comet_tpu.exec.batch import ColumnVector
 
-    cols = []
-    for ci, f in enumerate(schema.fields):
-        datas = [k.columns[ci].data for k in kids]
-        vals = [k.columns[ci].validity for k in kids]
-        lens = [k.columns[ci].lengths for k in kids]
-        # unify string widths
-        if f.dtype.is_binary:
-            w = max(d.shape[1] for d in datas)
-            datas = [jnp.pad(d, ((0, 0), (0, w - d.shape[1]))) if d.shape[1] < w else d for d in datas]
-        cols.append(
-            ColumnVector(
-                jnp.concatenate(datas, axis=0),
-                jnp.concatenate(vals),
-                None if lens[0] is None else jnp.concatenate(lens),
-                f.dtype,
-            )
+    def cat_cv(cvs, dtype) -> ColumnVector:
+        datas = [c.data for c in cvs]
+        if dtype.is_binary:  # unify string widths
+            w = max(d.shape[-1] for d in datas)
+            datas = [
+                jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, w - d.shape[-1])])
+                if d.shape[-1] < w else d
+                for d in datas
+            ]
+        kids_out = tuple(
+            cat_cv([c.children[i] for c in cvs], cvs[0].children[i].dtype)
+            for i in range(len(cvs[0].children))
         )
+        return ColumnVector(
+            jnp.concatenate(datas, axis=0),
+            jnp.concatenate([c.validity for c in cvs]),
+            None if cvs[0].lengths is None else jnp.concatenate([c.lengths for c in cvs]),
+            dtype,
+            kids_out,
+        )
+
+    cols = [
+        cat_cv([k.columns[ci] for k in kids], f.dtype)
+        for ci, f in enumerate(schema.fields)
+    ]
     mask = jnp.concatenate([k.row_mask for k in kids])
     return Batch(tuple(cols), mask, schema)
 

@@ -173,6 +173,8 @@ def _replace_children(plan: P.PlanNode, kids: List[P.PlanNode]) -> P.PlanNode:
         out = P.HashAggregate(kids[0], plan.group_exprs, plan.agg_exprs, plan.mode, plan.max_groups)
     elif isinstance(plan, P.Expand):
         out = P.Expand(kids[0], plan.projections, plan.names)
+    elif isinstance(plan, P.Explode):
+        out = P.Explode(kids[0], plan.expr, plan.outer, plan.pos)
     elif isinstance(plan, P.Sample):
         out = P.Sample(kids[0], plan.lower_bound, plan.upper_bound, plan.with_replacement, plan.seed)
     elif isinstance(plan, P.Window):
@@ -247,7 +249,7 @@ def _exec_spmd(plan, tables, ctx, flags, np_, axis, fanout, single, slack=2) -> 
         flags.append(ovf)
         return out
     if isinstance(plan, (P.Scan, P.Filter, P.Projection, P.HashAggregate, P.Sort,
-                         P.Limit, P.Expand, P.Sample, P.Window, P.Union,
+                         P.Limit, P.Expand, P.Explode, P.Sample, P.Window, P.Union,
                          P.HashJoin, P.SortMergeJoin, P.BroadcastNestedLoopJoin)):
         # structural recursion with SPMD children, local operator execution
         if isinstance(plan, P.Scan):

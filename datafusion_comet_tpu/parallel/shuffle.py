@@ -163,6 +163,24 @@ def partition_ids_range(
     return jnp.sum(gt, axis=1).astype(jnp.int32)
 
 
+def _cv_arrays(cv: ColumnVector) -> List[jax.Array]:
+    """Flatten a column's buffers (incl. nested children) row-major-first."""
+    out = [cv.data, cv.validity]
+    if cv.lengths is not None:
+        out.append(cv.lengths)
+    for c in cv.children:
+        out.extend(_cv_arrays(c))
+    return out
+
+
+def _cv_rebuild(cv: ColumnVector, it) -> ColumnVector:
+    data = next(it)
+    validity = next(it)
+    lengths = next(it) if cv.lengths is not None else None
+    kids = tuple(_cv_rebuild(c, it) for c in cv.children)
+    return ColumnVector(data, validity, lengths, cv.dtype, kids)
+
+
 def _bucketize(
     batch: Batch, part_ids: jax.Array, num_partitions: int, slot_cap: int
 ) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
@@ -195,7 +213,7 @@ def _bucketize(
 
     planes: List[jax.Array] = []
     for cv in batch.columns:
-        for arr in (cv.data, cv.validity) + (() if cv.lengths is None else (cv.lengths,)):
+        for arr in _cv_arrays(cv):
             src = arr[order]
             out_shape = (num_partitions * slot_cap,) + arr.shape[1:]
             plane = jnp.zeros(out_shape, arr.dtype).at[slot].set(src, mode="drop")
@@ -233,14 +251,9 @@ def shuffle_batch(
 
     new_mask = exchange(bucket_mask)
     cols: List[ColumnVector] = []
-    i = 0
+    it = iter([exchange(p) for p in planes])
     for cv in batch.columns:
-        data = exchange(planes[i]); i += 1
-        validity = exchange(planes[i]); i += 1
-        lengths = None
-        if cv.lengths is not None:
-            lengths = exchange(planes[i]); i += 1
-        cols.append(ColumnVector(data, validity, lengths, cv.dtype))
+        cols.append(_cv_rebuild(cv, it))
     ovf = (
         overflow
         if single_device
@@ -259,12 +272,7 @@ def broadcast_batch(batch: Batch, axis_name: str) -> Batch:
         return g.reshape((-1,) + x.shape[1:])
 
     cols = tuple(
-        ColumnVector(
-            gather(c.data),
-            gather(c.validity),
-            None if c.lengths is None else gather(c.lengths),
-            c.dtype,
-        )
+        _cv_rebuild(c, iter([gather(a) for a in _cv_arrays(c)]))
         for c in batch.columns
     )
     return Batch(cols, gather(batch.row_mask), batch.schema)
