@@ -55,20 +55,46 @@ def sort_op(
 ) -> Batch:
     """Total sort; live rows end up front-packed in sort order. fetch/skip
     trim via the mask (reference: Sort carries limit+offset,
-    planner.rs:1479-1512)."""
+    planner.rs:1479-1512).
+
+    Fixed-width column buffers are CARRIED THROUGH the variadic lax.sort as
+    payloads (near-bandwidth on TPU) instead of gathered afterwards (~15×
+    slower, measured — see aggregate._segments); only var-width byte
+    matrices fall back to a permutation gather."""
+    cap = batch.capacity
     limbs = [(~batch.row_mask).astype(jnp.int32)]
     for o in orders:
         cv = evaluate(o.child, batch, ctx)
         limbs += sortkeys.order_limbs(cv, o.ascending, o.resolved_nulls_first(), batch.row_mask)
-    perm = sortkeys.lexsort(limbs)
+    payloads: list = []
+    slot_of = {}
+    for ci, c in enumerate(batch.columns):
+        if c.data.ndim == 1 and c.lengths is None and not c.children:
+            slot_of[ci] = len(payloads)
+            payloads.append(c.data)
+            payloads.append(c.validity)
+    nk = len(limbs)
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    out = jax.lax.sort(
+        tuple(limbs) + (iota,) + tuple(payloads), num_keys=nk, is_stable=True
+    )
+    perm = out[nk]
+    sp = out[nk + 1 :]
+    cols = []
+    for ci, c in enumerate(batch.columns):
+        if ci in slot_of:
+            s = slot_of[ci]
+            cols.append(ColumnVector(sp[s], sp[s + 1], None, c.dtype))
+        else:
+            cols.append(c.take(perm))
     n = batch.num_rows()
-    pos = jnp.arange(batch.capacity)
+    pos = jnp.arange(cap)
     mask = pos < n
     if skip:
         mask = mask & (pos >= skip)
     if fetch is not None:
         mask = mask & (pos < skip + fetch)
-    return batch.take(perm, mask)
+    return Batch(tuple(cols), mask, batch.schema)
 
 
 def limit_op(batch: Batch, limit: int, offset: int = 0) -> Batch:

@@ -191,34 +191,41 @@ def _bucketize(
     then one scatter per column. Returns (bucketed column arrays in batch
     column order + validity/mask planes), received mask, overflow flag."""
     cap = batch.capacity
-    pid = jnp.where(batch.row_mask, part_ids.astype(jnp.int32), num_partitions)
-    # rank within destination via stable sort over pid
-    order = jnp.argsort(pid, stable=True)  # rows grouped by dest, dead rows last
-    sorted_pid = pid[order]
-    pos = jnp.arange(cap, dtype=jnp.int32)
-    # start offset of each destination group within the sorted layout
-    is_start = jnp.concatenate([jnp.ones(1, bool), sorted_pid[1:] != sorted_pid[:-1]])
-    start_idx = jax.lax.cummax(jnp.where(is_start, pos, -1))
-    rank = pos - start_idx
-    counts = jnp.zeros(num_partitions + 1, jnp.int32).at[sorted_pid].add(1, mode="drop")
-    overflow = jnp.any(counts[:num_partitions] > slot_cap)
-    # destination slot per sorted row
-    slot = sorted_pid * slot_cap + jnp.minimum(rank, slot_cap - 1)
-    live = (sorted_pid < num_partitions) & (rank < slot_cap)
-    slot = jnp.where(live, slot, num_partitions * slot_cap)  # dropped by mode="drop"
+    P = num_partitions
+    pid = jnp.where(batch.row_mask, part_ids.astype(jnp.int32), P)
+    # ONE variadic sort keyed by destination, carrying every 1-D buffer as a
+    # payload (no scatter: after the sort each destination's rows are
+    # contiguous, so bucket assembly is a coalesced slice-gather — the
+    # counting-sort scatter of multi_partition.rs re-expressed for a machine
+    # where scatter serializes but sorts/gathers stream).
+    all_arrays: List[jax.Array] = []
+    for cv in batch.columns:
+        all_arrays.extend(_cv_arrays(cv))
+    flat_slots = [i for i, a in enumerate(all_arrays) if a.ndim == 1]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    ops = (pid, iota) + tuple(all_arrays[i] for i in flat_slots)
+    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    sorted_pid, perm = out[0], out[1]
+    sorted_flat = dict(zip(flat_slots, out[2:]))
 
-    bucket_mask = (
-        jnp.zeros(num_partitions * slot_cap, bool).at[slot].set(True, mode="drop")
-    )
+    gids = jnp.arange(P, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_pid, gids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_pid, gids, side="right").astype(jnp.int32)
+    counts = ends - starts
+    overflow = jnp.any(counts > slot_cap)
+    i = jnp.arange(slot_cap, dtype=jnp.int32)
+    idx = (starts[:, None] + i[None, :]).reshape(P * slot_cap)
+    valid_slot = (i[None, :] < counts[:, None]).reshape(P * slot_cap)
+    idx_c = jnp.clip(idx, 0, cap - 1)
 
     planes: List[jax.Array] = []
-    for cv in batch.columns:
-        for arr in _cv_arrays(cv):
-            src = arr[order]
-            out_shape = (num_partitions * slot_cap,) + arr.shape[1:]
-            plane = jnp.zeros(out_shape, arr.dtype).at[slot].set(src, mode="drop")
-            planes.append(plane)
-    return planes, bucket_mask, overflow
+    for ai, arr in enumerate(all_arrays):
+        src = sorted_flat[ai] if ai in flat_slots else arr[perm]
+        plane = jnp.take(src, idx_c, axis=0)
+        zero_mask = valid_slot.reshape((P * slot_cap,) + (1,) * (plane.ndim - 1))
+        plane = jnp.where(zero_mask, plane, jnp.zeros((), plane.dtype))
+        planes.append(plane)
+    return planes, valid_slot, overflow
 
 
 def shuffle_batch(
