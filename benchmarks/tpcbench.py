@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""TPC benchmark driver: per-query wall-clock timings as JSON.
+
+The analog of the reference's benchmarks/tpc/tpcbench.py (per-query timings
+JSON consumed by generate-comparison.py). Runs every TPC-H and/or TPC-DS
+query in models/ against generated data on the current backend and writes
+``{suite, sf, backend, queries: {name: {best_s, times_s, rows}}}``.
+
+Usage:
+    python benchmarks/tpcbench.py --suite tpch --sf 0.1 --reps 3 \
+        --out tpch-results.json [--queries q1,q6]
+
+Timing forces full-pipeline completion via in-graph checksums (the bench.py
+discipline — measures compute, not result egress).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def checksum_step(sess, plan):
+    import jax
+    import jax.numpy as jnp
+
+    bound, fn = sess.compile(plan)
+
+    def step(tables):
+        out, _ = fn(tables)
+        sums = [jnp.sum(out.row_mask.astype(jnp.int64)).astype(jnp.float64)]
+        for c in out.columns:
+            d = c.data
+            v = d.astype(jnp.float64) if d.ndim == 1 else d.sum(-1).astype(jnp.float64)
+            sums.append(jnp.sum(jnp.where(out.row_mask, v, 0.0)))
+        return jnp.stack(sums)
+
+    return jax.jit(step)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", choices=["tpch", "tpcds"], default="tpch")
+    ap.add_argument("--sf", type=float, default=0.1)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--queries", default="")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+
+    from datafusion_comet_tpu.exec.engine import Session
+
+    if args.suite == "tpch":
+        from datafusion_comet_tpu.models import tpch as model
+
+        tables = list(model.SCHEMAS)
+    else:
+        from datafusion_comet_tpu.models import tpcds as model
+
+        tables = list(model.SCHEMAS)
+
+    sess = Session()
+    t0 = time.time()
+    for t in tables:
+        sess.register_numpy(t, model.generate_table(t, args.sf), model.SCHEMAS[t])
+    gen_s = time.time() - t0
+
+    wanted = [q.strip() for q in args.queries.split(",") if q.strip()] or sorted(
+        model.QUERIES, key=lambda n: int(n[1:])
+    )
+    results = {}
+    for name in wanted:
+        make = model.QUERIES[name]
+        try:
+            plan = make(sess) if "session" in make.__code__.co_varnames[:1] else make()
+            step = checksum_step(sess, plan)
+            cs = np.asarray(step(sess.tables))  # compile + first run
+            times = []
+            for _ in range(args.reps):
+                t1 = time.time()
+                np.asarray(step(sess.tables))
+                times.append(time.time() - t1)
+            results[name] = {
+                "best_s": round(min(times), 4),
+                "times_s": [round(t, 4) for t in times],
+                "checksum": float(cs[0]),
+            }
+        except Exception as e:  # keep going; report the failure
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(name, results[name].get("best_s", results[name].get("error")), flush=True)
+
+    doc = {
+        "suite": args.suite,
+        "sf": args.sf,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "datagen_s": round(gen_s, 1),
+        "queries": results,
+        "total_best_s": round(sum(r.get("best_s", 0) for r in results.values()), 3),
+    }
+    out = json.dumps(doc, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
