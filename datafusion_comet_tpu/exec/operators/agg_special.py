@@ -41,6 +41,8 @@ __all__ = [
 
 
 def _group_of_row(perm, seg, cap):
+    if perm is None:  # rows already in sorted (grouped) order
+        return seg
     return jnp.zeros(cap, seg.dtype).at[perm].set(seg)
 
 
@@ -76,6 +78,7 @@ def collect_agg(
     cap = valid.shape[0]
     gor = _group_of_row(perm, seg, cap)
     Emax = a.max_elems
+    gperm = (lambda arr: arr) if perm is None else (lambda arr: arr[perm])
     if a.func == E.AggFunc.COLLECT_SET:
         # sort by (group, value) and keep first occurrence per run
         limbs = [jnp.where(valid, gor, m).astype(jnp.int64)] + sortkeys.column_limbs(cv)
@@ -89,9 +92,9 @@ def collect_agg(
         use_perm, use_valid = perm2, keep
     else:
         use_perm = perm
-        use_valid = valid[perm]
+        use_valid = gperm(valid)
 
-    g_sorted = gor[use_perm]
+    g_sorted = gor[use_perm] if use_perm is not None else gor
     g_eff = jnp.where(use_valid, g_sorted, m)
     # position within group among KEPT values: exclusive running count per seg
     ones = use_valid.astype(jnp.int32)
@@ -100,13 +103,16 @@ def collect_agg(
     slot_ok = use_valid & (pos < Emax) & (pos >= 0)
     flat = jnp.where(slot_ok, g_eff * Emax + pos, m * Emax)
 
-    src = ColumnVector(
-        cv.data[use_perm],
-        cv.validity[use_perm],
-        None if cv.lengths is None else cv.lengths[use_perm],
-        cv.dtype,
-        tuple(c.take(use_perm) for c in cv.children),
-    )
+    if use_perm is None:
+        src = cv
+    else:
+        src = ColumnVector(
+            cv.data[use_perm],
+            cv.validity[use_perm],
+            None if cv.lengths is None else cv.lengths[use_perm],
+            cv.dtype,
+            tuple(c.take(use_perm) for c in cv.children),
+        )
 
     def scatter(arr, fill=0):
         out_shape = (m * Emax + 1,) + arr.shape[1:]
@@ -234,7 +240,8 @@ def hll_agg(
     lin = M * jnp.log(M / jnp.maximum(zeros, 1.0))
     use_lin = (est <= 2.5 * M) & (zeros > 0)
     est = jnp.where(use_lin, lin, est)
-    has = _seg_max(valid[perm], seg, m) & group_mask
+    vsorted = valid if perm is None else valid[perm]
+    has = _seg_max(vsorted, seg, m) & group_mask
     return [ColumnVector(jnp.round(est).astype(jnp.int64), has, None, T.INT64)]
 
 
@@ -330,7 +337,8 @@ def bloom_agg(
     hdr = jnp.broadcast_to(jnp.asarray(header)[None, :], (m, 12))
     data = jnp.concatenate([hdr, body], axis=1)
     total = 12 + W * 8
-    has = _seg_max(valid[perm], seg, m) & group_mask
+    vsorted = valid if perm is None else valid[perm]
+    has = _seg_max(vsorted, seg, m) & group_mask
     out_dtype = T.binary(total)
     return [
         ColumnVector(data, has, jnp.full(m, total, jnp.int32), out_dtype)

@@ -5,19 +5,24 @@ FILTER clauses, state columns at group-key offset) and the aggregate kernel
 semantics of native/spark-expr/src/agg_funcs (sum/avg null-when-empty,
 variance via combinable (n, avg, m2) states, count ignores nulls).
 
-TPU-first formulation: instead of an open-addressing hash table (pointer
-chasing — hostile to XLA), grouping is **sort-based segmented reduction**:
+TPU-first formulation (measured-in on v5e — see _segments/_seg_sum notes):
+instead of an open-addressing hash table (pointer chasing — hostile to XLA),
+grouping is **sort-based segmented reduction with carried payloads**:
 
-1. group-key columns → orderable i64 limbs (sortkeys.grouping_limbs);
-2. one stable multi-limb lexsort puts equal keys adjacent (dead rows last);
-3. segment ids via cumsum over key-change flags;
-4. every aggregate becomes a `jax.ops.segment_*` reduction — which XLA
-   lowers to scatter-adds that tile cleanly onto the VPU;
+1. group-key columns → orderable limbs (sortkeys.grouping_limbs), packed to
+   one int32 code when the key space is small;
+2. every aggregate input is pre-evaluated and its buffers ride ONE stable
+   variadic `lax.sort` as payloads (TPU random gathers after a sort cost
+   ~15× a carried payload);
+3. segment ids via cumsum over key-change flags of the sorted limbs;
+4. sums/counts/averages reduce by cumsum + searchsorted boundary gathers
+   (TPU scatter serializes colliding updates; cumsum is bandwidth-bound);
+   value min/max keep segment scatters;
 5. output is a fixed-capacity batch (``max_groups``) with a live-group mask,
    keeping every shape static for jit.
 
-A VMEM-resident Pallas hash-table kernel is the planned fast path for
-low-cardinality keys; this module is the always-correct general path.
+Small batches with tiny packed key spaces skip the sort entirely via
+perfect-hash direct bucketing (_bucket_aggregate).
 """
 
 from __future__ import annotations
@@ -222,13 +227,7 @@ def _minmax_identity(dt: T.DataType, is_min: bool):
 
 
 _PACK_BITS_CAP = 24  # packed-key paths: at most 2^24 distinct codes
-_BUCKET_BITS_CAP = 16  # direct scatter always allowed below 2^16 buckets
-# Wide-bucket scatter: up to 2^20 buckets when the batch is large enough that
-# dodging the O(n log^2 n) bitonic sort pays for the bigger scatter outputs
-# (TPU lax.sort of 8M rows ~ 760ms; the same group-by as a direct scatter is
-# an order of magnitude faster). Output is compacted back to max_groups so
-# downstream operators never see the bucket capacity.
-_BUCKET_BITS_WIDE = 20
+_BUCKET_BITS_CAP = 16  # direct scatter only below 2^16 buckets
 
 
 def _try_pack_keys(key_cols: Sequence[ColumnVector]):
@@ -348,7 +347,9 @@ def hash_aggregate(
             sorted_cvs.append(cv.take(perm))
     synth_schema = T.Schema([T.Field(n, c.dtype) for n, c in zip(names, sorted_cvs)])
     synth = Batch(tuple(sorted_cvs), sorted_mask, synth_schema)
-    identity = jnp.arange(batch.capacity, dtype=jnp.int32)
+    # perm=None signals "already in sorted order" — gathers are skipped
+    # entirely (a TPU gather costs ~180ms per 8M rows even with identity
+    # indices; the payload sort already delivered sorted buffers)
 
     def _ref(ex: Optional[E.Expr]) -> Optional[E.Expr]:
         if ex is None or isinstance(ex, E.Literal):
@@ -371,7 +372,7 @@ def hash_aggregate(
     try:
         for a in agg_exprs:
             if merging:
-                vals = _merge_agg(a, synth, identity, seg, max_groups, group_mask)
+                vals = _merge_agg(a, synth, None, seg, max_groups, group_mask)
             else:
                 a2 = dataclasses.replace(
                     a,
@@ -379,7 +380,7 @@ def hash_aggregate(
                     filter=_ref(a.filter),
                     extra=tuple(_ref(x) for x in a.extra),
                 )
-                vals = _input_agg(a2, synth, identity, seg, max_groups, group_mask, ctx)
+                vals = _input_agg(a2, synth, None, seg, max_groups, group_mask, ctx)
             if mode in (AggMode.SINGLE, AggMode.FINAL):
                 out_cols.append(_finalize(a, vals, group_mask))
             else:
@@ -449,18 +450,19 @@ def _input_agg(
     ctx: EvalContext,
 ) -> List[ColumnVector]:
     f = a.func
+    g = (lambda arr: arr) if perm is None else (lambda arr: jnp.take(arr, perm, axis=0))
     active = batch.row_mask
     if a.filter is not None:
         fcv = evaluate(a.filter, batch, ctx)
         active = active & fcv.validity & fcv.data.astype(bool)
 
     if f == E.AggFunc.COUNT and a.child is None:  # COUNT(*)
-        cnt = _seg_sum(active[perm].astype(jnp.int64), seg, m)
+        cnt = _seg_sum(g(active).astype(jnp.int64), seg, m)
         return [ColumnVector(cnt, group_mask, None, T.INT64)]
 
     cv = evaluate(a.child, batch, ctx)
-    valid = (cv.validity & active)[perm]
-    x = cv.data[perm]
+    valid = g(cv.validity & active)
+    x = g(cv.data)
 
     if f == E.AggFunc.COUNT:
         cnt = _seg_sum(valid.astype(jnp.int64), seg, m)
@@ -501,14 +503,14 @@ def _input_agg(
         dt = a.child.dtype
         cap = x.shape[0]
         rowpos = jnp.arange(cap, dtype=jnp.int64)
-        consider = valid if a.ignore_nulls else (batch.row_mask[perm])
+        consider = valid if a.ignore_nulls else g(batch.row_mask)
         pos = jnp.where(consider, rowpos, cap if f == E.AggFunc.FIRST else -1)
         win = (
             _seg_min(pos, seg, m) if f == E.AggFunc.FIRST else _seg_max(pos, seg, m)
         )
         has = _seg_max(consider, seg, m) & group_mask
         win_c = jnp.clip(win, 0, cap - 1).astype(jnp.int32)
-        val_cv = ColumnVector(x, cv.validity[perm], None if cv.lengths is None else cv.lengths[perm], dt)
+        val_cv = ColumnVector(x, g(cv.validity), None if cv.lengths is None else g(cv.lengths), dt)
         taken = val_cv.take(win_c)
         return [ColumnVector(taken.data, has & taken.validity if not a.ignore_nulls else has, taken.lengths, dt)]
 
@@ -528,9 +530,9 @@ def _input_agg(
 
     if f in _COVAR_FUNCS:
         ycv = evaluate(a.extra[0], batch, ctx)
-        yvalid = ycv.validity[perm] & valid
+        yvalid = g(ycv.validity) & valid
         xd = jnp.where(yvalid, x, 0).astype(jnp.float64)
-        yd = jnp.where(yvalid, ycv.data[perm], 0).astype(jnp.float64)
+        yd = jnp.where(yvalid, g(ycv.data), 0).astype(jnp.float64)
         n = _seg_sum(yvalid.astype(jnp.float64), seg, m)
         sx = _seg_sum(xd, seg, m)
         sy = _seg_sum(yd, seg, m)
@@ -636,7 +638,8 @@ def _seg_xor(x: jax.Array, seg, m) -> jax.Array:
 def _limb_minmax(a, cv: ColumnVector, valid, perm, seg, m, group_mask) -> ColumnVector:
     """min/max over multi-limb orderable types (strings, floats) via per-limb
     tournament: reduce the first limb, keep winners, proceed to next limb."""
-    limbs = [l[perm] for l in sortkeys.column_limbs(cv)]
+    g = (lambda arr: arr) if perm is None else (lambda arr: jnp.take(arr, perm, axis=0))
+    limbs = [g(l) for l in sortkeys.column_limbs(cv)]
     is_min = a.func == E.AggFunc.MIN
     cap = valid.shape[0]
     lident = np.int64(np.iinfo(np.int64).max if is_min else np.iinfo(np.int64).min)
@@ -655,9 +658,9 @@ def _limb_minmax(a, cv: ColumnVector, valid, perm, seg, m, group_mask) -> Column
     win_c = jnp.clip(win, 0, cap - 1).astype(jnp.int32)
     has = _seg_max(valid, seg, m) & group_mask
     src = ColumnVector(
-        cv.data[perm],
-        cv.validity[perm],
-        None if cv.lengths is None else cv.lengths[perm],
+        g(cv.data),
+        g(cv.validity),
+        None if cv.lengths is None else g(cv.lengths),
         cv.dtype,
     )
     taken = src.take(win_c)
@@ -677,7 +680,8 @@ def _merge_agg(
 ) -> List[ColumnVector]:
     f = a.func
     sts = _state_cols(a, batch)
-    p = lambda cv: (cv.data[perm], cv.validity[perm] & batch.row_mask[perm])
+    g = (lambda arr: arr) if perm is None else (lambda arr: jnp.take(arr, perm, axis=0))
+    p = lambda cv: (g(cv.data), g(cv.validity) & g(batch.row_mask))
 
     if f in (E.AggFunc.COUNT, E.AggFunc.COUNT_DISTINCT):
         x, v = p(sts[0])
@@ -716,7 +720,7 @@ def _merge_agg(
         n, _ = p(sts[0])
         avg, _ = p(sts[1])
         m2, _ = p(sts[2])
-        live = batch.row_mask[perm]
+        live = g(batch.row_mask)
         n = jnp.where(live, n, 0.0)
         ntot = _seg_sum(n, seg, m)
         s1 = _seg_sum(n * avg, seg, m)
@@ -732,7 +736,7 @@ def _merge_agg(
         ]
 
     if f in _COVAR_FUNCS:
-        live = batch.row_mask[perm]
+        live = g(batch.row_mask)
         n = jnp.where(live, p(sts[0])[0], 0.0)
         xavg = p(sts[1])[0]
         yavg = p(sts[2])[0]

@@ -5,10 +5,13 @@ dense_rank/percent_rank/cume_dist/ntile; lag/lead with literal defaults;
 nth_value; aggregate windows count/min/max/sum/avg) and frames ROWS/RANGE
 (operator.proto:552-603).
 
-TPU-first: one lexsort by (partition, order) keys, then every window function
-is a segmented scan/shift over the sorted layout, scattered back to the
-original row order at the end. ROWS frames use prefix-sum differences;
-unbounded frames use segment totals.
+TPU-first: one variadic lexsort per distinct (partition, order) layout with
+every window input CARRIED as a sort payload, then every window function is
+a segmented scan/shift over the sorted layout; results return to row order
+through a second payload-carrying sort (gathers avoided — TPU gathers cost
+~180ms per 8M rows regardless of index pattern). ROWS frames use prefix-sum
+differences; unbounded frames use segment totals; RANGE frames use
+lexicographic binary search.
 """
 
 from __future__ import annotations
@@ -52,38 +55,6 @@ def result_dtype(w: E.WindowExpr) -> T.DataType:
     raise NotImplementedError(f"window func {f}")
 
 
-def _sorted_layout(
-    batch: Batch, partition_by: Sequence[E.Expr], order_by: Sequence[E.SortOrder], ctx
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Returns (perm, part_start(bool per sorted row), order_change(bool),
-    pos_in_segment(int32), inv_perm)."""
-    cap = batch.capacity
-    plimbs = sortkeys.grouping_limbs([evaluate(p, batch, ctx) for p in partition_by]) if partition_by else []
-    olimbs: List[jax.Array] = []
-    for o in order_by:
-        cv = evaluate(o.child, batch, ctx)
-        olimbs += sortkeys.order_limbs(cv, o.ascending, o.resolved_nulls_first(), batch.row_mask)
-    limbs = [(~batch.row_mask).astype(jnp.int64)] + plimbs + olimbs
-    perm = sortkeys.lexsort(limbs)
-
-    def changes(ls: List[jax.Array]) -> jax.Array:
-        ch = jnp.zeros(cap, bool).at[0].set(True)
-        for l in ls:
-            s = l[perm]
-            ch = ch | jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
-        return ch
-
-    part_start = changes(plimbs) if plimbs else jnp.zeros(cap, bool).at[0].set(True)
-    order_change = part_start | (changes(olimbs) if olimbs else jnp.zeros(cap, bool))
-    # position within partition
-    seg = jnp.cumsum(part_start.astype(jnp.int32)) - 1
-    pos = jnp.arange(cap, dtype=jnp.int32) - _seg_broadcast(
-        jnp.arange(cap, dtype=jnp.int32), part_start
-    )
-    inv = jnp.argsort(perm)
-    return perm, part_start, order_change, pos, inv
-
-
 def _seg_broadcast(vals: jax.Array, seg_start: jax.Array) -> jax.Array:
     """Broadcast each segment's start-row value to all rows of the segment
     (cummax over (is_start ? value : -inf) works because row index increases)."""
@@ -124,23 +95,133 @@ def window_op(
     out_schema: T.Schema,
     ctx: EvalContext = _DEFAULT_CTX,
 ) -> Batch:
+    """One variadic sort per distinct (partition, order) layout CARRIES every
+    window input as a payload; results return to row order through a second
+    payload-carrying sort keyed by the permutation (a TPU gather costs ~2× a
+    carried payload and ~15× at aggregate widths — see aggregate._segments)."""
     cap = batch.capacity
     out_cols = list(batch.columns)
     # group exprs by identical (partition, order) so one sort serves several
-    for w in window_exprs:
-        perm, part_start, order_change, pos, inv = _sorted_layout(
-            batch, w.partition_by, w.order_by, ctx
+    groups: dict = {}
+    for wi, w in enumerate(window_exprs):
+        key = (repr(w.partition_by), repr(w.order_by))
+        groups.setdefault(key, []).append((wi, w))
+    results: List[Optional[ColumnVector]] = [None] * len(window_exprs)
+    for members in groups.values():
+        w0 = members[0][1]
+        # evaluate inputs on the unsorted batch; carry 1-D buffers
+        ins: List[ColumnVector] = []
+        index_of: dict = {}
+
+        def _add(ex):
+            if ex is None or id(ex) in index_of or isinstance(ex, E.Literal):
+                return
+            index_of[id(ex)] = len(ins)
+            ins.append(evaluate(ex, batch, ctx))
+
+        for _, w in members:
+            _add(w.child)
+            _add(w.default)
+        payloads: List[jax.Array] = []
+        slot_of: dict = {}
+        for i, cv in enumerate(ins):
+            if cv.data.ndim == 1 and cv.lengths is None and not cv.children:
+                slot_of[i] = len(payloads)
+                payloads.append(cv.data)
+                payloads.append(cv.validity)
+        perm, part_start, order_change, pos, sp, live_sorted, sorted_limb_arrays = (
+            _sorted_layout_carrying(batch, w0.partition_by, w0.order_by, payloads, ctx)
         )
-        live_sorted = batch.row_mask[perm]
-        rd = result_dtype(w)
-        cv = _one_window(w, batch, perm, part_start, order_change, pos, live_sorted, rd, ctx)
-        # scatter back to original order
-        out_cols.append(cv.take(inv))
+        sorted_ins: List[ColumnVector] = []
+        for i, cv in enumerate(ins):
+            if i in slot_of:
+                s = slot_of[i]
+                sorted_ins.append(ColumnVector(sp[s], sp[s + 1], None, cv.dtype))
+            else:
+                sorted_ins.append(cv.take(perm))
+
+        def _sorted_cv(ex) -> Optional[ColumnVector]:
+            if ex is None:
+                return None
+            if isinstance(ex, E.Literal):
+                from datafusion_comet_tpu.exec.evaluator import _literal
+
+                return _literal(ex, cap)
+            return sorted_ins[index_of[id(ex)]]
+
+        unsort_payloads: List[jax.Array] = []
+        unsort_meta: List[Tuple[int, ColumnVector]] = []
+        for wi, w in members:
+            rd = result_dtype(w)
+            cv = _one_window(
+                w, _sorted_cv(w.child), _sorted_cv(w.default), batch, perm,
+                part_start, order_change, pos, live_sorted, rd, ctx,
+            )
+            if cv.data.ndim == 1 and cv.lengths is None and not cv.children:
+                unsort_meta.append((wi, cv))
+                unsort_payloads.append(cv.data)
+                unsort_payloads.append(cv.validity)
+            else:  # var-width results: gather back
+                inv = jnp.argsort(perm)
+                results[wi] = cv.take(inv)
+        if unsort_payloads:
+            back = jax.lax.sort(
+                (perm,) + tuple(unsort_payloads), num_keys=1, is_stable=True
+            )
+            for k, (wi, cv) in enumerate(unsort_meta):
+                results[wi] = ColumnVector(
+                    back[1 + 2 * k], back[2 + 2 * k], None, cv.dtype
+                )
+    out_cols.extend(results)  # type: ignore[arg-type]
     return Batch(tuple(out_cols), batch.row_mask, out_schema)
+
+
+def _sorted_layout_carrying(
+    batch: Batch,
+    partition_by: Sequence[E.Expr],
+    order_by: Sequence[E.SortOrder],
+    payloads: Sequence[jax.Array],
+    ctx,
+):
+    """_sorted_layout with carried payloads: returns (perm, part_start,
+    order_change, pos, sorted_payloads, live_sorted, sorted_limbs)."""
+    cap = batch.capacity
+    plimbs = sortkeys.grouping_limbs([evaluate(p, batch, ctx) for p in partition_by]) if partition_by else []
+    olimbs: List[jax.Array] = []
+    for o in order_by:
+        cv = evaluate(o.child, batch, ctx)
+        olimbs += sortkeys.order_limbs(cv, o.ascending, o.resolved_nulls_first(), batch.row_mask)
+    limbs = [(~batch.row_mask).astype(jnp.int64)] + plimbs + olimbs
+    nk = len(limbs)
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    out = jax.lax.sort(
+        tuple(limbs) + (iota,) + tuple(payloads) + (batch.row_mask,),
+        num_keys=nk, is_stable=True,
+    )
+    sorted_limbs = out[:nk]
+    perm = out[nk]
+    sp = list(out[nk + 1 : -1])
+    live_sorted = out[-1]
+    np_ = len(plimbs)
+
+    def changes(ls) -> jax.Array:
+        ch = jnp.zeros(cap, bool).at[0].set(True)
+        for s in ls:
+            ch = ch | jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+        return ch
+
+    part_start = changes(sorted_limbs[1 : 1 + np_]) if np_ else jnp.zeros(cap, bool).at[0].set(True)
+    order_change = part_start | (changes(sorted_limbs[1 + np_ :]) if olimbs else jnp.zeros(cap, bool))
+    pos = jnp.arange(cap, dtype=jnp.int32) - _seg_broadcast(
+        jnp.arange(cap, dtype=jnp.int32), part_start
+    )
+    return perm, part_start, order_change, pos, sp, live_sorted, sorted_limbs
 
 
 def _one_window(
     w: E.WindowExpr,
+    child_cv,  # w.child evaluated, ALREADY in sorted order (or None)
+    default_cv,  # w.default likewise (or None)
     batch: Batch,
     perm,
     part_start,
@@ -198,9 +279,9 @@ def _one_window(
             return ColumnVector(data.astype(jnp.int32), live, None, rd)
 
     if f in ("lag", "lead"):
-        cv = evaluate(w.child, batch, ctx)
-        x = cv.data[perm]
-        v = cv.validity[perm]
+        cv = child_cv
+        x = cv.data
+        v = cv.validity
         off = w.offset if f == "lag" else -w.offset
         shifted = jnp.roll(x, off, axis=0)
         vshift = jnp.roll(v, off, axis=0)
@@ -209,9 +290,9 @@ def _one_window(
             # valid if pos + offset < n_part
             in_seg = (pos + w.offset) < n_part.astype(jnp.int32)
         if w.default is not None:
-            dcv = evaluate(w.default, batch, ctx)
-            ddata = dcv.data[perm]
-            dval = dcv.validity[perm]
+            dcv = default_cv
+            ddata = dcv.data
+            dval = dcv.validity
             data = _sel(in_seg, shifted, ddata)
             valid = jnp.where(in_seg, vshift, dval)
         else:
@@ -219,28 +300,28 @@ def _one_window(
             valid = vshift & in_seg
         lengths = None
         if cv.lengths is not None:
-            lshift = jnp.roll(cv.lengths[perm], off, axis=0)
+            lshift = jnp.roll(cv.lengths, off, axis=0)
             lengths = jnp.where(in_seg, lshift, 0)
         return ColumnVector(data, valid & live, lengths, rd)
 
     if f == "nth_value":
-        cv = evaluate(w.child, batch, ctx)
-        x = cv.data[perm]
-        v = cv.validity[perm]
+        cv = child_cv
+        x = cv.data
+        v = cv.validity
         # index of the partition's first row + (n-1)
         start_idx = _seg_broadcast(jnp.arange(cap, dtype=jnp.int32), part_start)
         tgt = jnp.clip(start_idx + (w.offset - 1), 0, cap - 1)
         ok = (w.offset - 1) < n_part.astype(jnp.int32)
         data = jnp.take(x, tgt, axis=0)
         valid = jnp.take(v, tgt, axis=0) & ok & live
-        lengths = None if cv.lengths is None else jnp.take(cv.lengths[perm], tgt, axis=0)
+        lengths = None if cv.lengths is None else jnp.take(cv.lengths, tgt, axis=0)
         return ColumnVector(data, valid, lengths, rd)
 
     # aggregate window functions over ROWS/RANGE frames
     if w.child is not None:
-        cv = evaluate(w.child, batch, ctx)
-        x = cv.data[perm]
-        v = cv.validity[perm] & live
+        cv = child_cv
+        x = cv.data
+        v = cv.validity & live
     else:  # count(*)
         x = jnp.ones(cap, jnp.int64)
         v = live
