@@ -60,6 +60,21 @@ def _null_column(dt: T.DataType, cap: int) -> ColumnVector:
     return ColumnVector(jnp.zeros(cap, dt.np_dtype()), jnp.zeros(cap, bool), None, dt)
 
 
+def _repeat_cv(cv: ColumnVector, k: int) -> ColumnVector:
+    """Repeat each row k times via broadcast+reshape (no gather)."""
+
+    def rep(a):
+        if a is None:
+            return None
+        out = jnp.broadcast_to(a[:, None, ...], (a.shape[0], k) + a.shape[1:])
+        return out.reshape((a.shape[0] * k,) + a.shape[1:])
+
+    return ColumnVector(
+        rep(cv.data), rep(cv.validity), rep(cv.lengths), cv.dtype,
+        tuple(_repeat_cv(c, k) for c in cv.children),
+    )
+
+
 def hash_join(
     left: Batch,
     right: Batch,
@@ -92,10 +107,16 @@ def hash_join(
     bvalid = bvalid & build.row_mask
     pvalid = pvalid & probe.row_mask
 
-    # sort build rows: joinable rows first, by key
+    # sort build rows: joinable rows first, by key — limbs ride the variadic
+    # sort as payloads (post-sort gathers cost ~15× a carried payload on TPU)
     sort_limbs = [(~bvalid).astype(jnp.int64)] + blimbs
-    bperm = sortkeys.lexsort(sort_limbs)
-    sorted_limbs = [l[bperm] for l in blimbs]
+    iota_b = jnp.arange(bcap, dtype=jnp.int32)
+    sorted_all = jax.lax.sort(
+        tuple(sort_limbs) + (iota_b,) + tuple(blimbs),
+        num_keys=len(sort_limbs), is_stable=True,
+    )
+    bperm = sorted_all[len(sort_limbs)]
+    sorted_limbs = list(sorted_all[len(sort_limbs) + 1 :])
     n_build = jnp.sum(bvalid.astype(jnp.int32))
 
     lo = lex_lower_bound(sorted_limbs, plimbs, n_build)
@@ -112,8 +133,9 @@ def hash_join(
 
     has_match = count > 0  # per probe row (before condition)
 
-    # gather both sides at pair granularity
-    probe_cols = [c.take(p_idx) for c in probe.columns]
+    # probe side: each row repeats K times — a broadcast+reshape (pure
+    # layout, no gather); build side: data-dependent gather (inherent)
+    probe_cols = [_repeat_cv(c, K) for c in probe.columns]
     build_cols = [c.take(b_idx) for c in build.columns]
 
     if condition is not None:
