@@ -35,11 +35,17 @@ from datafusion_comet_tpu.exec.operators import window as W
 from datafusion_comet_tpu.ir import expr as E
 from datafusion_comet_tpu.ir import plan as P
 
-__all__ = ["Session", "run_plan", "JoinOverflowError"]
+__all__ = ["Session", "run_plan", "JoinOverflowError", "QueryExecutionError"]
 
 
 class JoinOverflowError(RuntimeError):
     pass
+
+
+class QueryExecutionError(RuntimeError):
+    """ANSI-mode runtime error surfaced after device execution (the analog of
+    the reference's SparkError → CometQueryExecutionException pipeline,
+    docs sql_error_propagation.md: native errors → structured exception)."""
 
 
 def run_plan(
@@ -260,13 +266,32 @@ class Session:
         fanout = join_fanout or self.join_fanout
         sub_values = self._materialize_subqueries() if self._subqueries else None
 
+        msg_box: List[str] = []
+
         def fn(tables):
             flags: List[jax.Array] = []
-            ctx = EvalContext(subquery_values=sub_values)
+            errs: List[Tuple[jax.Array, str]] = []
+            ctx = EvalContext(subquery_values=sub_values, errors=errs)
             out = run_plan(bound, tables, ctx, flags, fanout)
-            return out, (jnp.any(jnp.stack(flags)) if flags else jnp.zeros((), bool))
+            msg_box.clear()
+            msg_box.extend(m for _, m in errs)
+            err_flags = (
+                jnp.stack([jnp.any(f) for f, _ in errs]) if errs else jnp.zeros(0, bool)
+            )
+            return out, (jnp.any(jnp.stack(flags)) if flags else jnp.zeros((), bool)), err_flags
 
-        return bound, jax.jit(fn)
+        jitted = jax.jit(fn)
+
+        def wrapped(tables):
+            out, ovf, err_flags = jitted(tables)
+            if err_flags.shape[0]:
+                fired = np.asarray(err_flags)
+                if fired.any():
+                    msgs = [m for m, f in zip(msg_box, fired) if f]
+                    raise QueryExecutionError("; ".join(dict.fromkeys(msgs)))
+            return out, ovf
+
+        return bound, wrapped
 
     def _stage_udfs(self, plan: P.PlanNode) -> P.PlanNode:
         """Bottom-up: materialize below every node holding PythonUdf exprs,

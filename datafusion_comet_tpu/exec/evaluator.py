@@ -43,9 +43,15 @@ class EvalContext:
     subquery_values: Optional[Dict[int, Tuple[object, bool]]] = None
     # ANSI error side channel: list of (flag_array(bool cap), message)
     errors: Optional[List[Tuple[jax.Array, str]]] = None
+    # live-row mask of the batch currently being evaluated (set by
+    # evaluate()); errors on dead rows must not fire — the reference's
+    # QueryContext scopes errors to rows the operator actually processed
+    row_mask: Optional[jax.Array] = None
 
     def record_error(self, flags: jax.Array, message: str) -> None:
         if self.errors is not None:
+            if self.row_mask is not None and flags.shape == self.row_mask.shape:
+                flags = flags & self.row_mask
             self.errors.append((flags, message))
 
 
@@ -55,7 +61,12 @@ _DEFAULT_CTX = EvalContext()
 def evaluate(e: E.Expr, batch: Batch, ctx: EvalContext = _DEFAULT_CTX) -> ColumnVector:
     """Evaluate a bound expression over a batch, returning a ColumnVector."""
     assert e.dtype is not None, f"expression not bound: {e!r}"
-    return _ev(e, batch, ctx)
+    prev = ctx.row_mask
+    ctx.row_mask = batch.row_mask
+    try:
+        return _ev(e, batch, ctx)
+    finally:
+        ctx.row_mask = prev
 
 
 def evaluate_predicate(e: E.Expr, batch: Batch, ctx: EvalContext = _DEFAULT_CTX) -> jax.Array:
@@ -857,6 +868,8 @@ def _cast_string_to(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str
         ok = has_content & ok_chars & (dot_count <= 1)
         if to.is_integer:
             ok = ok & (dot_count == 0)
+            if mode == E.EvalMode.ANSI:
+                ctx.record_error(~ok & cv.validity, "CAST_INVALID_INPUT")
             out = _int_narrow(val_final, cv.validity & ok, to, mode, ctx)
             return ColumnVector(out.data, cv.validity & ok, None, to)
         if mode == E.EvalMode.ANSI:
