@@ -34,6 +34,9 @@ __all__ = [
     "soundex",
     "format_number",
     "str_to_map",
+    "from_json",
+    "to_json",
+    "parse_url",
     "python_udf",
 ]
 
@@ -247,6 +250,89 @@ def str_to_map(child: E.Expr, pair_delim: str = ",", kv_delim: str = ":",
         T.map_(T.string(key_len or 32), T.string(val_len or 64), max_elems),
         "str_to_map",
     )
+
+
+def from_json(child: E.Expr, schema: T.DataType) -> E.PythonUdf:
+    """Spark from_json(col, schema): parse JSON into a STRUCT/LIST/MAP value;
+    null on malformed input (reference: json_funcs from_json)."""
+    assert schema.is_nested, "from_json needs a STRUCT/LIST/MAP schema"
+
+    def conv(doc, dt: T.DataType):
+        if doc is None:
+            return None
+        try:
+            if dt.is_struct:
+                if not isinstance(doc, dict):
+                    return None
+                return {f.name: conv(doc.get(f.name), f.dtype) for f in dt.struct_fields}
+            if dt.is_list:
+                if not isinstance(doc, list):
+                    return None
+                return [conv(v, dt.element) for v in doc]
+            if dt.is_map:
+                if not isinstance(doc, dict):
+                    return None
+                return {k: conv(v, dt.value_type) for k, v in doc.items()}
+            if dt.is_binary:
+                return str(doc)
+            if dt.is_boolean:
+                return bool(doc)
+            if dt.is_integer:
+                return int(doc)
+            return float(doc)
+        except (TypeError, ValueError):
+            return None
+
+    def fn(s):
+        if s is None:
+            return None
+        try:
+            return conv(json.loads(s), schema)
+        except (ValueError, TypeError):
+            return None
+
+    return E.PythonUdf(fn, (child,), schema, "from_json")
+
+
+def to_json(child: E.Expr, out_len: int = 0) -> E.PythonUdf:
+    """Spark to_json(struct/map/array) → compact JSON string."""
+
+    def fn(v):
+        if v is None:
+            return None
+        return json.dumps(v, separators=(",", ":"), default=str)
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "to_json")
+
+
+def parse_url(child: E.Expr, part: str, key: str = "", out_len: int = 0) -> E.PythonUdf:
+    """Spark parse_url(url, part[, key]) — HOST/PATH/QUERY/REF/PROTOCOL/
+    AUTHORITY/FILE/USERINFO, or a named QUERY parameter."""
+    from urllib.parse import parse_qs, urlparse
+
+    def fn(s):
+        if s is None:
+            return None
+        try:
+            u = urlparse(s)
+        except ValueError:
+            return None
+        if part == "QUERY" and key:
+            vals = parse_qs(u.query).get(key)
+            return vals[0] if vals else None
+        return {
+            "HOST": u.hostname,
+            "PATH": u.path,
+            "QUERY": u.query or None,
+            "REF": u.fragment or None,
+            "PROTOCOL": u.scheme or None,
+            "AUTHORITY": u.netloc or None,
+            "FILE": u.path + (("?" + u.query) if u.query else ""),
+            "USERINFO": (u.username if u.password is None or u.username is None
+                         else f"{u.username}:{u.password}") or None,
+        }.get(part)
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "parse_url")
 
 
 def python_udf(fn, args, out_dtype: T.DataType, name: str = "python_udf") -> E.PythonUdf:
