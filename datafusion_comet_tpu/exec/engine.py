@@ -301,6 +301,8 @@ class Session:
         for old, new in zip(plan.children(), kids):
             if old is not new:
                 plan = _replace_child(plan, old, new)
+        if isinstance(plan, P.MapInBatch):
+            return self._run_map_in_batch(plan)
         box: List[E.PythonUdf] = []
         for e in _node_own_exprs(plan):
             _expr_udfs(e, box)
@@ -349,10 +351,39 @@ class Session:
             out.schema = child.schema
         return out
 
+    def _run_map_in_batch(self, plan: "P.MapInBatch") -> P.PlanNode:
+        """Materialize the child, run the host batch function, splice the
+        result back as a temp table (always a host transition)."""
+        import pandas as pd
+
+        batch = self.execute(plan.child)
+        host = to_numpy(batch)
+        df = pd.DataFrame({k: v for k, v in host.items() if not k.endswith("__valid")})
+        for k in list(df.columns):  # apply validity as None
+            valid = host[k + "__valid"]
+            if not valid.all():
+                df[k] = [v if ok else None for v, ok in zip(df[k], valid)]
+        out_df = plan.fn(df)
+        schema = T.Schema(list(plan.out_fields))
+        data = {
+            f.name: [None if pd.isna(v) else v for v in out_df[f.name]]
+            if not f.dtype.is_nested
+            else list(out_df[f.name])
+            for f in schema.fields
+        }
+        temp_name = f"__stage{self._next_stage_id}"
+        self._next_stage_id += 1
+        self.tables[temp_name] = from_numpy(data, schema)
+        scan = P.Scan(temp_name, schema)
+        scan.schema = schema
+        return scan
+
     def execute(self, plan: P.PlanNode) -> Batch:
         """Execute with automatic join-fanout re-planning."""
         bound0 = P.bind_plan(plan) if _needs_bind(plan) else plan
-        if _plan_has_udf(bound0) and not _callbacks_supported():
+        if _contains_map_in_batch(bound0):
+            plan = self._stage_udfs(bound0)
+        elif _plan_has_udf(bound0) and not _callbacks_supported():
             plan = self._stage_udfs(bound0)
         fanout = self.join_fanout
         for attempt in range(self.max_join_retries):
@@ -491,7 +522,15 @@ def _node_own_exprs(plan: P.PlanNode) -> List[E.Expr]:
     return out
 
 
+def _contains_map_in_batch(plan: P.PlanNode) -> bool:
+    if isinstance(plan, P.MapInBatch):
+        return True
+    return any(_contains_map_in_batch(c) for c in plan.children())
+
+
 def _plan_has_udf(plan: P.PlanNode) -> bool:
+    if isinstance(plan, P.MapInBatch):
+        return True
     box: List[E.PythonUdf] = []
     for e in _node_own_exprs(plan):
         _expr_udfs(e, box)

@@ -32,6 +32,7 @@ __all__ = [
     "JoinType",
     "Window",
     "Explode",
+    "MapInBatch",
     "Sample",
     "ShuffleExchange",
     "Union",
@@ -249,6 +250,23 @@ class Explode(PlanNode):
 
 
 @_plan
+class MapInBatch(PlanNode):
+    """Apply a host Python function to whole materialized batches (reference:
+    CometMapInBatchExec.scala:45 — the Arrow pandas-UDF operator: batches
+    cross to the foreign runtime, are transformed, and re-enter columnar
+    execution). ``fn`` receives a pandas DataFrame of the child's live rows
+    and returns a DataFrame matching ``out_fields``. Always executes as a
+    staged host transition (the C2R/R2C discipline)."""
+
+    child: PlanNode
+    fn: object  # Callable[[pandas.DataFrame], pandas.DataFrame]
+    out_fields: Tuple[T.Field, ...]
+
+    def children(self):
+        return (self.child,)
+
+
+@_plan
 class Sample(PlanNode):
     """Bernoulli sample (reference: planner.rs:1461, nondetermenistic_funcs
     bernoulli sampler)."""
@@ -429,6 +447,10 @@ def bind_plan(plan: PlanNode) -> PlanNode:
             assert ex.dtype.is_list, f"explode over {ex.dtype!r}"
             gen_fields.append(T.Field("col", ex.dtype.element))
         out.schema = T.Schema(list(child.schema.fields) + gen_fields)
+        return out
+    if isinstance(plan, MapInBatch):
+        out = MapInBatch(kids[0], plan.fn, plan.out_fields)
+        out.schema = T.Schema(list(plan.out_fields))
         return out
     if isinstance(plan, Sample):
         out = Sample(kids[0], plan.lower_bound, plan.upper_bound, plan.with_replacement, plan.seed)
