@@ -336,13 +336,101 @@ def compile_dfa(pattern: str) -> Tuple[np.ndarray, np.ndarray]:
     return trans, accepting
 
 
+def _byte_classes(trans: np.ndarray):
+    """Group the 256 byte symbols into equivalence classes (identical
+    transition columns). Returns (class_of_byte uint8[256], class_reps list,
+    n_classes). Patterns touch few distinct byte behaviors, so C is tiny."""
+    cols = {}
+    class_of = np.zeros(256, np.int32)
+    reps = []
+    for b in range(256):
+        key = trans[:, b].tobytes()
+        if key not in cols:
+            cols[key] = len(reps)
+            reps.append(b)
+        class_of[b] = cols[key]
+    return class_of, reps, len(reps)
+
+
+# Select-based thresholds: below these, every DFA step is pure elementwise
+# selects (VPU) — on TPU a single 8M-row gather costs ~180ms regardless of
+# table size, so a 32-byte scan via gathers is ~6s while S*C selects per
+# byte cost milliseconds.
+_SELECT_MAX_STATES = 64
+_SELECT_MAX_CLASSES = 24
+
+
 def dfa_match(mat, lens, trans: np.ndarray, accepting: np.ndarray):
     """Vectorized match: run the DFA over BOS + each row's live bytes + EOS;
-    returns (cap,) bool. One fused gather+select per scanned byte column."""
+    returns (cap,) bool.
+
+    Two lowering strategies (TPU-first): small automata run GATHER-FREE —
+    byte→class via range/equality tests, state transition via an unrolled
+    (state, class)-select tree, all elementwise on the VPU; large automata
+    fall back to one table gather per byte column."""
     import jax
     import jax.numpy as jnp
 
     cap, L = mat.shape
+    S = trans.shape[0]
+    class_of, reps, C = _byte_classes(trans)
+    if S <= _SELECT_MAX_STATES and C <= _SELECT_MAX_CLASSES:
+        # reduced transition table over classes + BOS/EOS columns
+        tc = trans[:, reps].astype(np.int32)  # (S, C)
+        t_bos = trans[:, _BOS].astype(np.int32)
+        t_eos = trans[:, _EOS].astype(np.int32)
+
+        # byte→class as a chain of range tests (host-compiled from class_of)
+        runs = []  # (lo, hi, class)
+        start = 0
+        for b in range(1, 257):
+            if b == 256 or class_of[b] != class_of[start]:
+                runs.append((start, b - 1, int(class_of[start])))
+                start = b
+        t_np = tc
+
+        def classify(byte_col):
+            cls = jnp.zeros(cap, jnp.int32)
+            for lo, hi, c in runs:
+                if c == 0:
+                    continue
+                if lo == hi:
+                    hit = byte_col == lo
+                else:
+                    hit = (byte_col >= lo) & (byte_col <= hi)
+                cls = jnp.where(hit, c, cls)
+            return cls
+
+        def step(state, inp):
+            byte_col, pos = inp
+            b32 = byte_col.astype(jnp.int32)
+            cls = classify(b32)
+            nxt = jnp.zeros(cap, jnp.int32)
+            for s in range(S):
+                row = t_np[s]
+                if (row == row[0]).all():
+                    tgt = jnp.int32(int(row[0]))
+                else:
+                    tgt = jnp.zeros(cap, jnp.int32)
+                    for c in range(C):
+                        tgt = jnp.where(cls == c, int(row[c]), tgt)
+                nxt = jnp.where(state == s, tgt, nxt)
+            state = jnp.where(pos < lens, nxt, state)
+            return state, None
+
+        init = jnp.full(cap, int(t_bos[0]), jnp.int32)
+        positions = jnp.arange(L, dtype=jnp.int32)
+        final, _ = jax.lax.scan(step, init, (mat.T, positions))
+        eos_next = jnp.zeros(cap, jnp.int32)
+        for s in range(S):
+            eos_next = jnp.where(final == s, int(t_eos[s]), eos_next)
+        acc_np = accepting
+        out = jnp.zeros(cap, bool)
+        for s in range(S):
+            if acc_np[s]:
+                out = out | (eos_next == s)
+        return out
+
     t = jnp.asarray(trans.reshape(-1))
     acc = jnp.asarray(accepting)
 
