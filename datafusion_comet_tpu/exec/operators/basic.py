@@ -191,12 +191,28 @@ def sample_op(
     seed: int,
     partition_id: int = 0,
 ) -> Batch:
-    """Bernoulli sample without replacement (reference: planner.rs:1461,
-    nondetermenistic_funcs bernoulli sampler). Uses jax PRNG (not Spark's
-    XORShift — row membership differs but distribution matches; documented
-    incompatibility like reference's allowIncompatible exprs)."""
-    assert not with_replacement, "with_replacement sampling not implemented"
+    """Bernoulli / Poisson sampling (reference: planner.rs:1461,
+    nondetermenistic_funcs bernoulli sampler + Spark PoissonSampler). Uses
+    jax PRNG (not Spark's XORShift — row membership differs but distribution
+    matches; documented incompatibility like reference's allowIncompatible
+    exprs).
+
+    with_replacement: per-row copy count ~ Poisson(fraction), materialized
+    into a static (cap × K) expansion with K = ceil(fraction) + 3 (counts
+    beyond K are truncated — a ~1e-4 tail at fraction ≤ 1; static shapes)."""
     key = jax.random.PRNGKey(seed + partition_id)
-    u = jax.random.uniform(key, (batch.capacity,))
-    keep = (u >= lower_bound) & (u < upper_bound)
-    return batch.with_mask(batch.row_mask & keep)
+    if not with_replacement:
+        u = jax.random.uniform(key, (batch.capacity,))
+        keep = (u >= lower_bound) & (u < upper_bound)
+        return batch.with_mask(batch.row_mask & keep)
+    fraction = upper_bound - lower_bound
+    cap = batch.capacity
+    K = max(1, int(np.ceil(fraction)) + 3)
+    counts = jnp.minimum(
+        jax.random.poisson(key, fraction, (cap,)).astype(jnp.int32), K
+    )
+    copy = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (cap, K))
+    live = (copy < counts[:, None]) & batch.row_mask[:, None]
+    src = jnp.repeat(jnp.arange(cap, dtype=jnp.int32), K)
+    out = batch.take(src, live.reshape(cap * K))
+    return out

@@ -331,3 +331,23 @@ class TestWindow:
         exp = df.groupby("k").i.shift(1)
         got = np.where(out["lg__valid"], out["lg"].astype(float), np.nan)
         np.testing.assert_allclose(got, exp.values, equal_nan=True)
+
+
+def test_sample_with_replacement_poisson():
+    """Poisson sampling: mean output size ≈ fraction × n (distributional)."""
+    import numpy as np
+
+    from datafusion_comet_tpu import types as T
+    from datafusion_comet_tpu.exec.engine import Session
+    from datafusion_comet_tpu.ir import plan as P
+
+    n = 4000
+    schema = T.Schema([T.Field("x", T.INT64)])
+    s = Session()
+    s.register_numpy("t", {"x": np.arange(n, dtype=np.int64)}, schema)
+    plan = P.Sample(P.Scan("t", schema), 0.0, 0.5, True, 42)
+    out = s.collect(plan)
+    got = len(out["x"])
+    assert abs(got - 0.5 * n) < 0.1 * n  # within 10% of the mean
+    # duplicates must exist with high probability at fraction 0.5
+    assert len(set(out["x"].tolist())) < got
