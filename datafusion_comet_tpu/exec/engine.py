@@ -262,7 +262,12 @@ class Session:
     # -- execution ---------------------------------------------------------------
     def compile(self, plan: P.PlanNode, join_fanout: Optional[int] = None):
         """Bind + jit a plan; returns (bound_plan, jitted fn(tables)->(batch, flags))."""
-        bound = P.bind_plan(plan) if _needs_bind(plan) else plan
+        if _needs_bind(plan):
+            from datafusion_comet_tpu.ir.pruning import prune_columns
+
+            bound = P.bind_plan(prune_columns(plan))
+        else:
+            bound = plan
         fanout = join_fanout or self.join_fanout
         sub_values = self._materialize_subqueries() if self._subqueries else None
 

@@ -328,7 +328,12 @@ class DistributedSession:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
     def compile(self, plan: P.PlanNode, shuffle_slack: int = 2, join_fanout=None):
-        bound = P.bind_plan(plan) if plan.schema is None else plan
+        if plan.schema is None:
+            from datafusion_comet_tpu.ir.pruning import prune_columns
+
+            bound = P.bind_plan(prune_columns(plan))
+        else:
+            bound = plan
         dplan = distribute(bound, self.num_partitions)
         np_ = self.num_partitions
         fanout = join_fanout or self.join_fanout
