@@ -24,7 +24,7 @@ from datafusion_comet_tpu import types as T
 from datafusion_comet_tpu.exec.batch import Batch, from_numpy
 from datafusion_comet_tpu.ir import expr as E
 
-__all__ = ["arrow_to_engine_schema", "read_parquet", "write_parquet", "prune_row_groups"]
+__all__ = ["arrow_to_engine_schema", "read_parquet", "write_parquet", "write_parquet_partitioned", "prune_row_groups"]
 
 
 def _pa():
@@ -336,3 +336,63 @@ def write_parquet(batch: Batch, path: str, compression: str = "zstd") -> None:
         arrays.append(arr)
         names.append(f.name)
     pq.write_table(pa.table(arrays, names=names), path, compression=compression)
+
+
+def write_parquet_partitioned(
+    batch: Batch,
+    root: str,
+    partition_cols: Sequence[str],
+    compression: str = "zstd",
+    task_attempt: int = 0,
+) -> List[str]:
+    """Hive-partitioned parquet write with a temp-dir commit protocol
+    (reference: operators/parquet_writer.rs:496 — FileCommitProtocol
+    work-dir/task-attempt temp files, atomically promoted on commit; JVM
+    CometNativeWriteExec). Returns the committed file paths.
+
+    Layout: root/col1=v1/col2=v2/part-<attempt>.parquet; data is staged
+    under root/_temporary/<attempt>/ and renamed into place only after every
+    partition file is fully written — a failed task leaves only temp files.
+    """
+    import os
+    import shutil
+
+    from datafusion_comet_tpu.exec.batch import to_numpy
+
+    host = to_numpy(batch)
+    n = len(next(iter(host.values()))) if host else 0
+    part_vals = [host[c] for c in partition_cols]
+    keys = sorted({tuple(pv[i] for pv in part_vals) for i in range(n)})
+    tmp_root = os.path.join(root, "_temporary", str(task_attempt))
+    os.makedirs(tmp_root, exist_ok=True)
+    staged = []  # (tmp_path, final_path)
+    data_cols = [f for f in batch.schema.fields if f.name not in partition_cols]
+    import numpy as _np
+
+    for key in keys:
+        mask = _np.ones(n, bool)
+        for pv, kv in zip(part_vals, key):
+            mask &= _np.array([x == kv for x in pv])
+        sub_data = {}
+        sub_valid = {}
+        for f in data_cols:
+            sub_data[f.name] = host[f.name][mask] if not f.dtype.is_nested else [
+                v for v, m in zip(host[f.name], mask) if m
+            ]
+            sub_valid[f.name] = host[f.name + "__valid"][mask]
+        sub_batch = from_numpy(sub_data, T.Schema(data_cols), validity=sub_valid)
+        rel = "/".join(f"{c}={v}" for c, v in zip(partition_cols, key))
+        tmp_dir = os.path.join(tmp_root, rel)
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp_path = os.path.join(tmp_dir, f"part-{task_attempt:05d}.parquet")
+        write_parquet(sub_batch, tmp_path, compression)
+        final_dir = os.path.join(root, rel)
+        staged.append((tmp_path, os.path.join(final_dir, f"part-{task_attempt:05d}.parquet")))
+    # commit: promote every staged file, then drop the temp dir
+    out = []
+    for tmp_path, final_path in staged:
+        os.makedirs(os.path.dirname(final_path), exist_ok=True)
+        os.replace(tmp_path, final_path)
+        out.append(final_path)
+    shutil.rmtree(os.path.join(root, "_temporary"), ignore_errors=True)
+    return out

@@ -85,3 +85,30 @@ class TestParquetWrite:
         np.testing.assert_array_equal(a1["a"], a2["a"])
         np.testing.assert_array_equal(a1["dec"], a2["dec"])
         assert list(a1["s"]) == list(a2["s"])
+
+
+def test_partitioned_write_commit_protocol(tmp_path):
+    import os
+
+    import numpy as np
+
+    from datafusion_comet_tpu import types as T
+    from datafusion_comet_tpu.exec.batch import from_numpy
+    from datafusion_comet_tpu.io.parquet import read_parquet, write_parquet_partitioned
+
+    schema = T.Schema([
+        T.Field("g", T.string(4)),
+        T.Field("x", T.INT64),
+    ])
+    data = {"g": ["a", "b", "a", "b", "a"], "x": np.arange(5, dtype=np.int64)}
+    b = from_numpy(data, schema)
+    root = str(tmp_path / "out")
+    paths = write_parquet_partitioned(b, root, ["g"])
+    assert sorted(os.path.relpath(p, root) for p in paths) == [
+        "g=a/part-00000.parquet", "g=b/part-00000.parquet"
+    ]
+    assert not os.path.exists(os.path.join(root, "_temporary"))
+    from datafusion_comet_tpu.exec.batch import to_numpy
+
+    back = to_numpy(read_parquet(os.path.join(root, "g=a", "part-00000.parquet")))
+    assert sorted(back["x"]) == [0, 2, 4]
