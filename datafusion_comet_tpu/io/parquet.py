@@ -169,6 +169,8 @@ def read_parquet(
     import os
 
     paths = _expand(path)
+    import pyarrow as pa
+
     arrow_tables = []
     for p in paths:
         pf = pq.ParquetFile(p)
@@ -179,15 +181,27 @@ def read_parquet(
         if cols is not None:
             avail = set(pf.schema_arrow.names)
             cols = [c for c in cols if c in avail]
-        arrow_tables.append(pf.read_row_groups(rgs, columns=cols))
-    import pyarrow as pa
+        tbl = pf.read_row_groups(rgs, columns=cols)
+        # hive-style partition values from the directory path
+        # (reference: NativeScanCommon partition values, schema_adapter.rs —
+        # partition columns materialize as constants per file)
+        for seg in reversed(os.path.relpath(p, path).split(os.sep)[:-1]):
+            if "=" in seg:
+                name, val = seg.split("=", 1)
+                if name not in tbl.schema.names and (
+                    columns is None or name in columns
+                ):
+                    tbl = tbl.append_column(
+                        name, pa.array([val] * len(tbl), pa.string())
+                    )
+        arrow_tables.append(tbl)
 
     if not arrow_tables:
         # empty result with correct schema
         first = pq.ParquetFile(paths[0])
         tbl = first.schema_arrow.empty_table()
     else:
-        tbl = pa.concat_tables(arrow_tables)
+        tbl = pa.concat_tables(arrow_tables, promote_options="default")
     return arrow_table_to_batch(tbl, schema=schema, columns=columns, capacity=capacity)
 
 
@@ -195,9 +209,11 @@ def _expand(path: str) -> List[str]:
     import os
 
     if os.path.isdir(path):
-        return sorted(
-            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
-        )
+        out = []
+        for dirpath, dirnames, files in os.walk(path):
+            dirnames[:] = [d for d in dirnames if not d.startswith("_")]  # skip _temporary
+            out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+        return sorted(out)
     return [path]
 
 

@@ -112,3 +112,21 @@ def test_partitioned_write_commit_protocol(tmp_path):
 
     back = to_numpy(read_parquet(os.path.join(root, "g=a", "part-00000.parquet")))
     assert sorted(back["x"]) == [0, 2, 4]
+
+
+def test_read_partitioned_dataset_with_partition_values(tmp_path):
+    import os
+
+    import numpy as np
+
+    from datafusion_comet_tpu import types as T
+    from datafusion_comet_tpu.exec.batch import from_numpy, to_numpy
+    from datafusion_comet_tpu.io.parquet import read_parquet, write_parquet_partitioned
+
+    schema = T.Schema([T.Field("g", T.string(4)), T.Field("x", T.INT64)])
+    data = {"g": ["a", "b", "a"], "x": np.array([1, 2, 3], np.int64)}
+    root = str(tmp_path / "pt")
+    write_parquet_partitioned(from_numpy(data, schema), root, ["g"])
+    out = to_numpy(read_parquet(root))
+    pairs = sorted(zip(out["g"], out["x"]))
+    assert pairs == [("a", 1), ("a", 3), ("b", 2)]
