@@ -59,6 +59,8 @@ def run_plan(
     """Pure, traceable execution of a bound plan over resident tables."""
     ctx = ctx or EvalContext()
     flags = overflow_flags if overflow_flags is not None else []
+    if ctx.overflow_flags is None:
+        ctx.overflow_flags = flags
     out = _exec(plan, tables, ctx, flags, join_fanout, metrics)
     return out
 
@@ -260,7 +262,8 @@ class Session:
         return dict(self._subquery_values)
 
     # -- execution ---------------------------------------------------------------
-    def compile(self, plan: P.PlanNode, join_fanout: Optional[int] = None):
+    def compile(self, plan: P.PlanNode, join_fanout: Optional[int] = None,
+                agg_scale: int = 1):
         """Bind + jit a plan; returns (bound_plan, jitted fn(tables)->(batch, flags))."""
         if _needs_bind(plan):
             from datafusion_comet_tpu.ir.pruning import prune_columns
@@ -276,7 +279,8 @@ class Session:
         def fn(tables):
             flags: List[jax.Array] = []
             errs: List[Tuple[jax.Array, str]] = []
-            ctx = EvalContext(subquery_values=sub_values, errors=errs)
+            ctx = EvalContext(subquery_values=sub_values, errors=errs,
+                              agg_scale=agg_scale)
             out = run_plan(bound, tables, ctx, flags, fanout)
             msg_box.clear()
             msg_box.extend(m for _, m in errs)
@@ -391,14 +395,16 @@ class Session:
         elif _plan_has_udf(bound0) and not _callbacks_supported():
             plan = self._stage_udfs(bound0)
         fanout = self.join_fanout
+        scale = 1
         for attempt in range(self.max_join_retries):
-            bound, fn = self.compile(plan, join_fanout=fanout)
+            bound, fn = self.compile(plan, join_fanout=fanout, agg_scale=scale)
             out, overflowed = fn(self.tables)
             if not bool(overflowed):
                 return out
             fanout *= 4
+            scale *= 4  # aggregate group capacity grows with the same loop
         raise JoinOverflowError(
-            f"join fan-out exceeded {fanout} after {self.max_join_retries} retries"
+            f"join fan-out/group capacity exceeded after {self.max_join_retries} retries"
         )
 
     def collect(self, plan: P.PlanNode) -> Dict[str, np.ndarray]:

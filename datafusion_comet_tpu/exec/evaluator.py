@@ -47,6 +47,12 @@ class EvalContext:
     # evaluate()); errors on dead rows must not fire — the reference's
     # QueryContext scopes errors to rows the operator actually processed
     row_mask: Optional[jax.Array] = None
+    # capacity-overflow side channel shared with the engine's re-planning
+    # loop (join fan-out, aggregate group capacity — the AQE-style adaptive
+    # re-plan); operators append boolean flags
+    overflow_flags: Optional[List] = None
+    # multiplier applied to static capacities on re-plan attempts
+    agg_scale: int = 1
 
     def record_error(self, flags: jax.Array, message: str) -> None:
         if self.errors is not None:

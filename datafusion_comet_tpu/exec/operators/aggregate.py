@@ -277,7 +277,7 @@ def hash_aggregate(
     ctx: Optional[EvalContext] = None,
 ) -> Batch:
     ctx = ctx or EvalContext()
-    max_groups = min(max_groups, batch.capacity)
+    max_groups = min(max_groups * max(ctx.agg_scale, 1), batch.capacity)
     key_cols = [evaluate(g, batch, ctx) for g in group_exprs]
     packed = _try_pack_keys(key_cols) if key_cols else None
     # Bucket (perfect-hash scatter) path only for SMALL batches: TPU scatter
@@ -363,6 +363,10 @@ def hash_aggregate(
     # empty input (sum→null, count→0).
     if not group_exprs:
         num_groups = jnp.maximum(num_groups, 1)
+    if ctx.overflow_flags is not None and max_groups < batch.capacity:
+        # more distinct groups than static capacity → results would silently
+        # truncate; surface for the engine's re-plan loop
+        ctx.overflow_flags.append(num_groups > max_groups)
     group_mask = jnp.arange(max_groups) < num_groups
     for kc in key_cols:
         out_cols.append(kc.take(first_orig))
