@@ -204,13 +204,15 @@ def run_plan_spmd(
     join_fanout: int = 4,
     single_device: bool = False,
     shuffle_slack: int = 2,
+    agg_scale: int = 1,
 ) -> Tuple[Batch, jax.Array]:
     """Execute a distributed plan; call inside shard_map (tables are the
     per-device shards). Returns (local result batch, overflow flag)."""
-    ctx = EvalContext(num_partitions=num_partitions)
+    ctx = EvalContext(num_partitions=num_partitions, agg_scale=agg_scale)
     if not single_device:
         ctx.partition_id = jax.lax.axis_index(axis_name)
     flags: List[jax.Array] = []
+    ctx.overflow_flags = flags
     out = _exec_spmd(plan, tables, ctx, flags, num_partitions, axis_name, join_fanout, single_device, shuffle_slack)
     ovf = jnp.any(jnp.stack(flags)) if flags else jnp.zeros((), bool)
     if not single_device:
@@ -327,7 +329,8 @@ class DistributedSession:
         sh = NamedSharding(self.mesh, PSpec(PARTITION_AXIS))
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
-    def compile(self, plan: P.PlanNode, shuffle_slack: int = 2, join_fanout=None):
+    def compile(self, plan: P.PlanNode, shuffle_slack: int = 2, join_fanout=None,
+                agg_scale: int = 1):
         if plan.schema is None:
             from datafusion_comet_tpu.ir.pruning import prune_columns
 
@@ -342,7 +345,8 @@ class DistributedSession:
         def step(tables):
             fn = shard_map(
                 lambda t: run_plan_spmd(
-                    dplan, t, np_, PARTITION_AXIS, fanout, False, shuffle_slack
+                    dplan, t, np_, PARTITION_AXIS, fanout, False, shuffle_slack,
+                    agg_scale,
                 ),
                 mesh=mesh,
                 in_specs=(PSpec(PARTITION_AXIS),),
@@ -358,15 +362,17 @@ class DistributedSession:
         overflow, retry with doubled slot slack and 4x join fan-out (the
         AQE-like adaptive re-plan; reference analog: spill-on-pressure +
         AQE skew splitting, SURVEY.md §5)."""
-        slack, fanout = 2, self.join_fanout
+        slack, fanout, scale = 2, self.join_fanout, 1
         for attempt in range(4):
-            dplan, fn = self.compile(plan, shuffle_slack=slack, join_fanout=fanout)
+            dplan, fn = self.compile(plan, shuffle_slack=slack, join_fanout=fanout,
+                                     agg_scale=scale)
             out, ovf = fn(self.tables)
             if not bool(jnp.any(ovf)):
                 return out
             slack *= 2
             fanout *= 4
-        raise RuntimeError("shuffle/join overflow after skew re-planning retries")
+            scale *= 4
+        raise RuntimeError("shuffle/join/group overflow after skew re-planning retries")
 
     def collect(self, plan: P.PlanNode):
         return to_numpy(self.execute(plan))
