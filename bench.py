@@ -52,8 +52,8 @@ def main() -> None:
     # measuring compute, not tunnel/PCIe egress of the full result (the
     # result itself stays device-resident, as it would between operators).
     def step(tables):
-        out, _ = fn(tables)
-        sums = [jnp.sum(out.row_mask.astype(jnp.int64))]
+        out, ovf = fn(tables)
+        sums = [ovf.astype(jnp.int64), jnp.sum(out.row_mask.astype(jnp.int64))]
         for c in out.columns:
             sums.append(jnp.sum(jnp.where(out.row_mask, c.data.astype(jnp.float64)
                                           if c.data.ndim == 1 else c.data.sum(-1).astype(jnp.float64), 0.0)))
@@ -62,7 +62,9 @@ def main() -> None:
     step_j = jax.jit(step)
 
     def sync():
-        return np.asarray(step_j(sess.tables))
+        cs = np.asarray(step_j(sess.tables))
+        assert not cs[0], "join/group capacity overflow during bench"
+        return cs
 
     t_c = time.time()
     checksum = sync()  # compile + first run

@@ -28,15 +28,26 @@ def checksum_step(sess, plan):
     bound, fn = sess.compile(plan)
 
     def step(tables):
-        out, _ = fn(tables)
-        sums = [jnp.sum(out.row_mask.astype(jnp.int64)).astype(jnp.float64)]
+        out, ovf = fn(tables)
+        sums = [ovf.astype(jnp.float64),
+                jnp.sum(out.row_mask.astype(jnp.int64)).astype(jnp.float64)]
         for c in out.columns:
             d = c.data
             v = d.astype(jnp.float64) if d.ndim == 1 else d.sum(-1).astype(jnp.float64)
             sums.append(jnp.sum(jnp.where(out.row_mask, v, 0.0)))
         return jnp.stack(sums)
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def checked(tables):
+        import numpy as _np
+
+        cs = _np.asarray(jitted(tables))
+        if cs[0]:  # capacity overflow → timings would cover wrong results
+            raise RuntimeError("overflow: re-run through Session.execute")
+        return cs
+
+    return checked
 
 
 def main() -> None:
