@@ -125,6 +125,16 @@ def _exec_inner(plan, tables, ctx, flags, fanout, metrics=None) -> Batch:
             ctx=ctx,
         )
         flags.append(ovf)
+        # Compact the (probe × K) pair block: without this, chained joins
+        # multiply their K factors (a 5-join chain would carry 4^5 = 1024×
+        # mostly-dead capacity). Target grows with the re-plan loop.
+        from datafusion_comet_tpu.exec.batch import pad_capacity
+
+        grow = max(2, fanout // 2) * max(ctx.agg_scale, 1)
+        target = pad_capacity(max(left.capacity, right.capacity) * grow)
+        if target < out.capacity:
+            out, covf = B.compact_batch(out, target)
+            flags.append(covf)
         return out
     if isinstance(plan, P.BroadcastNestedLoopJoin):
         left = _exec(plan.left, tables, ctx, flags, fanout, metrics)

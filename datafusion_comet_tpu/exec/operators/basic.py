@@ -97,6 +97,44 @@ def sort_op(
     return Batch(tuple(cols), mask, batch.schema)
 
 
+def compact_batch(batch: Batch, new_cap: int):
+    """Pack live rows to the front and shrink capacity to ``new_cap``.
+    Returns (compacted batch, overflow flag: live rows didn't fit).
+
+    Fixed-width buffers ride the compaction sort as payloads; the slice to
+    ``new_cap`` then costs nothing. This is what keeps chained joins LINEAR
+    in capacity: every hash join emits a (probe×K) pair block that is mostly
+    dead, and without compaction the K factors multiply down the chain."""
+    cap = batch.capacity
+    if new_cap >= cap:
+        return batch, jnp.zeros((), bool)
+    keys = [(~batch.row_mask).astype(jnp.int32)]
+    payloads = []
+    slot_of = {}
+    for ci, c in enumerate(batch.columns):
+        if c.data.ndim == 1 and c.lengths is None and not c.children:
+            slot_of[ci] = len(payloads)
+            payloads.append(c.data)
+            payloads.append(c.validity)
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    out = jax.lax.sort(tuple(keys) + (iota,) + tuple(payloads) + (batch.row_mask,),
+                       num_keys=1, is_stable=True)
+    perm = out[1]
+    sp = out[2:-1]
+    sorted_mask = out[-1]
+    n_live = jnp.sum(batch.row_mask.astype(jnp.int32))
+    overflow = n_live > new_cap
+    cols = []
+    perm_slice = perm[:new_cap]
+    for ci, c in enumerate(batch.columns):
+        if ci in slot_of:
+            s = slot_of[ci]
+            cols.append(ColumnVector(sp[s][:new_cap], sp[s + 1][:new_cap], None, c.dtype))
+        else:
+            cols.append(c.take(perm_slice))
+    return Batch(tuple(cols), sorted_mask[:new_cap], batch.schema), overflow
+
+
 def limit_op(batch: Batch, limit: int, offset: int = 0) -> Batch:
     """Keep rows [offset, offset+limit) among live rows, preserving order."""
     rank = jnp.cumsum(batch.row_mask.astype(jnp.int32)) - 1  # per-live-row rank
