@@ -200,8 +200,12 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("cs_warehouse_sk", T.INT64, False),
             T.Field("cs_ship_mode_sk", T.INT64, False),
             T.Field("cs_call_center_sk", T.INT64, False),
+            T.Field("cs_cdemo_sk", T.INT64, False),
+            T.Field("cs_promo_sk", T.INT64, False),
             T.Field("cs_quantity", T.INT32, False),
             T.Field("cs_sales_price", _dec(7, 2), False),
+            T.Field("cs_list_price", _dec(7, 2), False),
+            T.Field("cs_coupon_amt", _dec(7, 2), False),
             T.Field("cs_ext_sales_price", _dec(7, 2), False),
             T.Field("cs_net_profit", _dec(7, 2), False),
         ]
@@ -430,8 +434,12 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "cs_warehouse_sk": rng.integers(1, 7, n).astype(np.int64),
             "cs_ship_mode_sk": rng.integers(1, 11, n).astype(np.int64),
             "cs_call_center_sk": rng.integers(1, 7, n).astype(np.int64),
+            "cs_cdemo_sk": rng.integers(1, 1001, n).astype(np.int64),
+            "cs_promo_sk": rng.integers(1, 101, n).astype(np.int64),
             "cs_quantity": rng.integers(1, 100, n).astype(np.int32),
             "cs_sales_price": rng.integers(100, 20000, n).astype(np.int64),
+            "cs_list_price": rng.integers(100, 25000, n).astype(np.int64),
+            "cs_coupon_amt": rng.integers(0, 20000, n).astype(np.int64),
             "cs_ext_sales_price": rng.integers(100, 100000, n).astype(np.int64),
             "cs_net_profit": rng.integers(-5000, 50000, n).astype(np.int64),
         }
@@ -1029,9 +1037,109 @@ def q25(max_groups: int = 1 << 16) -> P.PlanNode:
     )
 
 
+def _channel_ratio_query(fact: str, item_col: str, price_col: str, date_col: str,
+                         max_groups: int) -> P.PlanNode:
+    """q12/q20/q98 shape: item revenue with class-relative window ratio."""
+    dt = _scan("date_dim").filter((E.col("d_year") == E.lit(1999)) & (E.col("d_moy").between(2, 3)))
+    it = _scan("item").filter(E.col("i_category").isin("Sports", "Books", "Home"))
+    j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+    j = _j(j, it, [item_col], ["i_item_sk"])
+    agg = j.aggregate(
+        [E.col("i_item_id"), E.col("i_item_desc"), E.col("i_category"),
+         E.col("i_class"), E.col("i_current_price")],
+        [E.AggExpr("sum", E.col(price_col), "itemrevenue")],
+    )
+    agg.max_groups = max_groups
+    win = P.Window(
+        agg,
+        (E.WindowExpr(
+            "sum", E.col("itemrevenue"), "class_revenue",
+            partition_by=(E.col("i_class"),),
+            frame=E.WindowFrame("rows", None, None),
+        ),),
+    )
+    return win.project(
+        [E.col("i_item_id"), E.col("i_item_desc"), E.col("i_category"), E.col("i_class"),
+         E.col("i_current_price"), E.col("itemrevenue"),
+         (E.col("itemrevenue").cast(T.FLOAT64) * E.lit(100.0)
+          / E.col("class_revenue").cast(T.FLOAT64)).alias("revenueratio")]
+    ).sort(
+        [E.SortOrder(E.col("i_category")), E.SortOrder(E.col("i_class")),
+         E.SortOrder(E.col("i_item_id")), E.SortOrder(E.col("i_item_desc")),
+         E.SortOrder(E.col("revenueratio"))],
+        fetch=100,
+    )
+
+
+def q12(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Web-channel item revenue ratio (q98 shape over web_sales)."""
+    return _channel_ratio_query("web_sales", "ws_item_sk", "ws_ext_sales_price",
+                                "ws_sold_date_sk", max_groups)
+
+
+def q20(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Catalog-channel item revenue ratio (q98 shape over catalog_sales)."""
+    return _channel_ratio_query("catalog_sales", "cs_item_sk", "cs_ext_sales_price",
+                                "cs_sold_date_sk", max_groups)
+
+
+def q26(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Catalog q7: average sales metrics per item for a demographic +
+    promotion slice."""
+    cd = _scan("customer_demographics").filter(
+        (E.col("cd_gender") == E.lit("M"))
+        & (E.col("cd_marital_status") == E.lit("S"))
+        & (E.col("cd_education_status") == E.lit("College"))
+    )
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(2000))
+    pr = _scan("promotion").filter(
+        (E.col("p_channel_email") == E.lit("N")) | (E.col("p_channel_event") == E.lit("N"))
+    )
+    j = _j(_scan("catalog_sales"), cd, ["cs_cdemo_sk"], ["cd_demo_sk"])
+    j = _j(j, dt, ["cs_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, pr, ["cs_promo_sk"], ["p_promo_sk"])
+    j = _j(j, _scan("item"), ["cs_item_sk"], ["i_item_sk"])
+    agg = j.aggregate(
+        [E.col("i_item_id")],
+        [
+            E.AggExpr("avg", E.col("cs_quantity"), "agg1"),
+            E.AggExpr("avg", E.col("cs_list_price"), "agg2"),
+            E.AggExpr("avg", E.col("cs_coupon_amt"), "agg3"),
+            E.AggExpr("avg", E.col("cs_sales_price"), "agg4"),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("i_item_id"))], fetch=100)
+
+
+def q88(session) -> P.PlanNode:
+    """Eight half-hour-band store-sales counts as scalar subqueries, one row
+    (the q88 cross-join-of-counts shape)."""
+    def band(h, mlo, mhi):
+        td = _scan("time_dim").filter(
+            (E.col("t_hour") == E.lit(h)) & (E.col("t_minute").between(mlo, mhi))
+        )
+        hd = _scan("household_demographics").filter(E.col("hd_dep_count") == E.lit(5))
+        st = _scan("store").filter(E.col("s_store_name") == E.lit("store_0"))
+        j = _j(_scan("store_sales"), hd, ["ss_hdemo_sk"], ["hd_demo_sk"])
+        j = _j(j, td, ["ss_sold_time_sk"], ["t_time_sk"])
+        j = _j(j, st, ["ss_store_sk"], ["s_store_sk"])
+        agg = j.aggregate([], [E.AggExpr("count", None, "cnt")])
+        agg.max_groups = 8
+        return agg
+
+    subs = []
+    for h in (8, 9, 10, 11):
+        for half in (0, 1):
+            subs.append(session.scalar_subquery(band(h, 30 * half, 30 * half + 29)))
+    one = _scan("time_dim").limit(1)
+    return one.project([s_.alias(f"h{i}") for i, s_ in enumerate(subs)])
+
+
 QUERIES = {
-    "q3": q3, "q7": q7, "q15": q15, "q19": q19, "q25": q25, "q34": q34,
+    "q3": q3, "q7": q7, "q12": q12, "q15": q15, "q19": q19, "q20": q20,
+    "q25": q25, "q26": q26, "q34": q34,
     "q42": q42, "q43": q43, "q50": q50, "q52": q52, "q55": q55, "q62": q62,
     "q65": q65, "q68": q68, "q73": q73, "q79": q79, "q95": q95, "q96": q96,
-    "q98": q98, "q99": q99,
+    "q88": q88, "q98": q98, "q99": q99,
 }
