@@ -1136,10 +1136,62 @@ def q88(session) -> P.PlanNode:
     return one.project([s_.alias(f"h{i}") for i, s_ in enumerate(subs)])
 
 
+def q45(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Web sales by customer zip/city in a quarter, for a zip shortlist or a
+    shortlist of items (q45 shape)."""
+    dt = _scan("date_dim").filter((E.col("d_qoy") == E.lit(2)) & (E.col("d_year") == E.lit(2000)))
+    j = _j(_scan("web_sales"), _scan("customer"), ["ws_bill_customer_sk"], ["c_customer_sk"])
+    j = _j(j, _scan("customer_address"), ["c_current_addr_sk"], ["ca_address_sk"])
+    j = _j(j, _scan("item"), ["ws_item_sk"], ["i_item_sk"])
+    j = _j(j, dt, ["ws_sold_date_sk"], ["d_date_sk"])
+    zips = ("85669", "86197", "88274", "83405", "86475")
+    cond = (
+        E.StringFunc("substring", (E.col("ca_zip"), E.lit(1), E.lit(5))).isin(*zips)
+        | E.col("i_item_sk").isin(2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+    )
+    agg = P.Filter(j, cond).aggregate(
+        [E.col("ca_zip"), E.col("ca_city")],
+        [E.AggExpr("sum", E.col("ws_sales_price"), "total")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("ca_zip")), E.SortOrder(E.col("ca_city"))], fetch=100)
+
+
+def q60(max_groups: int = 1 << 12) -> P.PlanNode:
+    """3-channel item revenue for one category and GMT offset, channels
+    unioned then re-aggregated by item id (q60 shape)."""
+    def channel(fact, item_col, cust_col, date_col, price_col):
+        dt = _scan("date_dim").filter((E.col("d_year") == E.lit(2000)) & (E.col("d_moy") == E.lit(9)))
+        it = _scan("item").filter(E.col("i_category") == E.lit("Music"))
+        ca = _scan("customer_address").filter(E.col("ca_gmt_offset") == E.lit(-6))
+        j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+        j = _j(j, it, [item_col], ["i_item_sk"])
+        j = _j(j, _scan("customer"), [cust_col], ["c_customer_sk"])
+        j = _j(j, ca, ["c_current_addr_sk"], ["ca_address_sk"])
+        agg = j.aggregate(
+            [E.col("i_item_id")], [E.AggExpr("sum", E.col(price_col), "total_sales")]
+        )
+        agg.max_groups = max_groups
+        return agg
+
+    u = P.Union((
+        channel("store_sales", "ss_item_sk", "ss_customer_sk", "ss_sold_date_sk", "ss_ext_sales_price"),
+        channel("catalog_sales", "cs_item_sk", "cs_bill_customer_sk", "cs_sold_date_sk", "cs_ext_sales_price"),
+        channel("web_sales", "ws_item_sk", "ws_bill_customer_sk", "ws_sold_date_sk", "ws_ext_sales_price"),
+    ))
+    total = u.aggregate(
+        [E.col("i_item_id")], [E.AggExpr("sum", E.col("total_sales"), "total_sales")]
+    )
+    total.max_groups = max_groups
+    return total.sort(
+        [E.SortOrder(E.col("i_item_id")), E.SortOrder(E.col("total_sales"))], fetch=100
+    )
+
+
 QUERIES = {
     "q3": q3, "q7": q7, "q12": q12, "q15": q15, "q19": q19, "q20": q20,
     "q25": q25, "q26": q26, "q34": q34,
-    "q42": q42, "q43": q43, "q50": q50, "q52": q52, "q55": q55, "q62": q62,
+    "q42": q42, "q43": q43, "q45": q45, "q50": q50, "q52": q52, "q55": q55, "q60": q60, "q62": q62,
     "q65": q65, "q68": q68, "q73": q73, "q79": q79, "q95": q95, "q96": q96,
     "q88": q88, "q98": q98, "q99": q99,
 }

@@ -99,3 +99,48 @@ def test_q88(data):
             m = (base.t_hour == h) & (base.t_minute >= 30 * half) & (base.t_minute <= 30 * half + 29)
             assert int(out[f"h{i}"][0]) == int(m.sum()), (h, half)
             i += 1
+
+
+def test_q45(sess, data):
+    out = sess.collect(tpcds.q45())
+    ws, c, ca, it, dt = (df(data, x) for x in
+                         ("web_sales", "customer", "customer_address", "item", "date_dim"))
+    j = (ws.merge(c, left_on="ws_bill_customer_sk", right_on="c_customer_sk")
+         .merge(ca, left_on="c_current_addr_sk", right_on="ca_address_sk")
+         .merge(it, left_on="ws_item_sk", right_on="i_item_sk")
+         .merge(dt[(dt.d_qoy == 2) & (dt.d_year == 2000)],
+                left_on="ws_sold_date_sk", right_on="d_date_sk"))
+    zips = {"85669", "86197", "88274", "83405", "86475"}
+    sel = j[j.ca_zip.str[:5].isin(zips) | j.ws_item_sk.isin([2, 3, 5, 7, 11, 13, 17, 19, 23, 29])]
+    g = (sel.groupby(["ca_zip", "ca_city"]).ws_sales_price.sum().reset_index()
+         .sort_values(["ca_zip", "ca_city"], kind="stable").head(100))
+    np.testing.assert_array_equal(out["ca_zip"], g.ca_zip.values)
+    np.testing.assert_array_equal(out["total"], g.ws_sales_price.values.astype(np.int64))
+
+
+def test_q60(sess, data):
+    out = sess.collect(tpcds.q60())
+    dt = df(data, "date_dim")
+    dtf = dt[(dt.d_year == 2000) & (dt.d_moy == 9)]
+    it = df(data, "item")
+    itf = it[it.i_category == "Music"]
+    ca = df(data, "customer_address")
+    caf = ca[ca.ca_gmt_offset == -6]
+    c = df(data, "customer")
+    parts = []
+    for fact, icol, ccol, dcol, pcol in [
+        ("store_sales", "ss_item_sk", "ss_customer_sk", "ss_sold_date_sk", "ss_ext_sales_price"),
+        ("catalog_sales", "cs_item_sk", "cs_bill_customer_sk", "cs_sold_date_sk", "cs_ext_sales_price"),
+        ("web_sales", "ws_item_sk", "ws_bill_customer_sk", "ws_sold_date_sk", "ws_ext_sales_price"),
+    ]:
+        f = df(data, fact)
+        j = (f.merge(dtf, left_on=dcol, right_on="d_date_sk")
+             .merge(itf, left_on=icol, right_on="i_item_sk")
+             .merge(c, left_on=ccol, right_on="c_customer_sk")
+             .merge(caf, left_on="c_current_addr_sk", right_on="ca_address_sk"))
+        parts.append(j.groupby("i_item_id")[pcol].sum().reset_index(name="t"))
+    allp = pd.concat(parts)
+    g = (allp.groupby("i_item_id").t.sum().reset_index()
+         .sort_values(["i_item_id", "t"], kind="stable").head(100))
+    np.testing.assert_array_equal(out["i_item_id"], g.i_item_id.values)
+    np.testing.assert_array_equal(out["total_sales"], g.t.values.astype(np.int64))
