@@ -461,7 +461,9 @@ def _input_agg(
         active = active & fcv.validity & fcv.data.astype(bool)
 
     if f == E.AggFunc.COUNT and a.child is None:  # COUNT(*)
-        cnt = _seg_sum(g(active).astype(jnp.int64), seg, m)
+        # counts fit int32 (≤ capacity); int64 is emulated on TPU — sum
+        # narrow, widen at the group boundary
+        cnt = _seg_sum(g(active).astype(jnp.int32), seg, m).astype(jnp.int64)
         return [ColumnVector(cnt, group_mask, None, T.INT64)]
 
     cv = evaluate(a.child, batch, ctx)
@@ -469,7 +471,7 @@ def _input_agg(
     x = g(cv.data)
 
     if f == E.AggFunc.COUNT:
-        cnt = _seg_sum(valid.astype(jnp.int64), seg, m)
+        cnt = _seg_sum(valid.astype(jnp.int32), seg, m).astype(jnp.int64)
         return [ColumnVector(cnt, group_mask, None, T.INT64)]
 
     if f == E.AggFunc.SUM:
@@ -483,7 +485,7 @@ def _input_agg(
         st = _sum_state_dtype(a)
         xs = jnp.where(valid, x, 0).astype(st.np_dtype())
         s = _seg_sum(xs, seg, m)
-        cnt = _seg_sum(valid.astype(jnp.int64), seg, m)
+        cnt = _seg_sum(valid.astype(jnp.int32), seg, m).astype(jnp.int64)
         has = (cnt > 0) & group_mask
         return [
             ColumnVector(s, has, None, st),
