@@ -288,4 +288,47 @@ def nested_loop_join(
     if join_type == JoinType.LEFT_ANTI:
         has = jax.ops.segment_max(cmask.astype(jnp.int32), li, num_segments=lcap).astype(bool)
         return Batch(left.columns, left.row_mask & ~has, out_schema)
+    if join_type == JoinType.RIGHT:
+        # mirror of LEFT: unmatched right rows once, with null left side
+        has_r = jax.ops.segment_max(cmask.astype(jnp.int32), ri, num_segments=rcap).astype(bool)
+        un_r = right.row_mask & ~has_r
+        un_slot = (li == 0) & jnp.tile(un_r, lcap)
+        lcols2 = [ColumnVector(c.data, c.validity & ~un_slot, c.lengths, c.dtype) for c in lcols]
+        return Batch(tuple(lcols2) + tuple(rcols), cmask | un_slot, out_schema)
+    if join_type == JoinType.FULL:
+        # left-join block, then unmatched right rows appended in their own
+        # rcap-slot tail (no slot-sharing edge cases)
+        has_l = jax.ops.segment_max(cmask.astype(jnp.int32), li, num_segments=lcap).astype(bool)
+        has_r = jax.ops.segment_max(cmask.astype(jnp.int32), ri, num_segments=rcap).astype(bool)
+        un_l_slot = (ri == 0) & jnp.repeat(left.row_mask & ~has_l, rcap)
+        live_main = cmask | un_l_slot
+
+        def append_tail(cv_main: ColumnVector, cv_tail: Optional[ColumnVector], dt) -> ColumnVector:
+            if cv_tail is None:  # null left side in the tail
+                tail = _null_column(dt, rcap)
+            else:
+                tail = cv_tail
+            def cat(a, b):
+                if a is None:
+                    return None
+                if a.ndim > 1 and a.shape[1] != b.shape[1]:
+                    w = max(a.shape[1], b.shape[1])
+                    a = jnp.pad(a, ((0, 0), (0, w - a.shape[1])))
+                    b = jnp.pad(b, ((0, 0), (0, w - b.shape[1])))
+                return jnp.concatenate([a, b], axis=0)
+            return ColumnVector(
+                cat(cv_main.data, tail.data), cat(cv_main.validity, tail.validity),
+                cat(cv_main.lengths, tail.lengths), dt,
+            )
+
+        lcols2 = [
+            append_tail(ColumnVector(c.data, c.validity, c.lengths, c.dtype), None, f.dtype)
+            for c, f in zip(lcols, left.schema.fields)
+        ]
+        rcols2 = [
+            append_tail(ColumnVector(c.data, c.validity & ~un_l_slot, c.lengths, c.dtype), rc, f.dtype)
+            for c, rc, f in zip(rcols, right.columns, right.schema.fields)
+        ]
+        live = jnp.concatenate([live_main, right.row_mask & ~has_r])
+        return Batch(tuple(lcols2) + tuple(rcols2), live, out_schema)
     raise NotImplementedError(f"nested loop join type {join_type}")

@@ -120,6 +120,24 @@ def _dist(plan: P.PlanNode, np_: int) -> P.PlanNode:
         out = dataclasses.replace(plan, left=left, right=right)
         out.schema = plan.schema
         return out
+    if isinstance(plan, P.BroadcastNestedLoopJoin):
+        left = _dist(plan.left, np_)
+        right = _dist(plan.right, np_)
+        if plan.join_type in (P.JoinType.RIGHT, P.JoinType.FULL):
+            # right/full outer would emit broadcast-side unmatched rows once
+            # PER DEVICE — gather to a single partition instead
+            exl = P.ShuffleExchange(left, "single", (), np_)
+            exl.schema = left.schema
+            exr = P.ShuffleExchange(right, "single", (), np_)
+            exr.schema = right.schema
+            out = P.BroadcastNestedLoopJoin(exl, exr, plan.join_type, plan.condition)
+            out.schema = plan.schema
+            return out
+        b = Broadcast(right)
+        b.schema = plan.right.schema
+        out = P.BroadcastNestedLoopJoin(left, b, plan.join_type, plan.condition)
+        out.schema = plan.schema
+        return out
     if isinstance(plan, P.Sort):
         child = _dist(plan.child, np_)
         if plan.fetch is None and plan.skip == 0 and plan.orders:

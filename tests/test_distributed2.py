@@ -55,3 +55,31 @@ def test_distributed_window_matches_local():
     ref = s.collect(local_plan)
     np.testing.assert_array_equal(got["r"], ref["r"])
     np.testing.assert_array_equal(got["x"], ref["x"])
+
+
+def test_distributed_bnlj_matches_local():
+    import numpy as np
+
+    from datafusion_comet_tpu import types as T
+
+    rng = np.random.default_rng(9)
+    schema_l = T.Schema([T.Field("a", T.INT64)])
+    schema_r = T.Schema([T.Field("b", T.INT64)])
+    dl = {"a": rng.integers(0, 50, 300).astype(np.int64)}
+    dr = {"b": rng.integers(0, 50, 20).astype(np.int64)}
+    for jt in (P.JoinType.INNER, P.JoinType.LEFT, P.JoinType.FULL):
+        plan = P.BroadcastNestedLoopJoin(
+            P.Scan("l", schema_l), P.Scan("r", schema_r), jt,
+            E.col("a") < E.col("b"),
+        ).sort([E.SortOrder(E.col("a")), E.SortOrder(E.col("b"))])
+        d = DistributedSession()
+        d.register_numpy("l", dl, schema_l)
+        d.register_numpy("r", dr, schema_r)
+        got = d.collect(plan)
+        s = Session()
+        s.register_numpy("l", dl, schema_l)
+        s.register_numpy("r", dr, schema_r)
+        ref = s.collect(plan)
+        for k in ("a", "b"):
+            assert [x if ok else None for x, ok in zip(got[k], got[k + "__valid"])] == \
+                   [x if ok else None for x, ok in zip(ref[k], ref[k + "__valid"])], jt
