@@ -20,6 +20,16 @@ import numpy as np
 def main() -> None:
     import jax
 
+    # Persistent compile cache: the tunnel XLA:TPU compile of Q1 costs
+    # ~10-40 min; cache hits across processes make reruns instant when the
+    # backend honors it (harmless otherwise).
+    try:
+        os.makedirs("/tmp/jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     from datafusion_comet_tpu import types as T
     from datafusion_comet_tpu.exec.engine import Session
     from datafusion_comet_tpu.models import tpch
