@@ -136,6 +136,19 @@ SCAN_PRUNING = _entry(
     "comet.scan.parquet.pruning.enabled", True, "scan",
     "Row-group min/max pruning on Parquet footers (page-index analog).",
 )
+SCAN_DICT_MAX_SIZE = _entry(
+    "comet.scan.dictionary.maxSize", 1 << 16, "scan",
+    "String columns with at most this many distinct values are "
+    "dictionary-encoded at staging (sorted dict + int32 codes; codes are "
+    "order-isomorphic to string order). 0 disables. Analog of the "
+    "reference's Arrow dictionary handling (scan.rs:100), kept end-to-end.",
+)
+AGG_DENSE_MAX_DOMAIN = _entry(
+    "comet.exec.agg.denseMaxDomain", 64, "exec",
+    "Group-by key domains at most this large (provable from dictionary / "
+    "narrow-type packing) aggregate via dense masked reductions: no row "
+    "sort, no group-capacity hint, no overflow re-planning.",
+)
 
 
 class Config:

@@ -55,7 +55,7 @@ def pad_capacity(n: int, minimum: int = 8) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data", "validity", "lengths", "children"],
-    meta_fields=["dtype"],
+    meta_fields=["dtype", "dictionary"],
 )
 @dataclasses.dataclass
 class ColumnVector:
@@ -63,13 +63,20 @@ class ColumnVector:
 
     data:     (cap,) for fixed-width types; (cap, max_len) uint8 for STRING/BYTES;
               (cap,) int32 per-row element counts for LIST/MAP; (cap,) int8
-              placeholder for STRUCT.
+              placeholder for STRUCT; (cap,) int32 dictionary codes when
+              ``dictionary`` is set.
     validity: (cap,) bool, True = non-null.
-    lengths:  (cap,) int32 for STRING/BYTES else None.
+    lengths:  (cap,) int32 for STRING/BYTES else None (None for dict codes).
     children: nested children (static-shape analog of Arrow child arrays):
               LIST/MAP → one element CV whose buffers carry an extra
               ``max_elems`` axis after the row axis (data (cap, E, ...),
               validity (cap, E)); STRUCT → one CV per field, row-shaped.
+    dictionary: optional StringDict (host-side constant, a pytree META
+              field); when set, ``data`` holds int32 codes that are
+              order-isomorphic to the string order (sorted dictionary).
+              The analog of Arrow dictionary arrays kept end-to-end
+              (reference unpacks them at scan.rs:100; we don't — codes ride
+              sorts/joins/shuffles at 4 bytes/row).
     """
 
     data: jax.Array
@@ -77,13 +84,40 @@ class ColumnVector:
     lengths: Optional[jax.Array]
     dtype: T.DataType
     children: Tuple["ColumnVector", ...] = ()
+    dictionary: Optional["StringDict"] = None  # noqa: F821
 
     @property
     def capacity(self) -> int:
         return self.data.shape[0]
 
+    @property
+    def is_dict(self) -> bool:
+        return self.dictionary is not None
+
     def with_validity(self, validity: jax.Array) -> "ColumnVector":
-        return ColumnVector(self.data, validity, self.lengths, self.dtype, self.children)
+        return ColumnVector(self.data, validity, self.lengths, self.dtype,
+                            self.children, self.dictionary)
+
+    def decode(self) -> "ColumnVector":
+        """Materialize a dictionary column into padded (mat, lens) form.
+        No-op for non-dict columns. One small-table gather — consumers that
+        need raw bytes call this; everything else stays on codes."""
+        if self.dictionary is None:
+            return self
+        mat, lens = self.dictionary.decode_arrays(
+            self.data, target_width=self.dtype.byte_width
+        )
+        return ColumnVector(mat, self.validity, lens, self.dtype)
+
+    def unify_encoding(self, *others: "ColumnVector"):
+        """For ops that merge rows from several columns (union, expand
+        branches, join tails): keep dictionary codes only when every column
+        shares the SAME dictionary; otherwise decode the dict-encoded ones."""
+        cvs = (self,) + others
+        dicts = {cv.dictionary for cv in cvs if cv.dictionary is not None}
+        if len(dicts) == 1 and all(cv.is_dict for cv in cvs):
+            return list(cvs)
+        return [cv.decode() for cv in cvs]
 
     def take(self, indices: jax.Array, fill_invalid: bool = False) -> "ColumnVector":
         """Gather rows by index. Indices must be in-range; callers mask
@@ -92,7 +126,7 @@ class ColumnVector:
         validity = jnp.take(self.validity, indices, axis=0)
         lengths = None if self.lengths is None else jnp.take(self.lengths, indices, axis=0)
         children = tuple(c.take(indices) for c in self.children)
-        return ColumnVector(data, validity, lengths, self.dtype, children)
+        return ColumnVector(data, validity, lengths, self.dtype, children, self.dictionary)
 
 
 @partial(
@@ -127,6 +161,13 @@ class Batch:
     def take(self, indices: jax.Array, mask: jax.Array, schema: Optional[T.Schema] = None) -> "Batch":
         cols = tuple(c.take(indices) for c in self.columns)
         return Batch(cols, mask, schema or self.schema)
+
+    def decode_dicts(self) -> "Batch":
+        """Materialize all dictionary-encoded columns to padded byte form
+        (for host edges whose layout assumes (cap, w)+lengths buffers)."""
+        if not any(c.is_dict for c in self.columns):
+            return self
+        return Batch(tuple(c.decode() for c in self.columns), self.row_mask, self.schema)
 
 
 # -------------------------------------------------------------------------------------
@@ -231,8 +272,20 @@ def nested_to_py(cv: ColumnVector, idx=None):
             for j, i in enumerate(idx)
         ]
     if dt.is_binary:
-        lens = np.asarray(cv.lengths)
         raw = dt.type_id == "BYTES"
+        if cv.is_dict:  # host-side decode: dict values live in host numpy
+            d = cv.dictionary
+            codes = np.clip(data, 0, max(d.size - 1, 0))
+            return [
+                (
+                    (d.value_of(int(codes[i])) if raw
+                     else d.value_of(int(codes[i])).decode("utf-8", "replace"))
+                    if valid[i] and d.size
+                    else None
+                )
+                for i in idx
+            ]
+        lens = np.asarray(cv.lengths)
         return [
             (
                 bytes(data[i, : lens[i]])
@@ -284,12 +337,26 @@ def from_numpy(
     schema: T.Schema,
     capacity: Optional[int] = None,
     validity: Optional[Dict[str, np.ndarray]] = None,
+    dictionary: Optional[bool] = None,
+    dict_max_size: Optional[int] = None,
 ) -> Batch:
     """Build a device Batch from host numpy columns, padding to capacity.
 
     Decimal columns are expected pre-scaled as int64. Strings may be object
-    arrays of str/bytes/None.
+    arrays of str/bytes/None. String columns whose cardinality is at most
+    ``dict_max_size`` are dictionary-encoded (sorted dict + int32 codes)
+    unless ``dictionary=False`` / $COMET_TPU_NO_DICT disables it.
     """
+    import os
+
+    if dictionary is None:
+        from datafusion_comet_tpu.exec.dictionary import DICT_DISABLE_ENV
+
+        dictionary = DICT_DISABLE_ENV not in os.environ
+    if dict_max_size is None:
+        from datafusion_comet_tpu.conf import CONF, SCAN_DICT_MAX_SIZE
+
+        dict_max_size = CONF.get(SCAN_DICT_MAX_SIZE)
     names = schema.names
     first = data[names[0]] if names else ()
     n = len(first[0]) if isinstance(first, tuple) else (len(first) if names else 0)
@@ -325,6 +392,22 @@ def from_numpy(
                     mat, lens = m2, np.minimum(lens, max_len)
             else:
                 mat, lens = _pad_strings_np(v, max_len)
+            enc = None
+            if dictionary:
+                from datafusion_comet_tpu.exec.dictionary import encode_padded
+
+                enc = encode_padded(np.asarray(mat), np.asarray(lens), dict_max_size)
+            if enc is not None:
+                codes, sdict = enc
+                codes_pad = np.zeros(cap, np.int32)
+                codes_pad[:n] = codes
+                cols.append(
+                    ColumnVector(
+                        jnp.asarray(codes_pad), jnp.asarray(valid_pad), None,
+                        f.dtype, (), sdict,
+                    )
+                )
+                continue
             mat_pad = np.zeros((cap, max_len), np.uint8)
             mat_pad[:n] = mat
             lens_pad = np.zeros(cap, np.int32)
@@ -363,9 +446,22 @@ def to_numpy(batch: Batch) -> Dict[str, np.ndarray]:
             out[f.name + "__valid"] = valid
             continue
         if f.dtype.is_binary:
+            raw = f.dtype.type_id == "BYTES"
+            if col.is_dict:
+                codes = np.asarray(col.data)[mask]
+                d = col.dictionary
+                dvals = np.empty(max(d.size, 1), dtype=object)
+                dvals[0] = b"" if raw else ""
+                for c in range(d.size):
+                    bs = d.value_of(c)
+                    dvals[c] = bs if raw else bs.decode("utf-8", "replace")
+                vals = dvals[np.clip(codes, 0, max(d.size - 1, 0))]
+                vals[~valid] = None
+                out[f.name] = vals
+                out[f.name + "__valid"] = valid
+                continue
             mat = np.asarray(col.data)[mask]
             lens = np.asarray(col.lengths)[mask]
-            raw = f.dtype.type_id == "BYTES"
             vals = np.empty(len(mat), dtype=object)
             for i in range(len(mat)):
                 if not valid[i]:

@@ -167,6 +167,13 @@ def _union(kids: List[Batch], schema: T.Schema) -> Batch:
     from datafusion_comet_tpu.exec.batch import ColumnVector
 
     def cat_cv(cvs, dtype) -> ColumnVector:
+        cvs = cvs[0].unify_encoding(*cvs[1:])  # codes only if ONE shared dict
+        if cvs[0].is_dict:
+            return ColumnVector(
+                jnp.concatenate([c.data for c in cvs]),
+                jnp.concatenate([c.validity for c in cvs]),
+                None, dtype, dictionary=cvs[0].dictionary,
+            )
         datas = [c.data for c in cvs]
         if dtype.is_binary:  # unify string widths
             w = max(d.shape[-1] for d in datas)

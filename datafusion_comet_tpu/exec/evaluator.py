@@ -64,6 +64,83 @@ class EvalContext:
 _DEFAULT_CTX = EvalContext()
 
 
+# -------------------------------------------------------------------------------------
+# dictionary-encoded strings
+# -------------------------------------------------------------------------------------
+# A dict column's values are a host-side constant (exec/dictionary.py), so:
+# - comparisons against literals become int32 code compares (the literal's
+#   rank is computed on the host at trace time);
+# - any single-input string function evaluates over the K dictionary
+#   entries (a K-row mini-batch) and maps back with ONE narrow gather —
+#   8M-row byte-matrix compute becomes K-row compute (_eval_on_dict);
+# - everything else decodes lazily (_dedict).
+
+
+def _dedict(cv: ColumnVector) -> ColumnVector:
+    return cv.decode() if cv.is_dict else cv
+
+
+def _eval_on_dict(cv: ColumnVector, fn, ctx: EvalContext) -> ColumnVector:
+    """Evaluate ``fn`` (CV of K dictionary rows → CV of K rows) over the
+    dictionary, then gather per-row results by code. ANSI error flags raised
+    inside ``fn`` are per-entry; they are remapped to the rows that actually
+    hold the offending value (live + valid rows only)."""
+    d = cv.dictionary
+    K = max(d.size, 1)
+    small = ColumnVector(
+        jnp.asarray(d.values if d.size else np.zeros((1, cv.dtype.byte_width), np.uint8)),
+        jnp.ones(K, bool),
+        jnp.asarray(d.lengths if d.size else np.zeros(1, np.int32)),
+        cv.dtype,
+    )
+    outer_errors, outer_mask = ctx.errors, ctx.row_mask
+    entry_errors: List[Tuple[jax.Array, str]] = []
+    ctx.errors = entry_errors if outer_errors is not None else None
+    ctx.row_mask = None
+    try:
+        res = fn(small)
+    finally:
+        ctx.errors, ctx.row_mask = outer_errors, outer_mask
+    idx = jnp.clip(cv.data, 0, K - 1)
+    if outer_errors is not None:
+        for flags, msg in entry_errors:
+            row_flags = jnp.take(flags, idx) & cv.validity
+            if outer_mask is not None:
+                row_flags = row_flags & outer_mask
+            outer_errors.append((row_flags, msg))
+    data = jnp.take(res.data, idx, axis=0)
+    validity = cv.validity & jnp.take(res.validity, idx)
+    lengths = None if res.lengths is None else jnp.take(res.lengths, idx)
+    children = tuple(c.take(idx) for c in res.children)
+    return ColumnVector(data, validity, lengths, res.dtype, children, res.dictionary)
+
+
+def _dict_code_compare(op: str, cv: ColumnVector, value, flip: bool) -> ColumnVector:
+    """Compare dict codes against a host-encoded literal: the sorted
+    dictionary makes every comparison two int compares against trace-time
+    rank constants."""
+    raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    d = cv.dictionary
+    lp = d.insertion_point(raw, "left")   # #entries < raw
+    rp = d.insertion_point(raw, "right")  # #entries <= raw
+    codes = cv.data
+    eq = (codes >= lp) & (codes < rp)
+    if flip:  # literal OP column → mirror the operator
+        op = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le"}.get(op, op)
+    data = {
+        "eq": eq,
+        "ne": ~eq,
+        "lt": codes < lp,
+        "le": codes < rp,
+        "gt": codes >= rp,
+        "ge": codes >= lp,
+        "eqns": eq,
+    }[op]
+    if op == "eqns":
+        return ColumnVector(data & cv.validity, jnp.ones_like(cv.validity), None, T.BOOL)
+    return ColumnVector(data, cv.validity, None, T.BOOL)
+
+
 def evaluate(e: E.Expr, batch: Batch, ctx: EvalContext = _DEFAULT_CTX) -> ColumnVector:
     """Evaluate a bound expression over a batch, returning a ColumnVector."""
     assert e.dtype is not None, f"expression not bound: {e!r}"
@@ -123,6 +200,12 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
 
         cv = _ev(e.child, b, ctx)
         trans, accepting = compile_dfa(e.pattern)
+        if cv.is_dict:
+            def _dfa_small(s, _t=trans, _a=accepting, _neg=e.negated):
+                mm = dfa_match(s.data, s.lengths, _t, _a)
+                return ColumnVector(~mm if _neg else mm, s.validity, None, T.BOOL)
+
+            return _eval_on_dict(cv, _dfa_small, ctx)
         m = dfa_match(cv.data, cv.lengths, trans, accepting)
         return ColumnVector(~m if e.negated else m, cv.validity, None, T.BOOL)
     if isinstance(e, E.PythonUdf):
@@ -250,10 +333,30 @@ def _binary(e: E.BinaryOp, b: Batch, ctx: EvalContext) -> ColumnVector:
     op = e.op
     if op in ("and", "or"):
         return _kleene(op, _ev(e.left, b, ctx), _ev(e.right, b, ctx))
+    if op in ("eq", "ne", "lt", "le", "gt", "ge", "eqns"):
+        # dict fast path: codes vs a trace-time literal rank
+        l = r = None
+        if (
+            isinstance(e.right, E.Literal)
+            and e.right.dtype is not None and e.right.dtype.is_binary
+            and e.right.value is not None
+        ):
+            l = _ev(e.left, b, ctx)
+            if l.is_dict:
+                return _dict_code_compare(op, l, e.right.value, flip=False)
+        elif (
+            isinstance(e.left, E.Literal)
+            and e.left.dtype is not None and e.left.dtype.is_binary
+            and e.left.value is not None
+        ):
+            r = _ev(e.right, b, ctx)
+            if r.is_dict:
+                return _dict_code_compare(op, r, e.left.value, flip=True)
+        l = l if l is not None else _ev(e.left, b, ctx)
+        r = r if r is not None else _ev(e.right, b, ctx)
+        return _compare(op, l, r, ctx)
     l = _ev(e.left, b, ctx)
     r = _ev(e.right, b, ctx)
-    if op in ("eq", "ne", "lt", "le", "gt", "ge", "eqns"):
-        return _compare(op, l, r, ctx)
     if op in ("add", "sub", "mul", "div", "mod", "pmod"):
         return _arith(e, l, r, ctx)
     if op in ("band", "bor", "bxor", "shiftleft", "shiftright"):
@@ -320,6 +423,13 @@ def _string_lt(l: ColumnVector, r: ColumnVector) -> jax.Array:
 
 
 def _compare(op: str, l: ColumnVector, r: ColumnVector, ctx: EvalContext) -> ColumnVector:
+    if l.is_dict or r.is_dict:
+        if l.is_dict and r.is_dict and l.dictionary == r.dictionary:
+            # same sorted dictionary → code order == string order
+            eq = l.data == r.data
+            lt = l.data < r.data
+            return _compare_result(op, eq, lt, l, r)
+        l, r = _dedict(l), _dedict(r)
     lt_, rt_ = l.dtype, r.dtype
     if lt_.is_binary or rt_.is_binary:
         eq = _string_eq(l, r)
@@ -346,6 +456,10 @@ def _compare(op: str, l: ColumnVector, r: ColumnVector, ctx: EvalContext) -> Col
         rd = _coerce(r, ct, ctx).data
         eq = ld == rd
         lt = ld < rd
+    return _compare_result(op, eq, lt, l, r)
+
+
+def _compare_result(op: str, eq: jax.Array, lt: jax.Array, l: ColumnVector, r: ColumnVector) -> ColumnVector:
     both = l.validity & r.validity
     if op == "eqns":
         data = jnp.where(both, eq, l.validity == r.validity)
@@ -526,6 +640,9 @@ def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: Eva
     matrix; CometCast.scala:175 support levels)."""
     if frm == to:
         return cv
+    if cv.is_dict:
+        # parse/format the K dictionary entries, map back by code
+        return _eval_on_dict(cv, lambda s: _cast(s, frm, to, mode, ctx), ctx)
     if frm.type_id == "NULL":
         lit = E.Literal(None, to)
         object.__setattr__(lit, "dtype", to)
@@ -930,9 +1047,10 @@ def _case_when(e: E.CaseWhen, b: Batch, ctx: EvalContext) -> ColumnVector:
     )
     result = _coerce(result, out_t, ctx)
     # evaluate in reverse so earlier branches take precedence
+    result = _dedict(result)
     for cond, value in reversed(e.branches):
         c = _ev(cond, b, ctx)
-        v = _coerce(_ev(value, b, ctx), out_t, ctx)
+        v = _dedict(_coerce(_ev(value, b, ctx), out_t, ctx))
         take = c.validity & c.data.astype(bool)
         data = _select_cv(take, v, result)
         validity = jnp.where(take, v.validity, result.validity)
@@ -998,6 +1116,13 @@ def _segment_match_positions(mat: jax.Array, lens: jax.Array, seg: bytes) -> jax
 
 def _like(e: E.Like, b: Batch, ctx: EvalContext) -> ColumnVector:
     cv = _ev(e.child, b, ctx)
+    if cv.is_dict:
+        # match over the K dictionary entries, map back by code
+        return _eval_on_dict(cv, lambda s: _like_cv(e, s), ctx)
+    return _like_cv(e, cv)
+
+
+def _like_cv(e: E.Like, cv: ColumnVector) -> ColumnVector:
     pat = e.pattern
     segments = pat.split("%")
     anchored_start = not pat.startswith("%")
@@ -1045,8 +1170,27 @@ def _like(e: E.Like, b: Batch, ctx: EvalContext) -> ColumnVector:
 
 
 def _string_func(e: E.StringFunc, b: Batch, ctx: EvalContext) -> ColumnVector:
-    f = e.func
     args = [_ev(a, b, ctx) for a in e.args]
+    if (
+        args
+        and args[0].is_dict
+        and all(isinstance(a, E.Literal) for a in e.args[1:])
+    ):
+        # single-string-input function: run over the K dictionary entries
+        # (literal args re-materialized at K rows), map back by code
+        lits = list(e.args[1:])
+
+        def _small(s):
+            sm = [s] + [_literal(a, s.capacity) for a in lits]
+            return _string_func_impl(e, sm, ctx)
+
+        return _eval_on_dict(args[0], _small, ctx)
+    args = [_dedict(a) for a in args]
+    return _string_func_impl(e, args, ctx)
+
+
+def _string_func_impl(e: E.StringFunc, args: List[ColumnVector], ctx: EvalContext) -> ColumnVector:
+    f = e.func
     cv = args[0]
     mat, lens = cv.data, cv.lengths
     cap, w = mat.shape if cv.dtype.is_binary else (cv.capacity, 0)
@@ -1983,6 +2127,7 @@ def xxhash64_bytes(mat: jax.Array, lens: jax.Array, seed: jax.Array) -> jax.Arra
 def _xxhash64_column(cv: ColumnVector, seed: jax.Array) -> jax.Array:
     dt = cv.dtype
     if dt.is_binary:
+        cv = _dedict(cv)
         h = xxhash64_bytes(cv.data, cv.lengths, seed)
     elif dt.type_id in ("INT8", "INT16", "INT32", "DATE") or dt.is_boolean:
         h = xxhash64_i32(cv.data.astype(jnp.int32), seed)
@@ -2042,6 +2187,7 @@ def _murmur3_column(cv: ColumnVector, seed: jax.Array) -> jax.Array:
     unchanged (Spark semantics)."""
     dt = cv.dtype
     if dt.is_binary:
+        cv = _dedict(cv)
         h = murmur3_hash_bytes(cv.data, cv.lengths, seed, dt.byte_width)
     elif dt.type_id in ("INT8", "INT16", "INT32", "DATE") or dt.is_boolean:
         h = murmur3_hash_i32(cv.data.astype(jnp.int32), seed)

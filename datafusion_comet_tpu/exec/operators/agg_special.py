@@ -273,6 +273,7 @@ def _bloom_hashes(cv: ColumnVector):
     )
 
     if cv.dtype.is_binary:
+        cv = cv.decode()  # dict codes → raw bytes (hash parity needs bytes)
         h1 = murmur3_hash_bytes(cv.data, cv.lengths, jnp.int32(0), cv.dtype.byte_width)
         h2 = murmur3_hash_bytes(cv.data, cv.lengths, h1, cv.dtype.byte_width)
     else:

@@ -173,14 +173,40 @@ def _segments(
     return perm, seg, num_groups, first_orig, sorted_payloads, sorted_mask
 
 
-# Reduction backend: when the segment ids are SORTED (the lexsort grouping
-# path), every sum/count reduces to one cumsum + two boundary gathers — TPU
-# scatter serializes colliding updates (~700ms for 8M rows on v5e, measured),
-# while a cumsum is bandwidth-bound (~10-30ms). Boundary indices come from
-# searchsorted over the nondecreasing seg array (log-cost, no scatter).
-# min/max (value reductions) keep the scatter path. The flag is trace-time
-# only (set by hash_aggregate around the reduction calls).
+# Reduction backends (trace-time flags, set by hash_aggregate around the
+# reduction calls):
+# - _SORTED_SEG: segment ids are SORTED (lexsort grouping path) — sums
+#   reduce to one cumsum + two boundary gathers (TPU scatter serializes
+#   colliding updates, ~700ms for 8M rows on v5e; cumsum is bandwidth-bound).
+# - _DENSE_M: the packed key domain is tiny (dict codes / bool / int8 keys,
+#   m ≤ comet.exec.agg.denseMaxDomain) — every reduction is a masked full
+#   reduction over a virtual (cap, m) broadcast that XLA fuses into ONE
+#   bandwidth pass with the m-axis on vector lanes. No row sort, no scatter,
+#   no group-capacity hints: the TPU answer to perfect-hash aggregation.
 _SORTED_SEG = False
+_DENSE_M: Optional[int] = None
+
+
+def _dense_eq(seg: jax.Array, m: int) -> jax.Array:
+    gids = jnp.arange(m, dtype=seg.dtype)
+    return seg[:, None] == gids[None, :]  # (cap, m); dead rows (seg==m) all-False
+
+
+def _dense_sum(x: jax.Array, seg: jax.Array, m: int) -> jax.Array:
+    xd = x.astype(jnp.int32) if x.dtype == jnp.bool_ else x
+    return jnp.sum(jnp.where(_dense_eq(seg, m), xd[:, None], 0), axis=0).astype(xd.dtype)
+
+
+def _dense_minmax(x: jax.Array, seg: jax.Array, m: int, is_min: bool) -> jax.Array:
+    if x.dtype == jnp.bool_:
+        ident = np.array(True if is_min else False)
+    elif jnp.issubdtype(x.dtype, jnp.floating):
+        ident = np.array(np.inf if is_min else -np.inf, x.dtype)
+    else:
+        info = jnp.iinfo(x.dtype)
+        ident = np.array(info.max if is_min else info.min, x.dtype)
+    sel = jnp.where(_dense_eq(seg, m), x[:, None], ident)
+    return (jnp.min if is_min else jnp.max)(sel, axis=0)
 
 
 def _seg_bounds(seg, m):
@@ -191,6 +217,8 @@ def _seg_bounds(seg, m):
 
 
 def _seg_sum(x, seg, m):
+    if _DENSE_M is not None and m <= _DENSE_M:
+        return _dense_sum(x, seg, m)
     if _SORTED_SEG:
         acc = jnp.cumsum(x, axis=0)
         starts, ends = _seg_bounds(seg, m)
@@ -202,10 +230,14 @@ def _seg_sum(x, seg, m):
 
 
 def _seg_min(x, seg, m):
+    if _DENSE_M is not None and m <= _DENSE_M:
+        return _dense_minmax(x, seg, m, is_min=True)
     return jax.ops.segment_min(x, seg, num_segments=m + 1)[:m]
 
 
 def _seg_max(x, seg, m):
+    if _DENSE_M is not None and m <= _DENSE_M:
+        return _dense_minmax(x, seg, m, is_min=False)
     if _SORTED_SEG and x.dtype == jnp.bool_:
         # boolean "any" per segment: count of Trues > 0 via the cumsum path
         return _seg_sum(x.astype(jnp.int32), seg, m) > 0
@@ -244,6 +276,11 @@ def _try_pack_keys(key_cols: Sequence[ColumnVector]):
             enc, b = cv.data.astype(jnp.int32), 1
         elif dt.type_id == "INT8":
             enc, b = cv.data.astype(jnp.int32) + 128, 8
+        elif cv.is_dict:
+            # dict codes ARE a perfect hash of the key domain (and code
+            # order == string order, so bucket order stays key order)
+            k = cv.dictionary.size
+            enc, b = jnp.clip(cv.data, 0, max(k - 1, 0)), max(k.bit_length(), 1)
         elif dt.is_binary and dt.byte_width <= 2:
             w = dt.byte_width
             len_bits = w.bit_length()  # length in [0, w]
@@ -280,19 +317,33 @@ def hash_aggregate(
     max_groups = min(max_groups * max(ctx.agg_scale, 1), batch.capacity)
     key_cols = [evaluate(g, batch, ctx) for g in group_exprs]
     packed = _try_pack_keys(key_cols) if key_cols else None
-    # Bucket (perfect-hash scatter) path only for SMALL batches: TPU scatter
-    # serializes colliding updates (~700ms per 8M-row scatter, measured),
-    # while sort + cumsum-over-sorted-segments costs one sort total. On small
-    # batches the scatter outputs are cheap and skipping the sort wins.
-    if packed is not None and packed[1] <= (1 << _BUCKET_BITS_CAP) and (
-        batch.capacity <= (1 << 18)
-    ):
-        out = _bucket_aggregate(
-            batch, key_cols, agg_exprs, mode, packed, out_schema, ctx
-        )
-        if out.capacity > max_groups:
-            out = _compact_groups(out, max_groups)
-        return out
+    # Sortless paths:
+    # - DENSE (any batch size): packed key domain ≤ denseMaxDomain → masked
+    #   full reductions, one fused bandwidth pass per aggregate input. This
+    #   is the Q1-class fast path dictionary encoding unlocks.
+    # - BUCKET scatter (small batches only): TPU scatter serializes
+    #   colliding updates (~700ms per 8M-row scatter, measured), so direct
+    #   scatter-adds only when outputs are cheap.
+    has_special = any(a.func in _SPECIAL_FUNCS for a in agg_exprs)
+    if packed is not None and not has_special:
+        from datafusion_comet_tpu.conf import CONF, AGG_DENSE_MAX_DOMAIN
+
+        dense = packed[1] <= max(CONF.get(AGG_DENSE_MAX_DOMAIN), 0)
+        if dense or (
+            packed[1] <= (1 << _BUCKET_BITS_CAP) and batch.capacity <= (1 << 18)
+        ):
+            global _DENSE_M
+            prev = _DENSE_M
+            _DENSE_M = packed[1] if dense else None
+            try:
+                out = _bucket_aggregate(
+                    batch, key_cols, agg_exprs, mode, packed, out_schema, ctx
+                )
+            finally:
+                _DENSE_M = prev
+            if out.capacity > max_groups:
+                out = _compact_groups(out, max_groups)
+            return out
     # packed but too many buckets for direct scatter: the packed int32 still
     # replaces multi-limb string keys as a single cheap sort key
     key_limbs = [packed[0]] if packed is not None else None
@@ -342,7 +393,8 @@ def hash_aggregate(
     for i, cv in enumerate(pre):
         if i in slot_of:
             s = slot_of[i]
-            sorted_cvs.append(ColumnVector(sp[s], sp[s + 1], None, cv.dtype))
+            sorted_cvs.append(ColumnVector(sp[s], sp[s + 1], None, cv.dtype,
+                                           dictionary=cv.dictionary))
         else:  # strings / nested: gather once via the permutation
             sorted_cvs.append(cv.take(perm))
     synth_schema = T.Schema([T.Field(n, c.dtype) for n, c in zip(names, sorted_cvs)])
@@ -419,10 +471,16 @@ def _bucket_aggregate(
     seg_raw, n_buckets = packed
     cap = batch.capacity
     seg = jnp.where(batch.row_mask, seg_raw, n_buckets)
-    perm = jnp.arange(cap, dtype=jnp.int32)  # identity: segment ops accept unsorted ids
-    present = (
-        jnp.zeros(n_buckets + 1, jnp.int32).at[seg].add(1, mode="drop")[:n_buckets] > 0
-    )
+    # perm=None: segment ops accept unsorted ids and read buffers in place
+    # (an identity-perm gather costs ~180ms per 8M-row column on v5e)
+    perm = None
+    if _DENSE_M is not None and n_buckets <= _DENSE_M:
+        present = _dense_sum(jnp.ones(cap, jnp.int32), seg, n_buckets) > 0
+    else:
+        present = (
+            jnp.zeros(n_buckets + 1, jnp.int32).at[seg].add(1, mode="drop")[:n_buckets]
+            > 0
+        )
     first_orig = _seg_min(jnp.arange(cap, dtype=jnp.int32), seg, n_buckets)
     first_orig = jnp.where(present, jnp.clip(first_orig, 0, cap - 1), 0)
     group_mask = present
@@ -516,9 +574,9 @@ def _input_agg(
         )
         has = _seg_max(consider, seg, m) & group_mask
         win_c = jnp.clip(win, 0, cap - 1).astype(jnp.int32)
-        val_cv = ColumnVector(x, g(cv.validity), None if cv.lengths is None else g(cv.lengths), dt)
+        val_cv = ColumnVector(x, g(cv.validity), None if cv.lengths is None else g(cv.lengths), dt, dictionary=cv.dictionary)
         taken = val_cv.take(win_c)
-        return [ColumnVector(taken.data, has & taken.validity if not a.ignore_nulls else has, taken.lengths, dt)]
+        return [ColumnVector(taken.data, has & taken.validity if not a.ignore_nulls else has, taken.lengths, dt, dictionary=cv.dictionary)]
 
     if f in _WELFORD_FUNCS:
         xd = jnp.where(valid, x, 0).astype(jnp.float64)
@@ -668,9 +726,11 @@ def _limb_minmax(a, cv: ColumnVector, valid, perm, seg, m, group_mask) -> Column
         g(cv.validity),
         None if cv.lengths is None else g(cv.lengths),
         cv.dtype,
+        dictionary=cv.dictionary,
     )
     taken = src.take(win_c)
-    return ColumnVector(taken.data, has, taken.lengths, cv.dtype)
+    return ColumnVector(taken.data, has, taken.lengths, cv.dtype,
+                        dictionary=cv.dictionary)
 
 
 # ---- Final/PartialMerge: merge state columns ----------------------------------------

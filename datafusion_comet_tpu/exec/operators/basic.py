@@ -84,7 +84,8 @@ def sort_op(
     for ci, c in enumerate(batch.columns):
         if ci in slot_of:
             s = slot_of[ci]
-            cols.append(ColumnVector(sp[s], sp[s + 1], None, c.dtype))
+            cols.append(ColumnVector(sp[s], sp[s + 1], None, c.dtype,
+                                     dictionary=c.dictionary))
         else:
             cols.append(c.take(perm))
     n = batch.num_rows()
@@ -129,7 +130,8 @@ def compact_batch(batch: Batch, new_cap: int):
     for ci, c in enumerate(batch.columns):
         if ci in slot_of:
             s = slot_of[ci]
-            cols.append(ColumnVector(sp[s][:new_cap], sp[s + 1][:new_cap], None, c.dtype))
+            cols.append(ColumnVector(sp[s][:new_cap], sp[s + 1][:new_cap], None,
+                                     c.dtype, dictionary=c.dictionary))
         else:
             cols.append(c.take(perm_slice))
     return Batch(tuple(cols), sorted_mask[:new_cap], batch.schema), overflow
@@ -158,13 +160,16 @@ def expand_op(
     # interleave: out[i*nproj + j] = piece_j[i] — keeps per-input-row grouping
     out_cols = []
     for ci in range(len(out_schema.fields)):
-        datas = [p.columns[ci].data for p in pieces]
-        vals = [p.columns[ci].validity for p in pieces]
-        lens = [p.columns[ci].lengths for p in pieces]
+        branch = [p.columns[ci] for p in pieces]
+        branch = branch[0].unify_encoding(*branch[1:])
+        datas = [c.data for c in branch]
+        vals = [c.validity for c in branch]
+        lens = [c.lengths for c in branch]
         data = jnp.stack(datas, axis=1).reshape((-1,) + datas[0].shape[1:])
         val = jnp.stack(vals, axis=1).reshape(-1)
         ln = None if lens[0] is None else jnp.stack(lens, axis=1).reshape(-1)
-        out_cols.append(ColumnVector(data, val, ln, out_schema.fields[ci].dtype))
+        out_cols.append(ColumnVector(data, val, ln, out_schema.fields[ci].dtype,
+                                     dictionary=branch[0].dictionary))
     mask = jnp.repeat(batch.row_mask, n_proj)
     return Batch(tuple(out_cols), mask, out_schema)
 

@@ -49,7 +49,35 @@ def _key_limbs(cols: Sequence[ColumnVector]) -> Tuple[List[jax.Array], jax.Array
     return limbs, all_valid
 
 
-def _null_column(dt: T.DataType, cap: int) -> ColumnVector:
+def _harmonize_keys(
+    build_keys: List[ColumnVector], probe_keys: List[ColumnVector]
+) -> Tuple[List[ColumnVector], List[ColumnVector]]:
+    """Dict-encoded keys from DIFFERENT tables carry different code spaces;
+    remap both sides' codes into merged-dictionary ranks (trace-time
+    constant tables) so they compare as plain int32 — no byte decode."""
+    from datafusion_comet_tpu.exec.dictionary import union_ranks
+
+    out_b, out_p = [], []
+    for b, p in zip(build_keys, probe_keys):
+        if b.is_dict and p.is_dict and b.dictionary != p.dictionary:
+            ra, rb = union_ranks(b.dictionary, p.dictionary)
+            bk = jnp.take(jnp.asarray(ra), jnp.clip(b.data, 0, len(ra) - 1))
+            pk = jnp.take(jnp.asarray(rb), jnp.clip(p.data, 0, len(rb) - 1))
+            b = ColumnVector(bk, b.validity, None, T.INT32)
+            p = ColumnVector(pk, p.validity, None, T.INT32)
+        elif b.is_dict != p.is_dict:
+            b, p = b.decode(), p.decode()
+        out_b.append(b)
+        out_p.append(p)
+    return out_b, out_p
+
+
+def _null_column(
+    dt: T.DataType, cap: int, like: Optional[ColumnVector] = None
+) -> ColumnVector:
+    if like is not None and like.is_dict:
+        return ColumnVector(jnp.zeros(cap, jnp.int32), jnp.zeros(cap, bool),
+                            None, dt, dictionary=like.dictionary)
     if dt.is_binary:
         return ColumnVector(
             jnp.zeros((cap, dt.byte_width), jnp.uint8),
@@ -72,6 +100,26 @@ def _repeat_cv(cv: ColumnVector, k: int) -> ColumnVector:
     return ColumnVector(
         rep(cv.data), rep(cv.validity), rep(cv.lengths), cv.dtype,
         tuple(_repeat_cv(c, k) for c in cv.children),
+        dictionary=cv.dictionary,
+    )
+
+
+def _concat_cv(a: ColumnVector, b: ColumnVector) -> ColumnVector:
+    """Row-concat two columns of the same dtype (dict-aware)."""
+    a, b = a.unify_encoding(b)
+
+    def cat(x, y):
+        if x is None:
+            return None
+        if x.ndim > 1 and x.shape[1] != y.shape[1]:
+            w = max(x.shape[1], y.shape[1])
+            x = jnp.pad(x, ((0, 0), (0, w - x.shape[1])))
+            y = jnp.pad(y, ((0, 0), (0, w - y.shape[1])))
+        return jnp.concatenate([x, y], axis=0)
+
+    return ColumnVector(
+        cat(a.data, b.data), cat(a.validity, b.validity), cat(a.lengths, b.lengths),
+        a.dtype, dictionary=a.dictionary,
     )
 
 
@@ -102,8 +150,9 @@ def hash_join(
 
     bkey_cols = [evaluate(k, build, ctx) for k in build_keys]
     pkey_cols = [evaluate(k, probe, ctx) for k in probe_keys]
-    blimbs, bvalid = _key_limbs(bkey_cols)
-    plimbs, pvalid = _key_limbs(pkey_cols)
+    bcmp_cols, pcmp_cols = _harmonize_keys(bkey_cols, pkey_cols)
+    blimbs, bvalid = _key_limbs(bcmp_cols)
+    plimbs, pvalid = _key_limbs(pcmp_cols)
     bvalid = bvalid & build.row_mask
     pvalid = pvalid & probe.row_mask
 
@@ -176,10 +225,7 @@ def hash_join(
         un_slot = (j == 0) & jnp.repeat(unmatched, K)
         mask = pair_valid | un_slot
         null_build = jnp.repeat(~has_match & probe.row_mask, K) & (j == 0)
-        build_cols = [
-            ColumnVector(c.data, c.validity & ~null_build, c.lengths, c.dtype)
-            for c in build_cols
-        ]
+        build_cols = [c.with_validity(c.validity & ~null_build) for c in build_cols]
         out_cols = _assemble(probe_cols, build_cols, build_side)
         return Batch(tuple(out_cols), mask, out_schema), overflow
 
@@ -189,26 +235,18 @@ def hash_join(
         un_slot = (j == 0) & jnp.repeat(unmatched_p, K)
         mask_pairs = pair_valid | un_slot
         null_build = jnp.repeat(unmatched_p, K) & (j == 0)
-        build_cols_pairs = [
-            ColumnVector(c.data, c.validity & ~null_build, c.lengths, c.dtype)
-            for c in build_cols
-        ]
+        build_cols_pairs = [c.with_validity(c.validity & ~null_build) for c in build_cols]
         # build rows that matched no probe row: count probe hits per build row
         hit = jnp.zeros(bcap, jnp.int32).at[b_idx].add(pair_valid.astype(jnp.int32), mode="drop")
         unmatched_b = build.row_mask & (hit == 0)
-        tail_probe = [_null_column(f.dtype, bcap) for f in probe.schema.fields]
+        tail_probe = [
+            _null_column(f.dtype, bcap, like=c)
+            for f, c in zip(probe.schema.fields, probe.columns)
+        ]
         tail_build = list(build.columns)
         pair_block = _assemble(probe_cols, build_cols_pairs, build_side)
         tail_block = _assemble(tail_probe, tail_build, build_side)
-        out_cols = [
-            ColumnVector(
-                jnp.concatenate([a.data, b.data], axis=0),
-                jnp.concatenate([a.validity, b.validity]),
-                None if a.lengths is None else jnp.concatenate([a.lengths, b.lengths]),
-                a.dtype,
-            )
-            for a, b in zip(pair_block, tail_block)
-        ]
+        out_cols = [_concat_cv(a, b) for a, b in zip(pair_block, tail_block)]
         mask = jnp.concatenate([mask_pairs, unmatched_b])
         return Batch(tuple(out_cols), mask, out_schema), overflow
 
@@ -280,7 +318,7 @@ def nested_loop_join(
         un = left.row_mask & ~has
         un_slot = (ri == 0) & jnp.repeat(un, rcap)
         null_r = jnp.repeat(un, rcap) & (ri == 0)
-        rcols2 = [ColumnVector(c.data, c.validity & ~null_r, c.lengths, c.dtype) for c in rcols]
+        rcols2 = [c.with_validity(c.validity & ~null_r) for c in rcols]
         return Batch(tuple(lcols) + tuple(rcols2), cmask | un_slot, out_schema)
     if join_type == JoinType.LEFT_SEMI:
         has = jax.ops.segment_max(cmask.astype(jnp.int32), li, num_segments=lcap).astype(bool)
@@ -293,7 +331,7 @@ def nested_loop_join(
         has_r = jax.ops.segment_max(cmask.astype(jnp.int32), ri, num_segments=rcap).astype(bool)
         un_r = right.row_mask & ~has_r
         un_slot = (li == 0) & jnp.tile(un_r, lcap)
-        lcols2 = [ColumnVector(c.data, c.validity & ~un_slot, c.lengths, c.dtype) for c in lcols]
+        lcols2 = [c.with_validity(c.validity & ~un_slot) for c in lcols]
         return Batch(tuple(lcols2) + tuple(rcols), cmask | un_slot, out_schema)
     if join_type == JoinType.FULL:
         # left-join block, then unmatched right rows appended in their own
@@ -305,28 +343,17 @@ def nested_loop_join(
 
         def append_tail(cv_main: ColumnVector, cv_tail: Optional[ColumnVector], dt) -> ColumnVector:
             if cv_tail is None:  # null left side in the tail
-                tail = _null_column(dt, rcap)
+                tail = _null_column(dt, rcap, like=cv_main)
             else:
                 tail = cv_tail
-            def cat(a, b):
-                if a is None:
-                    return None
-                if a.ndim > 1 and a.shape[1] != b.shape[1]:
-                    w = max(a.shape[1], b.shape[1])
-                    a = jnp.pad(a, ((0, 0), (0, w - a.shape[1])))
-                    b = jnp.pad(b, ((0, 0), (0, w - b.shape[1])))
-                return jnp.concatenate([a, b], axis=0)
-            return ColumnVector(
-                cat(cv_main.data, tail.data), cat(cv_main.validity, tail.validity),
-                cat(cv_main.lengths, tail.lengths), dt,
-            )
+            return _concat_cv(cv_main, tail)
 
         lcols2 = [
-            append_tail(ColumnVector(c.data, c.validity, c.lengths, c.dtype), None, f.dtype)
+            append_tail(c, None, f.dtype)
             for c, f in zip(lcols, left.schema.fields)
         ]
         rcols2 = [
-            append_tail(ColumnVector(c.data, c.validity & ~un_l_slot, c.lengths, c.dtype), rc, f.dtype)
+            append_tail(c.with_validity(c.validity & ~un_l_slot), rc, f.dtype)
             for c, rc, f in zip(rcols, right.columns, right.schema.fields)
         ]
         live = jnp.concatenate([live_main, right.row_mask & ~has_r])

@@ -280,6 +280,8 @@ def _one_window(
 
     if f in ("lag", "lead"):
         cv = child_cv
+        if cv.is_dict and w.default is not None:
+            cv = cv.decode()  # default literal is in byte form; align encodings
         x = cv.data
         v = cv.validity
         off = w.offset if f == "lag" else -w.offset
@@ -302,7 +304,8 @@ def _one_window(
         if cv.lengths is not None:
             lshift = jnp.roll(cv.lengths, off, axis=0)
             lengths = jnp.where(in_seg, lshift, 0)
-        return ColumnVector(data, valid & live, lengths, rd)
+        return ColumnVector(data, valid & live, lengths, rd,
+                            dictionary=cv.dictionary)
 
     if f == "nth_value":
         cv = child_cv
@@ -315,7 +318,7 @@ def _one_window(
         data = jnp.take(x, tgt, axis=0)
         valid = jnp.take(v, tgt, axis=0) & ok & live
         lengths = None if cv.lengths is None else jnp.take(cv.lengths, tgt, axis=0)
-        return ColumnVector(data, valid, lengths, rd)
+        return ColumnVector(data, valid, lengths, rd, dictionary=cv.dictionary)
 
     # aggregate window functions over ROWS/RANGE frames
     if w.child is not None:

@@ -130,6 +130,10 @@ def column_limbs(cv: ColumnVector) -> List[jax.Array]:
     on TPU) and int64 only for 64-bit payloads."""
     dt = cv.dtype
     if dt.is_binary:
+        if cv.is_dict:
+            # sorted dictionary ⇒ codes are order-isomorphic to string
+            # order: ONE int32 limb replaces width/8 packed byte limbs
+            return [cv.data.astype(jnp.int32)]
         return _string_limbs(cv)
     if dt.is_floating:
         limbs = _float_orderable(cv.data)

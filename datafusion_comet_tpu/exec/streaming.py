@@ -45,7 +45,9 @@ def numpy_tiles(data: Dict[str, np.ndarray], schema: T.Schema, tile_rows: int):
     for lo in range(0, max(n, 1), tile_rows):
         hi = min(lo + tile_rows, n)
         chunk = {k: v[lo:hi] for k, v in data.items()}
-        yield from_numpy(chunk, schema, capacity=cap)
+        # per-chunk staging must not dictionary-encode: each chunk would get
+        # its OWN dict and codes from different chunks are incomparable
+        yield from_numpy(chunk, schema, capacity=cap, dictionary=False)
 
 
 def _split_agg(plan: P.PlanNode):

@@ -177,11 +177,14 @@ def _register_unsafe_rows(L) -> None:
 
 def batch_to_unsafe_rows(batch) -> Tuple[np.ndarray, np.ndarray]:
     """Serialize a Batch's live rows into Spark UnsafeRow layout.
+    Dictionary-encoded columns are decoded first (UnsafeRow stores raw
+    UTF8 bytes inline).
 
     Returns (buffer uint8[total_bytes], offsets int64[n_rows+1]); row r's
     bytes are buffer[offsets[r]:offsets[r+1]]. Decimals travel as their
     scaled int64 (<=18 digits — Spark's compact decimal representation).
     Uses the native kernel when available, numpy fallback otherwise."""
+    batch = batch.decode_dicts()
     mask = np.asarray(batch.row_mask)
     n = int(mask.sum())
     cols, widths, var_pad, var_lens, valids, sext = [], [], [], [], [], []

@@ -34,6 +34,7 @@ MAGIC_NONE = b"NONE"
 def batch_to_bytes(batch: Batch) -> bytes:
     """Serialize a batch's host copy into one contiguous buffer (column data,
     validity planes, lengths, row mask — raw little-endian)."""
+    batch = batch.decode_dicts()  # block layout is (cap, w)+lengths for binary
     parts: List[bytes] = [struct.pack("<q", batch.capacity)]
     parts.append(np.asarray(batch.row_mask).tobytes())
     for cv in batch.columns:

@@ -178,7 +178,8 @@ def _cv_rebuild(cv: ColumnVector, it) -> ColumnVector:
     validity = next(it)
     lengths = next(it) if cv.lengths is not None else None
     kids = tuple(_cv_rebuild(c, it) for c in cv.children)
-    return ColumnVector(data, validity, lengths, cv.dtype, kids)
+    return ColumnVector(data, validity, lengths, cv.dtype, kids,
+                        dictionary=cv.dictionary)
 
 
 def _bucketize(
