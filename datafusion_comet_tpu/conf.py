@@ -58,6 +58,15 @@ JOIN_MAX_RETRIES = _entry(
     "comet.exec.join.maxRetries", 4, "exec",
     "Max join fan-out re-planning attempts before failing.",
 )
+STAGE_MAX_JOINS = _entry(
+    "comet.exec.stage.maxJoinsPerProgram", 2, "exec",
+    "Plans with more joins than this split into separately compiled stages "
+    "with device-resident intermediates (join inputs materialize as temp "
+    "tables). Bounds XLA program size: join-heavy TPC-H programs (q5/q18) "
+    "monolithically exceed the TPU compiler's practical limits, and "
+    "per-stage compiles hit the persistent cache independently. 0 disables "
+    "staging (always compile one program).",
+)
 AGG_MAX_GROUPS = _entry(
     "comet.exec.agg.maxGroups", 1 << 16, "exec",
     "Default static group capacity for hash aggregates.",

@@ -405,12 +405,32 @@ class Session:
         return scan
 
     def execute(self, plan: P.PlanNode) -> Batch:
-        """Execute with automatic join-fanout re-planning."""
+        """Execute with automatic join-fanout re-planning and (for join-heavy
+        plans) staged compilation: at most ``comet.exec.stage.
+        maxJoinsPerProgram`` joins per compiled XLA program, join inputs
+        materialized as device-resident temp tables between stages. Bounds
+        program size (the monolithic q5/q18 programs never finished the
+        tunnel TPU compile) and makes overflow retries per-stage."""
+        from datafusion_comet_tpu.conf import CONF, STAGE_MAX_JOINS
+
         bound0 = P.bind_plan(plan) if _needs_bind(plan) else plan
         if _contains_map_in_batch(bound0):
-            plan = self._stage_udfs(bound0)
+            bound0 = self._stage_udfs(bound0)
         elif _plan_has_udf(bound0) and not _callbacks_supported():
-            plan = self._stage_udfs(bound0)
+            bound0 = self._stage_udfs(bound0)
+        if _needs_bind(bound0):
+            bound0 = P.bind_plan(bound0)
+        max_joins = CONF.get(STAGE_MAX_JOINS)
+        temp_names: List[str] = []
+        try:
+            if max_joins and _count_joins(bound0) > max_joins:
+                bound0 = self._stage_joins(bound0, max_joins, temp_names)
+            return self._execute_retry(bound0)
+        finally:
+            for n in temp_names:  # free stage intermediates (HBM)
+                self.tables.pop(n, None)
+
+    def _execute_retry(self, plan: P.PlanNode) -> Batch:
         fanout = self.join_fanout
         scale = 1
         for attempt in range(self.max_join_retries):
@@ -423,6 +443,39 @@ class Session:
         raise JoinOverflowError(
             f"join fan-out/group capacity exceeded after {self.max_join_retries} retries"
         )
+
+    def _stage_joins(
+        self, plan: P.PlanNode, max_joins: int, temp_names: List[str]
+    ) -> P.PlanNode:
+        """Bottom-up: wherever the subtree under a node would put more than
+        ``max_joins`` joins into one program, execute the join-carrying
+        children as their own (recursively staged) programs and splice the
+        resulting device batches in as temp-table scans. The staged analog
+        of the reference's per-stage native plans between shuffle boundaries
+        (CometExecRDD: one native plan instance per stage)."""
+        kids = [self._stage_joins(c, max_joins, temp_names) for c in plan.children()]
+        for old, new in zip(plan.children(), kids):
+            if old is not new:
+                plan = _replace_child_pure(plan, old, new)
+        kids = list(plan.children())
+        total = sum(_count_joins(k) for k in kids) + int(_is_join(plan))
+        if total <= max_joins:
+            return plan
+        # materialize join-heaviest children first until the program fits
+        order = sorted(kids, key=_count_joins, reverse=True)
+        for child in order:
+            if total <= max_joins or _count_joins(child) == 0:
+                break
+            batch = self._execute_retry(child)
+            name = f"__stage{self._next_stage_id}"
+            self._next_stage_id += 1
+            self.tables[name] = batch
+            temp_names.append(name)
+            scan = P.Scan(name, child.schema)
+            scan.schema = child.schema
+            plan = _replace_child_pure(plan, child, scan)
+            total -= _count_joins(child)
+        return plan
 
     def collect(self, plan: P.PlanNode) -> Dict[str, np.ndarray]:
         return to_numpy(self.execute(plan))
@@ -497,6 +550,14 @@ def _needs_bind(plan: P.PlanNode) -> bool:
     return plan.schema is None
 
 
+def _is_join(plan: P.PlanNode) -> bool:
+    return isinstance(plan, (P.HashJoin, P.SortMergeJoin, P.BroadcastNestedLoopJoin))
+
+
+def _count_joins(plan: P.PlanNode) -> int:
+    return int(_is_join(plan)) + sum(_count_joins(c) for c in plan.children())
+
+
 # -------------------------------------------------------------------------------------
 # Host-UDF staging (the C2R/R2C transition analog)
 # -------------------------------------------------------------------------------------
@@ -565,6 +626,22 @@ def _plan_has_udf(plan: P.PlanNode) -> bool:
     if box:
         return True
     return any(_plan_has_udf(c) for c in plan.children())
+
+
+def _replace_child_pure(plan: P.PlanNode, old: P.PlanNode, new: P.PlanNode) -> P.PlanNode:
+    """Non-mutating child replacement (shallow node copy): staged plans must
+    not alter the caller's plan tree — stage temp tables are freed after
+    execute, so a mutated shared tree would dangle on re-execution."""
+    import copy
+
+    cp = copy.copy(plan)
+    for f in dataclasses.fields(cp):
+        v = getattr(cp, f.name, None)
+        if v is old:
+            setattr(cp, f.name, new)
+        elif isinstance(v, tuple) and any(x is old for x in v):
+            setattr(cp, f.name, tuple(new if x is old else x for x in v))
+    return cp
 
 
 def _replace_child(plan: P.PlanNode, old: P.PlanNode, new: P.PlanNode) -> P.PlanNode:
