@@ -413,6 +413,60 @@ class Session:
         tunnel TPU compile) and makes overflow retries per-stage."""
         from datafusion_comet_tpu.conf import CONF, STAGE_MAX_JOINS
 
+        stage_list = self._plan_stages(plan)
+        temp_names = [n for n, _ in stage_list if n]
+        out: Optional[Batch] = None
+        try:
+            for name, sub in stage_list:
+                out = self._execute_retry(sub)
+                if name:
+                    self.tables[name] = out
+            return out
+        finally:
+            for n in temp_names:  # free stage intermediates (HBM)
+                self.tables.pop(n, None)
+
+    def prepare(self, plan: P.PlanNode) -> Callable[[], Batch]:
+        """Compile a plan (staged if join-heavy) into a reusable runner: the
+        warm-up execution settles join fan-out / group capacities per stage,
+        then every call re-executes with the SAME jitted programs (no
+        retrace, no recompile) — the benchmarking/serving entry point."""
+        stage_list = self._plan_stages(plan)
+        temp_names = [n for n, _ in stage_list if n]
+        steps: List[Tuple[Optional[str], Callable]] = []
+        try:
+            for name, sub in stage_list:
+                out, fn = self._execute_retry(sub, return_fn=True)
+                steps.append((name, fn))
+                if name:
+                    self.tables[name] = out
+        finally:
+            for n in temp_names:
+                self.tables.pop(n, None)
+
+        def run() -> Batch:
+            res: Optional[Batch] = None
+            try:
+                for name, fn in steps:
+                    res, ovf = fn(self.tables)
+                    if name:
+                        self.tables[name] = res
+            finally:
+                for n in temp_names:
+                    self.tables.pop(n, None)
+            return res
+
+        return run
+
+    def _plan_stages(self, plan: P.PlanNode) -> List[Tuple[Optional[str], P.PlanNode]]:
+        """Bind, stage host UDFs, and split into compile stages: a list of
+        (temp_table_name, subplan) in execution order; the last entry has
+        name None and is the query root. Each subplan holds at most
+        ``comet.exec.stage.maxJoinsPerProgram`` joins (the staged analog of
+        the reference's per-stage native plans between shuffle boundaries,
+        CometExecRDD: one native plan instance per stage)."""
+        from datafusion_comet_tpu.conf import CONF, STAGE_MAX_JOINS
+
         bound0 = P.bind_plan(plan) if _needs_bind(plan) else plan
         if _contains_map_in_batch(bound0):
             bound0 = self._stage_udfs(bound0)
@@ -421,39 +475,38 @@ class Session:
         if _needs_bind(bound0):
             bound0 = P.bind_plan(bound0)
         max_joins = CONF.get(STAGE_MAX_JOINS)
-        temp_names: List[str] = []
-        try:
-            if max_joins and _count_joins(bound0) > max_joins:
-                bound0 = self._stage_joins(bound0, max_joins, temp_names)
-            return self._execute_retry(bound0)
-        finally:
-            for n in temp_names:  # free stage intermediates (HBM)
-                self.tables.pop(n, None)
+        stages: List[Tuple[Optional[str], P.PlanNode]] = []
+        root = bound0
+        if max_joins and _count_joins(bound0) > max_joins:
+            root = self._split_stages(bound0, max_joins, stages)
+        stages.append((None, root))
+        return stages
 
-    def _execute_retry(self, plan: P.PlanNode) -> Batch:
+    def _execute_retry(self, plan: P.PlanNode, return_fn: bool = False):
         fanout = self.join_fanout
         scale = 1
         for attempt in range(self.max_join_retries):
             bound, fn = self.compile(plan, join_fanout=fanout, agg_scale=scale)
             out, overflowed = fn(self.tables)
             if not bool(overflowed):
-                return out
+                return (out, fn) if return_fn else out
             fanout *= 4
             scale *= 4  # aggregate group capacity grows with the same loop
         raise JoinOverflowError(
             f"join fan-out/group capacity exceeded after {self.max_join_retries} retries"
         )
 
-    def _stage_joins(
-        self, plan: P.PlanNode, max_joins: int, temp_names: List[str]
+    def _split_stages(
+        self,
+        plan: P.PlanNode,
+        max_joins: int,
+        stages: List[Tuple[Optional[str], P.PlanNode]],
     ) -> P.PlanNode:
-        """Bottom-up: wherever the subtree under a node would put more than
-        ``max_joins`` joins into one program, execute the join-carrying
-        children as their own (recursively staged) programs and splice the
-        resulting device batches in as temp-table scans. The staged analog
-        of the reference's per-stage native plans between shuffle boundaries
-        (CometExecRDD: one native plan instance per stage)."""
-        kids = [self._stage_joins(c, max_joins, temp_names) for c in plan.children()]
+        """Bottom-up pure rewrite: wherever a node's program would hold more
+        than ``max_joins`` joins, its join-carrying children become their own
+        stages (appended to ``stages``) replaced by temp-table scans. No
+        execution happens here; the caller's plan tree is never mutated."""
+        kids = [self._split_stages(c, max_joins, stages) for c in plan.children()]
         for old, new in zip(plan.children(), kids):
             if old is not new:
                 plan = _replace_child_pure(plan, old, new)
@@ -461,16 +514,14 @@ class Session:
         total = sum(_count_joins(k) for k in kids) + int(_is_join(plan))
         if total <= max_joins:
             return plan
-        # materialize join-heaviest children first until the program fits
+        # split off join-heaviest children first until the program fits
         order = sorted(kids, key=_count_joins, reverse=True)
         for child in order:
             if total <= max_joins or _count_joins(child) == 0:
                 break
-            batch = self._execute_retry(child)
             name = f"__stage{self._next_stage_id}"
             self._next_stage_id += 1
-            self.tables[name] = batch
-            temp_names.append(name)
+            stages.append((name, child))
             scan = P.Scan(name, child.schema)
             scan.schema = child.schema
             plan = _replace_child_pure(plan, child, scan)
