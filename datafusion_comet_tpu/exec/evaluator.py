@@ -1189,11 +1189,94 @@ def _string_func(e: E.StringFunc, b: Batch, ctx: EvalContext) -> ColumnVector:
     return _string_func_impl(e, args, ctx)
 
 
+def _bytes_func(e: E.StringFunc, args: List[ColumnVector], ctx: EvalContext) -> ColumnVector:
+    """hex/unhex/base64/unbase64/encode/decode/bin/conv + digests — device
+    kernels in exec/bytes_funcs.py (reference: math_funcs/unhex.rs,
+    string_funcs/base64.rs; digests are DataFusion built-ins in the
+    reference planner)."""
+    from datafusion_comet_tpu.exec import bytes_funcs as BF
+
+    f = e.func
+    cv = args[0]
+    if f == "hex":
+        if cv.dtype.is_binary:
+            data, lens = BF.hex_of_bytes(cv.data, cv.lengths, e.dtype)
+        else:
+            data, lens = BF.hex_of_int(cv.data, e.dtype)
+        return ColumnVector(data, cv.validity, lens, e.dtype)
+    if f == "unhex":
+        data, lens, invalid = BF.unhex(cv.data, cv.lengths, e.dtype)
+        return ColumnVector(data, cv.validity & ~invalid, lens, e.dtype)
+    if f == "base64":
+        chunk = True
+        if len(e.args) > 1 and isinstance(e.args[1], E.Literal):
+            chunk = bool(e.args[1].value)
+        data, lens = BF.base64_encode(cv.data, cv.lengths, e.dtype, chunk)
+        return ColumnVector(data, cv.validity, lens, e.dtype)
+    if f == "unbase64":
+        data, lens = BF.base64_decode(cv.data, cv.lengths, e.dtype)
+        return ColumnVector(data, cv.validity, lens, e.dtype)
+    if f in ("encode", "decode"):
+        charset = "utf-8"
+        if len(e.args) > 1 and isinstance(e.args[1], E.Literal) and e.args[1].value is not None:
+            charset = str(e.args[1].value).lower()
+        if charset.replace("_", "-") not in ("utf-8", "utf8"):
+            raise NotImplementedError(
+                f"{f} charset {charset!r} (only UTF-8 is byte-identity on the "
+                "padded-bytes representation)"
+            )
+        # UTF-8 string bytes == the stored bytes: identity reinterpret
+        return ColumnVector(cv.data, cv.validity, cv.lengths, e.dtype)
+    if f == "bin":
+        data, lens = BF.bin_of_int(cv.data, e.dtype)
+        return ColumnVector(data, cv.validity, lens, e.dtype)
+    if f == "conv":
+        if not (isinstance(e.args[1], E.Literal) and isinstance(e.args[2], E.Literal)):
+            raise NotImplementedError("conv requires literal from/to bases")
+        fb, tb = int(e.args[1].value), int(e.args[2].value)
+        if not (2 <= fb <= 36 and 2 <= abs(tb) <= 36):
+            # Spark returns NULL for out-of-range bases
+            return ColumnVector(
+                jnp.zeros((cv.capacity, e.dtype.byte_width), jnp.uint8),
+                jnp.zeros(cv.capacity, bool),
+                jnp.zeros(cv.capacity, jnp.int32),
+                e.dtype,
+            )
+        data, lens, null_out = BF.conv(cv.data, cv.lengths, fb, tb, e.dtype)
+        return ColumnVector(data, cv.validity & ~null_out, lens, e.dtype)
+    if f == "crc32":
+        return ColumnVector(BF.crc32(cv.data, cv.lengths), cv.validity, None, T.INT64)
+    if f == "md5":
+        data, lens = BF.md5(cv.data, cv.lengths, e.dtype)
+        return ColumnVector(data, cv.validity, lens, e.dtype)
+    if f == "sha1":
+        data, lens = BF.sha1(cv.data, cv.lengths, e.dtype)
+        return ColumnVector(data, cv.validity, lens, e.dtype)
+    if f == "sha2":
+        bits = 256
+        if len(e.args) > 1 and isinstance(e.args[1], E.Literal) and e.args[1].value is not None:
+            bits = int(e.args[1].value)
+        if bits not in (0, 224, 256, 384, 512):
+            # Spark: invalid bit length -> NULL
+            return ColumnVector(
+                jnp.zeros((cv.capacity, e.dtype.byte_width), jnp.uint8),
+                jnp.zeros(cv.capacity, bool),
+                jnp.zeros(cv.capacity, jnp.int32),
+                e.dtype,
+            )
+        data, lens = BF.sha2(cv.data, cv.lengths, bits, e.dtype)
+        return ColumnVector(data, cv.validity, lens, e.dtype)
+    raise NotImplementedError(f"bytes func {f}")
+
+
 def _string_func_impl(e: E.StringFunc, args: List[ColumnVector], ctx: EvalContext) -> ColumnVector:
     f = e.func
     cv = args[0]
     mat, lens = cv.data, cv.lengths
     cap, w = mat.shape if cv.dtype.is_binary else (cv.capacity, 0)
+    if f in ("hex", "unhex", "base64", "unbase64", "encode", "decode", "bin",
+             "conv", "md5", "sha1", "sha2", "crc32"):
+        return _bytes_func(e, args, ctx)
     if f in ("length", "char_length"):
         return ColumnVector(lens.astype(jnp.int32), cv.validity, None, T.INT32)
     if f in ("bit_length",):

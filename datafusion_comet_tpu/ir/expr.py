@@ -1029,4 +1029,40 @@ def _string_func_type(func: str, args: Sequence[Expr]) -> T.DataType:
         n = args[0]
         cap = int(n.value) if isinstance(n, Literal) and n.value is not None else 64
         return T.string(max(min(cap, 1 << 15), 1))
+    # binary/encoding family (exec/bytes_funcs.py; reference
+    # math_funcs/unhex.rs, string_funcs/base64.rs)
+    if func == "hex":
+        if a0 is not None and a0.is_binary:
+            return T.string(2 * a0.byte_width)
+        return T.string(16)
+    if func == "unhex":
+        w = a0.byte_width if a0 is not None and a0.is_binary else T.DEFAULT_STRING_LEN
+        return T.binary(max((w + 1) // 2, 1))
+    if func == "base64":
+        w = a0.byte_width if a0 is not None and a0.is_binary else T.DEFAULT_STRING_LEN
+        enc = (w + 2) // 3 * 4
+        return T.string(max(enc + 2 * max((enc - 1) // 76, 0), 4))
+    if func == "unbase64":
+        w = a0.byte_width if a0 is not None and a0.is_binary else T.DEFAULT_STRING_LEN
+        return T.binary(max(w // 4 * 3 + 3, 3))
+    if func == "encode":
+        assert a0 is not None
+        return T.binary(a0.byte_width)
+    if func == "decode":
+        assert a0 is not None
+        return T.string(a0.byte_width)
+    if func == "bin":
+        return T.string(64)
+    if func == "conv":
+        return T.string(65)
+    if func == "md5":
+        return T.string(32)
+    if func == "sha1":
+        return T.string(40)
+    if func == "sha2":
+        bits = args[1]
+        b = int(bits.value) if isinstance(bits, Literal) and bits.value is not None else 256
+        return T.string({0: 64, 224: 56, 256: 64, 384: 96, 512: 128}.get(b, 64))
+    if func == "crc32":
+        return T.INT64
     raise NotImplementedError(f"string func {func}")
