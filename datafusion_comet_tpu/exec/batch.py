@@ -44,6 +44,15 @@ __all__ = [
 ]
 
 
+def quantize_bound(mx: int) -> int:
+    """Round a magnitude bound up to all-nines (10^k - 1): ≤38 distinct
+    values keeps jit cache keys stable across batches."""
+    b = 9
+    while b < mx:
+        b = b * 10 + 9
+    return b
+
+
 def pad_capacity(n: int, minimum: int = 8) -> int:
     """Round row count up to the next power of two (stable jit cache keys)."""
     cap = max(minimum, 1)
@@ -55,7 +64,7 @@ def pad_capacity(n: int, minimum: int = 8) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data", "validity", "lengths", "children"],
-    meta_fields=["dtype", "dictionary"],
+    meta_fields=["dtype", "dictionary", "mag_bound"],
 )
 @dataclasses.dataclass
 class ColumnVector:
@@ -85,10 +94,23 @@ class ColumnVector:
     dtype: T.DataType
     children: Tuple["ColumnVector", ...] = ()
     dictionary: Optional["StringDict"] = None  # noqa: F821
+    # For DECIMAL(p>18) columns: a sound host-side upper bound on
+    # max |unscaled value|, quantized to all-nines (10^k - 1) so trace cache
+    # keys stay stable. When the bound fits int64, the column keeps NARROW
+    # 1-D int64 storage (fast path: sorts/joins/aggs ride one limb); wide
+    # (cap, 2) [hi, lo] i128 limb storage is used only when values may
+    # exceed int64 (reference stores Arrow Decimal128 unconditionally —
+    # spark-expr agg_funcs wide decimal; we narrow when provably safe).
+    mag_bound: Optional[int] = None
 
     @property
     def capacity(self) -> int:
         return self.data.shape[0]
+
+    @property
+    def is_wide_storage(self) -> bool:
+        """True when this decimal column is physically two-limb (cap, 2)."""
+        return self.dtype.is_decimal and self.data.ndim == 2
 
     @property
     def is_dict(self) -> bool:
@@ -96,7 +118,7 @@ class ColumnVector:
 
     def with_validity(self, validity: jax.Array) -> "ColumnVector":
         return ColumnVector(self.data, validity, self.lengths, self.dtype,
-                            self.children, self.dictionary)
+                            self.children, self.dictionary, self.mag_bound)
 
     def decode(self) -> "ColumnVector":
         """Materialize a dictionary column into padded (mat, lens) form.
@@ -415,6 +437,26 @@ def from_numpy(
             cols.append(
                 ColumnVector(jnp.asarray(mat_pad), jnp.asarray(valid_pad), jnp.asarray(lens_pad), f.dtype)
             )
+        elif f.dtype.is_wide_decimal:
+            ints = [0 if v[i] is None else int(v[i]) for i in range(n)]
+            mx = max((abs(x) for x in ints), default=0)
+            if mx < (1 << 62):
+                # values fit int64: keep narrow 1-D storage, record the bound
+                buf = np.zeros(cap, np.int64)
+                buf[:n] = ints
+                cols.append(
+                    ColumnVector(jnp.asarray(buf), jnp.asarray(valid_pad), None, f.dtype,
+                                 mag_bound=quantize_bound(mx))
+                )
+            else:
+                # two-limb i128: (cap, 2) int64 [hi, lo] two's complement
+                buf = np.zeros((cap, 2), np.int64)
+                m64 = (1 << 64) - 1
+                for i, x in enumerate(ints):
+                    u = x & ((1 << 128) - 1)
+                    buf[i, 0] = np.uint64((u >> 64) & m64).astype(np.int64)
+                    buf[i, 1] = np.uint64(u & m64).astype(np.int64)
+                cols.append(ColumnVector(jnp.asarray(buf), jnp.asarray(valid_pad), None, f.dtype))
         else:
             phys = f.dtype.np_dtype()
             buf = np.zeros(cap, phys)
@@ -423,7 +465,14 @@ def from_numpy(
                 buf[:n] = vv.astype(phys)
             else:
                 buf[:n] = v.astype(phys)
-            cols.append(ColumnVector(jnp.asarray(buf), jnp.asarray(valid_pad), None, f.dtype))
+            bound = None
+            if f.dtype.is_decimal:
+                # record the actual magnitude so downstream arithmetic can
+                # keep provably-int64 intermediates on the narrow fast path
+                mx = int(np.abs(buf[:n]).max()) if n else 0
+                bound = quantize_bound(mx)
+            cols.append(ColumnVector(jnp.asarray(buf), jnp.asarray(valid_pad), None, f.dtype,
+                                     mag_bound=bound))
     mask = np.zeros(cap, bool)
     mask[:n] = True
     return Batch(tuple(cols), jnp.asarray(mask), schema)
@@ -470,6 +519,21 @@ def to_numpy(batch: Batch) -> Dict[str, np.ndarray]:
                     bs = bytes(mat[i, : lens[i]])
                     vals[i] = bs if raw else bs.decode("utf-8", "replace")
             out[f.name] = vals
+        elif f.dtype.is_wide_decimal:
+            if col.data.ndim == 2:
+                limbs = np.asarray(col.data)[mask]
+                vals = np.empty(len(limbs), dtype=object)
+                m64 = (1 << 64) - 1
+                for i in range(len(limbs)):
+                    u = ((int(limbs[i, 0]) & m64) << 64) | (int(limbs[i, 1]) & m64)
+                    vals[i] = u - (1 << 128) if u >= (1 << 127) else u
+                out[f.name] = vals
+            else:  # narrow storage: surface as Python ints for uniformity
+                nv = np.asarray(col.data)[mask]
+                vals = np.empty(len(nv), dtype=object)
+                for i in range(len(nv)):
+                    vals[i] = int(nv[i])
+                out[f.name] = vals
         else:
             out[f.name] = np.asarray(col.data)[mask]
         out[f.name + "__valid"] = valid

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from datafusion_comet_tpu import types as T
-from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
+from datafusion_comet_tpu.exec.batch import Batch, ColumnVector, quantize_bound
 from datafusion_comet_tpu.ir import expr as E
 from datafusion_comet_tpu.utils import int128
 
@@ -263,7 +263,8 @@ def _literal(e: E.Literal, cap: int) -> ColumnVector:
                 dt,
             )
         phys = dt.np_dtype() if dt.type_id != "NULL" else np.int8
-        return ColumnVector(jnp.zeros(cap, phys), jnp.zeros(cap, bool), None, dt)
+        shape = (cap, 2) if dt.is_decimal and dt.is_wide_decimal else cap
+        return ColumnVector(jnp.zeros(shape, phys), jnp.zeros(cap, bool), None, dt)
     if dt.is_binary:
         raw = e.value.encode("utf-8") if isinstance(e.value, str) else bytes(e.value)
         w = dt.byte_width
@@ -275,9 +276,24 @@ def _literal(e: E.Literal, cap: int) -> ColumnVector:
             jnp.full(cap, len(raw), jnp.int32),
             dt,
         )
+    if dt.is_decimal and dt.is_wide_decimal:
+        v = int(e.value)
+        if abs(v) < _NARROW_LIMIT:
+            return ColumnVector(
+                jnp.full(cap, np.int64(v)), jnp.ones(cap, bool), None, dt,
+                mag_bound=quantize_bound(abs(v)),
+            )
+        from datafusion_comet_tpu.exec import decimal_wide as DW
+
+        limbs = DW.pack_np_int([v], 1)[0]
+        data = jnp.broadcast_to(jnp.asarray(limbs), (cap, 2))
+        return ColumnVector(data, jnp.ones(cap, bool), None, dt)
     phys = dt.np_dtype()
     data = jnp.full(cap, np.asarray(e.value).astype(phys))
-    return ColumnVector(data, jnp.ones(cap, bool), None, dt)
+    bound = None
+    if dt.is_decimal or dt.is_integer:
+        bound = quantize_bound(abs(int(e.value)))
+    return ColumnVector(data, jnp.ones(cap, bool), None, dt, mag_bound=bound)
 
 
 # -------------------------------------------------------------------------------------
@@ -439,7 +455,21 @@ def _compare(op: str, l: ColumnVector, r: ColumnVector, ctx: EvalContext) -> Col
             lt_ if lt_.is_decimal else _int_as_decimal(lt_),
             rt_ if rt_.is_decimal else _int_as_decimal(rt_),
         )
-        # rescale both to common scale; use i128 when the upscale may overflow
+        lk = ct.scale - (lt_.scale if lt_.is_decimal else 0)
+        rk = ct.scale - (rt_.scale if rt_.is_decimal else 0)
+        ldt = lt_ if lt_.is_decimal else _int_as_decimal(lt_)
+        rdt = rt_ if rt_.is_decimal else _int_as_decimal(rt_)
+        if (
+            l.is_wide_storage
+            or r.is_wide_storage
+            or _dec_bound(l, ldt) * 10**lk >= _NARROW_LIMIT
+            or _dec_bound(r, rdt) * 10**rk >= _NARROW_LIMIT
+        ):
+            from datafusion_comet_tpu.exec import decimal_wide as DW
+
+            eq, lt = DW.compare(DW.lift(l, lk), DW.lift(r, rk))
+            return _compare_result(op, eq, lt, l, r)
+        # bounds prove the upscale to the common scale fits int64
         ld = _decimal_compare_data(l, ct)
         rd = _decimal_compare_data(r, ct)
         eq = ld == rd
@@ -482,6 +512,30 @@ def _int_as_decimal(t: T.DataType) -> T.DataType:
         "INT32": T.decimal(10, 0),
         "INT64": T.decimal(20, 0),
     }[t.type_id]
+
+
+# Narrow-storage threshold: a decimal column stays 1-D int64 while its sound
+# magnitude bound is below this (margin under 2^63 so one add can't wrap).
+_NARROW_LIMIT = 1 << 62
+
+
+def _dec_bound(cv: ColumnVector, dt: T.DataType) -> int:
+    """Sound upper bound on max |unscaled value| of ``cv`` viewed as ``dt``.
+    Uses the tracked per-batch bound when present, else the type bound."""
+    if cv.mag_bound is not None:
+        return cv.mag_bound
+    if cv.dtype.is_integer or cv.dtype.is_boolean:
+        return min(10**dt.precision - 1, 1 << 63)
+    if cv.dtype.is_decimal and not cv.is_wide_storage and cv.dtype.precision > 18:
+        # narrow-stored wide-typed column without a recorded bound: storage
+        # itself proves the values fit int64
+        return (1 << 63) - 1
+    return 10**dt.precision - 1
+
+
+def _with_bound(cv: ColumnVector, bound: int) -> ColumnVector:
+    return ColumnVector(cv.data, cv.validity, cv.lengths, cv.dtype,
+                        cv.children, cv.dictionary, quantize_bound(bound))
 
 
 def _decimal_compare_data(cv: ColumnVector, ct: T.DataType) -> jax.Array:
@@ -542,10 +596,69 @@ def _c_mod_int(a, b):
     return a - qt * b
 
 
+def _arith_bound(op: str, lb: int, rb: int, s1: int, s2: int, so: int, prec: int):
+    """(sound output |unscaled| bound, narrow-path-is-exact) for a decimal
+    binary op with input bounds lb/rb at scales s1/s2, output scale so and
+    output precision prec."""
+    if op in ("add", "sub"):
+        if so < s1 or so < s2:
+            return 10**38, False
+        ob = lb * 10 ** (so - s1) + rb * 10 ** (so - s2)
+        return ob, ob < _NARROW_LIMIT
+    if op == "mul":
+        raw_scale = s1 + s2
+        raw = lb * rb
+        if so >= raw_scale:
+            ob = raw * 10 ** (so - raw_scale)
+        else:
+            ob = raw // 10 ** (raw_scale - so) + 1
+        # interior i128 product is exact while |l|,|r| fit i64 (narrow
+        # storage guarantees it) and the downscale divisor fits i64
+        safe = ob < _NARROW_LIMIT and (so >= raw_scale or raw_scale - so <= 18)
+        return ob, safe
+    if op == "div":
+        k = so - s1 + s2
+        if k < 0:
+            return 10**38, False
+        nb = lb * 10**k  # |quotient| <= |scaled numerator| since |den| >= 1
+        # i64 tier when everything fits; i128 tier (with per-row overflow
+        # nulling vs 10^prec) when the numerator fits i128 and legal results
+        # fit i64; otherwise the wide path
+        ob = min(nb + 1, 10**prec - 1)
+        safe = nb + 1 < _NARROW_LIMIT or (nb < 2**126 and ob < _NARROW_LIMIT)
+        return ob, safe
+    if op in ("mod", "pmod"):
+        s = max(s1, s2)
+        ab, cb = lb * 10 ** (s - s1), rb * 10 ** (s - s2)
+        mb = cb if op == "pmod" else min(ab, cb)
+        ob = mb * 10 ** (so - s) if so >= s else mb // 10 ** (s - so) + 1
+        return ob, ab < _NARROW_LIMIT and cb < _NARROW_LIMIT
+    return 10**38, False
+
+
 def _decimal_arith(e: E.BinaryOp, l: ColumnVector, r: ColumnVector, validity, ctx) -> ColumnVector:
     op, out = e.op, e.dtype
     lt_ = l.dtype if l.dtype.is_decimal else _int_as_decimal(l.dtype)
     rt_ = r.dtype if r.dtype.is_decimal else _int_as_decimal(r.dtype)
+    s1, s2, so = lt_.scale, rt_.scale, out.scale
+    lb, rb = _dec_bound(l, lt_), _dec_bound(r, rt_)
+    ob, narrow_ok = _arith_bound(op, lb, rb, s1, s2, so, out.precision)
+    if l.is_wide_storage or r.is_wide_storage or not narrow_ok:
+        from datafusion_comet_tpu.exec import decimal_wide as DW
+
+        res, zero_div = DW.arith(op, l, r, lt_, rt_, out)
+        if op in ("div", "mod", "pmod"):
+            if e.eval_mode == E.EvalMode.ANSI:
+                ctx.record_error(zero_div & validity, "DIVIDE_BY_ZERO")
+            validity = validity & ~zero_div
+        over = DW.overflow_check(res, out.precision)
+        if e.eval_mode == E.EvalMode.ANSI:
+            ctx.record_error(over & validity, "NUMERIC_VALUE_OUT_OF_RANGE")
+        validity = validity & ~over  # LEGACY/TRY: overflow -> null
+        eff = min(ob, 10**out.precision - 1)  # overflow rows are null
+        if out.is_wide_decimal and eff >= _NARROW_LIMIT:
+            return ColumnVector(DW.pack(res), validity, None, out)
+        return _with_bound(ColumnVector(res[1], validity, None, out), eff)
     ld = l.data.astype(jnp.int64)
     rd = r.data.astype(jnp.int64)
     s1, s2, so = lt_.scale, rt_.scale, out.scale
@@ -564,17 +677,22 @@ def _decimal_arith(e: E.BinaryOp, l: ColumnVector, r: ColumnVector, validity, ct
         k = so - s1 + s2
         is_zero = rd == 0
         safe = jnp.where(is_zero, jnp.ones_like(rd), rd)
-        if lt_.precision + k <= 18:
+        if lb * 10**k + 1 < _NARROW_LIMIT:
             num = _rescale_up_i64(ld, k)
             data = _div_i64_half_up(num, safe)
-        elif lt_.precision + k <= 38:
-            num = int128.mul_pow10_i64(ld, k)
-            data = int128.div_i128_i64_half_up(num, safe)
         else:
-            # exact path would need >128-bit intermediates; use float64
-            # (documented precision caveat; exact wide kernel is planned)
-            f = ld.astype(jnp.float64) / safe.astype(jnp.float64) * (10.0 ** (so - s1 + s2))
-            data = jnp.round(f).astype(jnp.int64)
+            # numerator needs i128; null rows whose quotient overflows the
+            # output precision (Spark LEGACY nulls / ANSI errors on overflow)
+            from datafusion_comet_tpu.exec import decimal_wide as DW
+
+            num = int128.mul_pow10_i64(ld, k)
+            q = DW._div_i128_i64_full(num, safe)
+            lim = np.int64(10 ** min(out.precision, 18) - 1)
+            over = ~DW.fits_i64(q) | (jnp.abs(q[1]) > lim)
+            if e.eval_mode == E.EvalMode.ANSI:
+                ctx.record_error(over & validity & ~is_zero, "NUMERIC_VALUE_OUT_OF_RANGE")
+            validity = validity & ~over
+            data = q[1]
         if e.eval_mode == E.EvalMode.ANSI:
             ctx.record_error(is_zero & validity, "DIVIDE_BY_ZERO")
         validity = validity & ~is_zero
@@ -591,7 +709,7 @@ def _decimal_arith(e: E.BinaryOp, l: ColumnVector, r: ColumnVector, validity, ct
         validity = validity & ~is_zero
     else:
         raise NotImplementedError(op)
-    return ColumnVector(data, validity, None, out)
+    return _with_bound(ColumnVector(data, validity, None, out), ob)
 
 
 def _div_i64_half_up(num: jax.Array, den: jax.Array) -> jax.Array:
@@ -622,10 +740,16 @@ def _unary(e: E.UnaryOp, b: Batch, ctx: EvalContext) -> ColumnVector:
     if e.op == "isnan":
         d = jnp.isnan(c.data) if c.dtype.is_floating else jnp.zeros(c.capacity, bool)
         return ColumnVector(d & c.validity, jnp.ones_like(c.validity), None, T.BOOL)
-    if e.op == "negate":
-        return ColumnVector(-c.data, c.validity, None, c.dtype)
-    if e.op == "abs":
-        return ColumnVector(jnp.abs(c.data), c.validity, None, c.dtype)
+    if e.op in ("negate", "abs"):
+        if c.is_wide_storage:
+            from datafusion_comet_tpu.exec import decimal_wide as DW
+            from datafusion_comet_tpu.utils import int128
+
+            p = DW.pair(c.data)
+            res = int128.neg(p) if e.op == "negate" else int128.abs_(p)
+            return ColumnVector(DW.pack(res), c.validity, None, c.dtype)
+        data = -c.data if e.op == "negate" else jnp.abs(c.data)
+        return ColumnVector(data, c.validity, None, c.dtype, mag_bound=c.mag_bound)
     raise NotImplementedError(e.op)
 
 
@@ -661,16 +785,19 @@ def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: Eva
     if frm.is_binary:
         return _cast_string_to(cv, frm, to, mode, ctx)
     if to.is_decimal:
+        nb = _cast_bound(cv, frm, to)
+        if cv.is_wide_storage or nb is None or nb >= _NARROW_LIMIT:
+            return _cast_wide_decimal(cv, frm, to, mode, ctx, validity)
         if frm.is_decimal:
             k = to.scale - frm.scale
             if k >= 0:
                 data = _rescale_up_i64(cv.data.astype(jnp.int64), k)
             else:
                 data = _decimal_downscale_half_up_i64(cv.data.astype(jnp.int64), -k)
-            return ColumnVector(data, validity, None, to)
+            return _with_bound(ColumnVector(data, validity, None, to), nb)
         if frm.is_integer or frm.is_boolean:
             data = cv.data.astype(jnp.int64) * np.int64(10**to.scale)
-            return ColumnVector(data, validity, None, to)
+            return _with_bound(ColumnVector(data, validity, None, to), nb)
         if frm.is_floating:
             scaled = cv.data.astype(jnp.float64) * (10.0**to.scale)
             ok = jnp.isfinite(scaled)
@@ -680,11 +807,22 @@ def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: Eva
             return ColumnVector(data, validity & ok, None, to)
         raise NotImplementedError(f"cast {frm!r} -> {to!r}")
     if frm.is_decimal:
+        from datafusion_comet_tpu.exec import decimal_wide as DW
+
         if to.is_integer:
+            if cv.is_wide_storage:
+                p = DW.rescale_trunc(DW.pair(cv.data), -frm.scale)
+                fits = DW.fits_i64(p)
+                if mode == E.EvalMode.ANSI:
+                    ctx.record_error(~fits & validity, "CAST_OVERFLOW")
+                return _int_narrow(p[1], validity & fits, to, mode, ctx)
             scaled = _decimal_truncate_i64(cv.data.astype(jnp.int64), frm.scale)
             return _int_narrow(scaled, validity, to, mode, ctx)
         if to.is_floating:
-            data = cv.data.astype(jnp.float64) / (10.0**frm.scale)
+            if cv.is_wide_storage:
+                data = DW.to_f64(cv.data, frm.scale)
+            else:
+                data = cv.data.astype(jnp.float64) / (10.0**frm.scale)
             return ColumnVector(data.astype(to.np_dtype()), validity, None, to)
         raise NotImplementedError(f"cast decimal -> {to!r}")
     if to.is_integer:
@@ -713,6 +851,52 @@ def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: Eva
         micros = cv.data.astype(jnp.int64) * np.int64(86_400_000_000)
         return ColumnVector(micros, validity, None, to)
     raise NotImplementedError(f"cast {frm!r} -> {to!r}")
+
+
+def _cast_bound(cv: ColumnVector, frm: T.DataType, to: T.DataType):
+    """Sound |unscaled| bound of cast(cv as to) computed on the host, or
+    None when unbounded (floats) — None routes to the wide i128 path."""
+    if frm.is_decimal:
+        fb = _dec_bound(cv, frm)
+        k = to.scale - frm.scale
+        return fb * 10**k if k >= 0 else fb // 10 ** (-k) + 1
+    if frm.is_integer or frm.is_boolean:
+        lo, hi = (0, 1) if frm.is_boolean else frm.int_bounds()
+        return max(abs(int(lo)), int(hi)) * 10**to.scale
+    return None
+
+
+def _cast_wide_decimal(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: EvalContext, validity) -> ColumnVector:
+    """Casts to/from decimals needing i128: rescale + precision-overflow
+    check (cast.rs decimal matrix rows; Spark nulls on overflow in
+    LEGACY/TRY, errors in ANSI). Output storage narrows back to 1-D int64
+    when the post-check bound fits (overflowed rows are null)."""
+    from datafusion_comet_tpu.exec import decimal_wide as DW
+    from datafusion_comet_tpu.utils import int128 as i128
+
+    if frm.is_decimal:
+        p = DW.rescale(DW.lift(cv), to.scale - frm.scale)
+    elif frm.is_integer or frm.is_boolean:
+        p = i128.mul_pow10_i128(i128.from_i64(cv.data.astype(jnp.int64)), to.scale)
+    elif frm.is_floating:
+        scaled = cv.data.astype(jnp.float64) * (10.0**to.scale)
+        ok = jnp.isfinite(scaled)
+        p = DW._f64_to_i128(jnp.where(ok, jnp.round(scaled), 0.0))
+        if mode == E.EvalMode.ANSI:
+            ctx.record_error(~ok & validity, "CAST_OVERFLOW")
+        validity = validity & ok
+    else:
+        raise NotImplementedError(f"cast {frm!r} -> {to!r}")
+    over = DW.overflow_check(p, to.precision)
+    if mode == E.EvalMode.ANSI:
+        ctx.record_error(over & validity, "CAST_OVERFLOW")
+    validity = validity & ~over
+    nb = _cast_bound(cv, frm, to)
+    eff = min(nb, 10**to.precision - 1) if nb is not None else 10**to.precision - 1
+    if to.is_wide_decimal and eff >= _NARROW_LIMIT:
+        return ColumnVector(DW.pack(p), validity, None, to)
+    # post-check values fit the low limb (overflow rows are already null)
+    return _with_bound(ColumnVector(p[1], validity, None, to), eff)
 
 
 def _decimal_truncate_i64(data: jax.Array, scale: int) -> jax.Array:
@@ -781,17 +965,25 @@ def _cast_to_string(cv: ColumnVector, frm: T.DataType, to: T.DataType) -> Column
         return ColumnVector(chars.astype(jnp.uint8), cv.validity, jnp.full(cap, 10, jnp.int32), to)
     # integers / decimals
     scale = frm.scale if frm.is_decimal else 0
-    v = cv.data.astype(jnp.int64)
-    negative = v < 0
-    u = jnp.where(negative, -v, v)
-    MAXD = 19
-    # digits little-endian
-    digs = []
-    x = u
-    for _ in range(MAXD):
-        digs.append(x % 10)
-        x = x // 10
-    digs = jnp.stack(digs, axis=1)  # (cap, 19) little-endian
+    if frm.is_decimal and cv.is_wide_storage:
+        from datafusion_comet_tpu.exec import decimal_wide as DW
+
+        digs, negative = DW.digits_39(DW.pair(cv.data))
+        digs = digs.astype(jnp.int64)
+        MAXD = digs.shape[1]
+        u = jnp.max(digs, axis=1)  # only zero/nonzero matters below
+    else:
+        v = cv.data.astype(jnp.int64)
+        negative = v < 0
+        u = jnp.where(negative, -v, v)
+        MAXD = 19
+        # digits little-endian
+        digs = []
+        x = u
+        for _ in range(MAXD):
+            digs.append(x % 10)
+            x = x // 10
+        digs = jnp.stack(digs, axis=1)  # (cap, 19) little-endian
     ndig_raw = MAXD - jnp.argmax(jnp.flip(digs, axis=1) != 0, axis=1)
     ndig_raw = jnp.where(u == 0, 1, ndig_raw)
     if scale > 0:

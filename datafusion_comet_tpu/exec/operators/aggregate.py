@@ -36,8 +36,8 @@ import numpy as np
 
 from datafusion_comet_tpu import types as T
 from datafusion_comet_tpu.exec import sortkeys
-from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
-from datafusion_comet_tpu.exec.evaluator import EvalContext, evaluate
+from datafusion_comet_tpu.exec.batch import Batch, ColumnVector, quantize_bound
+from datafusion_comet_tpu.exec.evaluator import EvalContext, _NARROW_LIMIT, _dec_bound, evaluate
 from datafusion_comet_tpu.ir import expr as E
 from datafusion_comet_tpu.ir.plan import AggMode
 
@@ -502,6 +502,36 @@ def _bucket_aggregate(
 # ---- Partial/Single: aggregate raw input rows ---------------------------------------
 
 
+def _decimal_sum(cv: ColumnVector, x, valid, seg, m, st: T.DataType):
+    """Segment-sum into state dtype ``st``. Decimal sums whose sound bound
+    (max|value| × rows) exceeds int64 use the i128 4×32-bit-lane
+    decomposition: per-lane int64 segment sums cannot overflow for < 2^31
+    rows and recombine with carries only at group boundaries (reference:
+    spark-expr/src/agg_funcs sum/avg decimal i256 state). Returns
+    (state_data, sum_bound_or_None, overflow_mask_or_None); the bound is
+    None on the wide path, the overflow mask None on the narrow one."""
+    if st.is_decimal and st.is_wide_decimal:
+        sb = _dec_bound(cv, cv.dtype if cv.dtype.is_decimal else st) * x.shape[0]
+        if cv.is_wide_storage or sb >= _NARROW_LIMIT:
+            from datafusion_comet_tpu.exec import decimal_wide as DW
+            from datafusion_comet_tpu.utils import int128
+
+            p = DW.pair(x) if x.ndim == 2 else int128.from_i64(x.astype(jnp.int64))
+            lanes = DW.decompose4(p)
+            sums = [_seg_sum(jnp.where(valid, lane, 0), seg, m) for lane in lanes]
+            packed = DW.pack(DW.recombine4(*sums))
+            # Spark nulls decimal sums that overflow the 38-digit state.
+            # The exact check catches 10^38..2^127; an f64 estimate of the
+            # lane sums screens totals big enough to have wrapped i128.
+            est = sum(s.astype(jnp.float64) * 2.0 ** (32 * i) for i, s in enumerate(sums))
+            over = DW.overflow_check(DW.pair(packed), st.precision) | (jnp.abs(est) >= 1.5e38)
+            return packed, None, over
+        s = _seg_sum(jnp.where(valid, x, 0).astype(jnp.int64), seg, m)
+        return s, sb, None
+    xs = jnp.where(valid, x, 0).astype(st.np_dtype())
+    return _seg_sum(xs, seg, m), None, None
+
+
 def _input_agg(
     a: E.AggExpr,
     batch: Batch,
@@ -534,34 +564,39 @@ def _input_agg(
 
     if f == E.AggFunc.SUM:
         st = _sum_state_dtype(a)
-        xs = jnp.where(valid, x, 0).astype(st.np_dtype())
-        s = _seg_sum(xs, seg, m)
+        s, sb, over = _decimal_sum(cv, x, valid, seg, m, st)
         has = _seg_max(valid, seg, m) & group_mask
-        return [ColumnVector(s, has, None, st)]
+        if over is not None:
+            has = has & ~over
+        bound = quantize_bound(sb) if sb is not None else None
+        return [ColumnVector(s, has, None, st, mag_bound=bound)]
 
     if f == E.AggFunc.AVG:
         st = _sum_state_dtype(a)
-        xs = jnp.where(valid, x, 0).astype(st.np_dtype())
-        s = _seg_sum(xs, seg, m)
+        s, sb, over = _decimal_sum(cv, x, valid, seg, m, st)
         cnt = _seg_sum(valid.astype(jnp.int32), seg, m).astype(jnp.int64)
         has = (cnt > 0) & group_mask
+        if over is not None:
+            has = has & ~over
+        bound = quantize_bound(sb) if sb is not None else None
         return [
-            ColumnVector(s, has, None, st),
+            ColumnVector(s, has, None, st, mag_bound=bound),
             ColumnVector(cnt, group_mask, None, T.INT64),
         ]
 
     if f in (E.AggFunc.MIN, E.AggFunc.MAX):
         dt = a.child.dtype
         is_min = f == E.AggFunc.MIN
-        if dt.is_binary or dt.is_floating:
+        if dt.is_binary or dt.is_floating or cv.is_wide_storage:
             # multi-limb tournament (exact Spark order: NaN greatest, -0==0;
-            # strings: unsigned bytes, prefix first)
+            # strings: unsigned bytes, prefix first; i128 decimals: hi/lo)
             return [_limb_minmax(a, cv, valid, perm, seg, m, group_mask)]
         ident = _minmax_identity(dt, is_min)
         xs = jnp.where(valid, x, ident)
         s = _seg_min(xs, seg, m) if is_min else _seg_max(xs, seg, m)
         has = _seg_max(valid, seg, m) & group_mask
-        return [ColumnVector(s.astype(dt.np_dtype()), has, None, dt)]
+        # min/max values are a subset of the inputs: the bound carries over
+        return [ColumnVector(s.astype(dt.np_dtype()), has, None, dt, mag_bound=cv.mag_bound)]
 
     if f in (E.AggFunc.FIRST, E.AggFunc.LAST):
         dt = a.child.dtype
@@ -756,18 +791,24 @@ def _merge_agg(
 
     if f == E.AggFunc.SUM:
         x, v = p(sts[0])
-        s = _seg_sum(jnp.where(v, x, 0), seg, m)
+        s, sb, over = _decimal_sum(sts[0], x, v, seg, m, sts[0].dtype)
         has = _seg_max(v, seg, m) & group_mask
-        return [ColumnVector(s, has, None, sts[0].dtype)]
+        if over is not None:
+            has = has & ~over
+        bound = quantize_bound(sb) if sb is not None else None
+        return [ColumnVector(s, has, None, sts[0].dtype, mag_bound=bound)]
 
     if f == E.AggFunc.AVG:
         x, v = p(sts[0])
         c, cv_ = p(sts[1])
-        s = _seg_sum(jnp.where(v, x, 0), seg, m)
+        s, sb, over = _decimal_sum(sts[0], x, v, seg, m, sts[0].dtype)
         cnt = _seg_sum(jnp.where(cv_, c, 0), seg, m)
         has = (cnt > 0) & group_mask
+        if over is not None:
+            has = has & ~over
+        bound = quantize_bound(sb) if sb is not None else None
         return [
-            ColumnVector(s, has, None, sts[0].dtype),
+            ColumnVector(s, has, None, sts[0].dtype, mag_bound=bound),
             ColumnVector(cnt, group_mask, None, T.INT64),
         ]
 
@@ -848,14 +889,20 @@ def _finalize(a: E.AggExpr, vals: List[ColumnVector], group_mask) -> ColumnVecto
     if f == E.AggFunc.AVG:
         s, cnt = vals[0], vals[1]
         if rt.is_decimal:
-            from datafusion_comet_tpu.utils import int128
+            from datafusion_comet_tpu.exec import decimal_wide as DW
 
-            # avg = sum/count at result scale: sum is at child scale; upscale
+            # avg = sum/count at result scale (HALF_UP): lift the sum state
+            # (narrow or two-limb) to i128, upscale, divide by the count
             k = rt.scale - s.dtype.scale
-            num = int128.mul_pow10_i64(s.data.astype(jnp.int64), max(k, 0))
-            den = jnp.maximum(cnt.data, 1)
-            q = int128.div_i128_i64_half_up(num, den)
-            return ColumnVector(q, s.validity & (cnt.data > 0), None, rt)
+            num = DW.rescale(DW.lift(s), k)
+            den = jnp.maximum(cnt.data, 1).astype(jnp.int64)
+            q = DW._div_i128_i64_full(num, den)
+            ok = s.validity & (cnt.data > 0)
+            vb = _dec_bound(s, s.dtype) * 10 ** max(k, 0)
+            if rt.is_wide_decimal and vb >= _NARROW_LIMIT:
+                return ColumnVector(DW.pack(q), ok, None, rt)
+            bound = quantize_bound(vb) if rt.is_wide_decimal else None
+            return ColumnVector(q[1], ok, None, rt, mag_bound=bound)
         d = s.data.astype(jnp.float64) / jnp.maximum(cnt.data, 1).astype(jnp.float64)
         return ColumnVector(d, s.validity & (cnt.data > 0), None, T.FLOAT64)
     if f in _WELFORD_FUNCS:

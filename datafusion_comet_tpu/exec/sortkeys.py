@@ -142,7 +142,13 @@ def column_limbs(cv: ColumnVector) -> List[jax.Array]:
         return [cv.data.astype(jnp.int32)]
     if dt.type_id in ("INT8", "INT16", "INT32", "DATE"):
         return [cv.data.astype(jnp.int32)]
-    # int64, decimals (scaled i64), timestamps
+    if dt.is_decimal and cv.data.ndim == 2:
+        # two-limb i128 decimal: (hi signed, lo bias-flipped to signed) —
+        # the lexicographic signed limb order equals i128 value order
+        hi = cv.data[:, 0].astype(jnp.int64)
+        lo = cv.data[:, 1].astype(jnp.int64) ^ jnp.int64(-0x8000000000000000)
+        return [hi, lo]
+    # int64, narrow decimals (scaled i64), timestamps
     return [cv.data.astype(jnp.int64)]
 
 

@@ -42,12 +42,36 @@ def numpy_tiles(data: Dict[str, np.ndarray], schema: T.Schema, tile_rows: int):
     from datafusion_comet_tpu.exec.batch import pad_capacity
 
     cap = pad_capacity(min(tile_rows, max(n, 1)))
+    # compute decimal magnitude bounds over the FULL column so every tile
+    # carries the same bound: per-tile bounds would retrace the partial
+    # program and could flip state storage between tiles
+    import dataclasses
+
+    from datafusion_comet_tpu.exec.batch import quantize_bound
+
+    global_bound = {}
+    for f in schema.fields:
+        if f.dtype.is_decimal and f.name in data:
+            mx = 0
+            for x in data[f.name]:
+                if x is not None:
+                    mx = max(mx, abs(int(x)))
+            global_bound[f.name] = quantize_bound(mx)
     for lo in range(0, max(n, 1), tile_rows):
         hi = min(lo + tile_rows, n)
         chunk = {k: v[lo:hi] for k, v in data.items()}
         # per-chunk staging must not dictionary-encode: each chunk would get
         # its OWN dict and codes from different chunks are incomparable
-        yield from_numpy(chunk, schema, capacity=cap, dictionary=False)
+        b = from_numpy(chunk, schema, capacity=cap, dictionary=False)
+        if global_bound:
+            cols = tuple(
+                dataclasses.replace(c, mag_bound=global_bound[f.name])
+                if f.name in global_bound and not c.is_wide_storage
+                else c
+                for f, c in zip(schema.fields, b.columns)
+            )
+            b = Batch(cols, b.row_mask, b.schema)
+        yield b
 
 
 def _split_agg(plan: P.PlanNode):
@@ -141,17 +165,27 @@ def _concat(a: Batch, b: Batch) -> Batch:
 
     cols = []
     for ca, cb, f in zip(a.columns, b.columns, a.schema.fields):
+        if f.dtype.is_decimal and (ca.is_wide_storage or cb.is_wide_storage):
+            # unify mixed decimal storage (e.g. a grown accumulator vs a
+            # fresh narrow tile state) to two-limb before concatenating
+            from datafusion_comet_tpu.exec import decimal_wide as DW
+
+            ca, cb = DW.widen_cv(ca), DW.widen_cv(cb)
         da, db = ca.data, cb.data
         if f.dtype.is_binary and da.shape[1] != db.shape[1]:
             w = max(da.shape[1], db.shape[1])
             da = jnp.pad(da, ((0, 0), (0, w - da.shape[1])))
             db = jnp.pad(db, ((0, 0), (0, w - db.shape[1])))
+        bound = None
+        if ca.mag_bound is not None and cb.mag_bound is not None:
+            bound = max(ca.mag_bound, cb.mag_bound)
         cols.append(
             ColumnVector(
                 jnp.concatenate([da, db], axis=0),
                 jnp.concatenate([ca.validity, cb.validity]),
                 None if ca.lengths is None else jnp.concatenate([ca.lengths, cb.lengths]),
                 f.dtype,
+                mag_bound=bound,
             )
         )
     return Batch(tuple(cols), jnp.concatenate([a.row_mask, b.row_mask]), a.schema)

@@ -279,12 +279,9 @@ def arrow_table_to_batch(
             mat, lens = pad_utf8_arrow(offsets, dbuf, f.dtype.byte_width)
             data[f.name] = (mat, lens)
         elif f.dtype.is_decimal:
-            # decimal → scaled int64 (values must fit: p<=18 limb contract)
-            import pyarrow.compute as pc2
-
-            scaled = col.cast(pa.decimal128(38, f.dtype.scale))
-            ints = np.array([int(v.as_py().scaleb(f.dtype.scale)) if v.is_valid else 0 for v in scaled], np.int64) if False else _decimal_to_i64(col, f.dtype)
-            data[f.name] = ints
+            # scaled int64 when every value fits (the narrow fast path);
+            # Python-int object column otherwise → two-limb staging
+            data[f.name] = _decimal_to_ints(col, f.dtype)
         elif f.dtype.type_id == "DATE":
             data[f.name] = np.asarray(col.cast(pa.int32()))
         elif f.dtype.is_temporal:
@@ -297,21 +294,29 @@ def arrow_table_to_batch(
     return from_numpy(data, schema, capacity=capacity, validity=validity)
 
 
-def _decimal_to_i64(col, dt: T.DataType) -> np.ndarray:
-    """Arrow decimal column → scaled int64 without per-row Python Decimal."""
+def _decimal_to_ints(col, dt: T.DataType) -> np.ndarray:
+    """Arrow decimal column → scaled unscaled-int values, no per-row
+    Python Decimal. Returns int64 when every value fits (narrow storage);
+    otherwise an object array of Python ints (from_numpy stages two-limb)."""
     import pyarrow as pa
 
-    # rescale to target scale, then view as int64 when precision allows
     c = col.cast(pa.decimal128(38, dt.scale))
     arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-    # decimal128 buffers are 16-byte little-endian; take the low 8 bytes
+    # decimal128 buffers are 16-byte little-endian [lo, hi] int64 pairs
     buf = (
         np.frombuffer(arr.buffers()[1], np.int64)
         if arr.buffers()[1] is not None
         else np.zeros(2 * len(arr), np.int64)
     )
     lo = buf[0::2][arr.offset : arr.offset + len(arr)]
-    return lo.copy()
+    hi = buf[1::2][arr.offset : arr.offset + len(arr)]
+    if np.array_equal(hi, lo >> 63):  # hi is pure sign extension
+        return lo.copy()
+    out = np.empty(len(lo), object)
+    m64 = (1 << 64) - 1
+    for i in range(len(lo)):
+        out[i] = (int(hi[i]) << 64) | (int(lo[i]) & m64)
+    return out
 
 
 # -------------------------------------------------------------------------------------

@@ -92,6 +92,13 @@ class DataType:
         return self.type_id == "DECIMAL"
 
     @property
+    def is_wide_decimal(self) -> bool:
+        """DECIMAL(p>18): stored as a (rows, 2) int64 [hi, lo] two's
+        complement i128 limb matrix (reference stores i256/i128 Arrow
+        Decimal — agg_funcs wide decimal; columnar_to_row.rs 16-byte)."""
+        return self.type_id == "DECIMAL" and self.precision > MAX_INT64_DECIMAL_PRECISION
+
+    @property
     def is_numeric(self) -> bool:
         return self.is_integer or self.is_floating or self.is_decimal
 
