@@ -39,6 +39,7 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("d_qoy", T.INT32, False),
             T.Field("d_day_name", T.string(9), False),
             T.Field("d_month_seq", T.INT32, False),
+            T.Field("d_week_seq", T.INT32, False),
         ]
     ),
     "time_dim": T.Schema(
@@ -60,6 +61,9 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("i_category", T.string(12), False),
             T.Field("i_class", T.string(12), False),
             T.Field("i_current_price", _dec(7, 2), False),
+            T.Field("i_product_name", T.string(24), False),
+            T.Field("i_color", T.string(10), False),
+            T.Field("i_manufact", T.string(16), False),
         ]
     ),
     "store": T.Schema(
@@ -69,12 +73,16 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("s_store_name", T.string(12), False),
             T.Field("s_county", T.string(20), False),
             T.Field("s_city", T.string(12), False),
+            T.Field("s_state", T.string(2), False),
+            T.Field("s_zip", T.string(5), False),
         ]
     ),
     "warehouse": T.Schema(
         [
             T.Field("w_warehouse_sk", T.INT64, False),
             T.Field("w_warehouse_name", T.string(20), False),
+            T.Field("w_state", T.string(2), False),
+            T.Field("w_warehouse_sq_ft", T.INT32, False),
         ]
     ),
     "ship_mode": T.Schema(
@@ -101,6 +109,7 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("hd_buy_potential", T.string(12), False),
             T.Field("hd_dep_count", T.INT32, False),
             T.Field("hd_vehicle_count", T.INT32, False),
+            T.Field("hd_income_band_sk", T.INT64, False),
         ]
     ),
     "customer_demographics": T.Schema(
@@ -109,6 +118,11 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("cd_gender", T.string(1), False),
             T.Field("cd_marital_status", T.string(1), False),
             T.Field("cd_education_status", T.string(16), False),
+            T.Field("cd_purchase_estimate", T.INT32, False),
+            T.Field("cd_credit_rating", T.string(10), False),
+            T.Field("cd_dep_count", T.INT32, False),
+            T.Field("cd_dep_employed_count", T.INT32, False),
+            T.Field("cd_dep_college_count", T.INT32, False),
         ]
     ),
     "customer_address": T.Schema(
@@ -118,6 +132,7 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("ca_state", T.string(2), False),
             T.Field("ca_zip", T.string(5), False),
             T.Field("ca_gmt_offset", T.INT32, False),
+            T.Field("ca_county", T.string(20), False),
         ]
     ),
     "promotion": T.Schema(
@@ -125,6 +140,8 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("p_promo_sk", T.INT64, False),
             T.Field("p_channel_email", T.string(1), False),
             T.Field("p_channel_event", T.string(1), False),
+            T.Field("p_channel_dmail", T.string(1), False),
+            T.Field("p_channel_tv", T.string(1), False),
         ]
     ),
     "customer": T.Schema(
@@ -135,6 +152,10 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("c_first_name", T.string(16), False),
             T.Field("c_salutation", T.string(6), False),
             T.Field("c_preferred_cust_flag", T.string(1), False),
+            T.Field("c_customer_id", T.string(16), False),
+            T.Field("c_current_cdemo_sk", T.INT64, False),
+            T.Field("c_current_hdemo_sk", T.INT64, False),
+            T.Field("c_birth_year", T.INT32, False),
         ]
     ),
     "store_sales": T.Schema(
@@ -157,6 +178,9 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("ss_ext_wholesale_cost", _dec(7, 2), False),
             T.Field("ss_coupon_amt", _dec(7, 2), False),
             T.Field("ss_net_profit", _dec(7, 2), False),
+            T.Field("ss_wholesale_cost", _dec(7, 2), False),
+            T.Field("ss_ext_list_price", _dec(7, 2), False),
+            T.Field("ss_net_paid", _dec(7, 2), False),
         ]
     ),
     "store_returns": T.Schema(
@@ -166,6 +190,11 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("sr_ticket_number", T.INT64, False),
             T.Field("sr_returned_date_sk", T.INT64, False),
             T.Field("sr_return_amt", _dec(7, 2), False),
+            T.Field("sr_store_sk", T.INT64, False),
+            T.Field("sr_reason_sk", T.INT64, False),
+            T.Field("sr_cdemo_sk", T.INT64, False),
+            T.Field("sr_net_loss", _dec(7, 2), False),
+            T.Field("sr_return_quantity", T.INT32, False),
         ]
     ),
     "web_sales": T.Schema(
@@ -184,11 +213,25 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("ws_ext_ship_cost", _dec(7, 2), False),
             T.Field("ws_ext_sales_price", _dec(7, 2), False),
             T.Field("ws_net_profit", _dec(7, 2), False),
+            T.Field("ws_quantity", T.INT32, False),
+            T.Field("ws_ext_discount_amt", _dec(7, 2), False),
+            T.Field("ws_ext_list_price", _dec(7, 2), False),
+            T.Field("ws_net_paid", _dec(7, 2), False),
+            T.Field("ws_web_page_sk", T.INT64, False),
         ]
     ),
     "web_returns": T.Schema(
         [
             T.Field("wr_order_number", T.INT64, False),
+            T.Field("wr_item_sk", T.INT64, False),
+            T.Field("wr_returned_date_sk", T.INT64, False),
+            T.Field("wr_returning_customer_sk", T.INT64, False),
+            T.Field("wr_refunded_cash", _dec(7, 2), False),
+            T.Field("wr_return_amt", _dec(7, 2), False),
+            T.Field("wr_net_loss", _dec(7, 2), False),
+            T.Field("wr_reason_sk", T.INT64, False),
+            T.Field("wr_web_page_sk", T.INT64, False),
+            T.Field("wr_return_quantity", T.INT32, False),
         ]
     ),
     "catalog_sales": T.Schema(
@@ -208,6 +251,59 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("cs_coupon_amt", _dec(7, 2), False),
             T.Field("cs_ext_sales_price", _dec(7, 2), False),
             T.Field("cs_net_profit", _dec(7, 2), False),
+            T.Field("cs_order_number", T.INT64, False),
+            T.Field("cs_ext_discount_amt", _dec(7, 2), False),
+            T.Field("cs_ext_list_price", _dec(7, 2), False),
+            T.Field("cs_ext_ship_cost", _dec(7, 2), False),
+            T.Field("cs_ship_addr_sk", T.INT64, False),
+            T.Field("cs_catalog_page_sk", T.INT64, False),
+        ]
+    ),
+    "catalog_returns": T.Schema(
+        [
+            T.Field("cr_item_sk", T.INT64, False),
+            T.Field("cr_order_number", T.INT64, False),
+            T.Field("cr_returned_date_sk", T.INT64, False),
+            T.Field("cr_returning_customer_sk", T.INT64, False),
+            T.Field("cr_call_center_sk", T.INT64, False),
+            T.Field("cr_reason_sk", T.INT64, False),
+            T.Field("cr_catalog_page_sk", T.INT64, False),
+            T.Field("cr_return_amount", _dec(7, 2), False),
+            T.Field("cr_net_loss", _dec(7, 2), False),
+            T.Field("cr_return_quantity", T.INT32, False),
+        ]
+    ),
+    "inventory": T.Schema(
+        [
+            T.Field("inv_date_sk", T.INT64, False),
+            T.Field("inv_item_sk", T.INT64, False),
+            T.Field("inv_warehouse_sk", T.INT64, False),
+            T.Field("inv_quantity_on_hand", T.INT32, False),
+        ]
+    ),
+    "reason": T.Schema(
+        [
+            T.Field("r_reason_sk", T.INT64, False),
+            T.Field("r_reason_desc", T.string(20), False),
+        ]
+    ),
+    "web_page": T.Schema(
+        [
+            T.Field("wp_web_page_sk", T.INT64, False),
+            T.Field("wp_char_count", T.INT32, False),
+        ]
+    ),
+    "income_band": T.Schema(
+        [
+            T.Field("ib_income_band_sk", T.INT64, False),
+            T.Field("ib_lower_bound", T.INT32, False),
+            T.Field("ib_upper_bound", T.INT32, False),
+        ]
+    ),
+    "catalog_page": T.Schema(
+        [
+            T.Field("cp_catalog_page_sk", T.INT64, False),
+            T.Field("cp_catalog_page_id", T.string(16), False),
         ]
     ),
 }
@@ -241,10 +337,17 @@ def table_rows(name: str, sf: float) -> int:
         "web_sales": 60000,
         "web_returns": 6000,
         "catalog_sales": 90000,
+        "catalog_returns": 9000,
+        "inventory": 40000,
+        "reason": 10,
+        "web_page": 20,
+        "income_band": 20,
+        "catalog_page": 100,
     }[name]
     fixed = (
         "date_dim", "time_dim", "store", "warehouse", "ship_mode", "web_site",
         "call_center", "household_demographics", "customer_demographics", "promotion",
+        "reason", "web_page", "income_band", "catalog_page",
     )
     if name in fixed:
         return base
@@ -274,6 +377,7 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "d_qoy": ((moy - 1) // 3 + 1).astype(np.int32),
             "d_day_name": day_names[dow],
             "d_month_seq": ((year - 1998) * 12 + moy - 1).astype(np.int32),
+            "d_week_seq": ((sk - 1) // 7).astype(np.int32),
         }
     if name == "time_dim":
         sk = np.arange(0, n, dtype=np.int64)
@@ -298,6 +402,12 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "i_category": cats[rng.integers(0, len(cats), n)],
             "i_class": np.array([f"class{x:02d}" for x in rng.integers(0, 16, n)], object),
             "i_current_price": rng.integers(99, 30000, n).astype(np.int64),
+            "i_product_name": np.array([f"product{k:08d}" for k in sk], object),
+            "i_color": np.array(
+                ["red", "blue", "green", "black", "white", "navy", "olive", "plum",
+                 "salmon", "orchid"], object
+            )[rng.integers(0, 10, n)],
+            "i_manufact": np.array([f"manufact{m % 200:04d}" for m in rng.integers(1, 1000, n)], object),
         }
     if name == "store":
         return {
@@ -306,11 +416,15 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "s_store_name": np.array([f"store_{i % 6}" for i in range(n)], object),
             "s_county": np.array([f"county {i % 8}" for i in range(n)], object),
             "s_city": np.array([f"city{i % 5}" for i in range(n)], object),
+            "s_state": np.array(["TN", "CA", "TX", "NY"], object)[np.arange(n) % 4],
+            "s_zip": np.array([f"{30000 + 97 * i % 60000:05d}" for i in range(n)], object),
         }
     if name == "warehouse":
         return {
             "w_warehouse_sk": np.arange(1, n + 1, dtype=np.int64),
             "w_warehouse_name": np.array([f"warehouse {i}" for i in range(n)], object),
+            "w_state": np.array(["TN", "CA", "TX", "NY", "WA", "GA"], object)[np.arange(n) % 6],
+            "w_warehouse_sq_ft": (50000 + 12345 * np.arange(n) % 400000).astype(np.int32),
         }
     if name == "ship_mode":
         types = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY",
@@ -338,6 +452,13 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
                 ["Primary", "Secondary", "College", "2 yr Degree", "4 yr Degree",
                  "Advanced Degree", "Unknown"], object
             )[rng.integers(0, 7, n)],
+            "cd_purchase_estimate": (rng.integers(0, 20, n) * 500).astype(np.int32),
+            "cd_credit_rating": np.array(
+                ["Low Risk", "High Risk", "Good", "Unknown"], object
+            )[rng.integers(0, 4, n)],
+            "cd_dep_count": rng.integers(0, 7, n).astype(np.int32),
+            "cd_dep_employed_count": rng.integers(0, 7, n).astype(np.int32),
+            "cd_dep_college_count": rng.integers(0, 7, n).astype(np.int32),
         }
     if name == "customer_address":
         states = np.array(["CA", "TX", "NY", "FL", "WA", "GA", "IL", "OH"], object)
@@ -347,6 +468,7 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "ca_state": states[rng.integers(0, len(states), n)],
             "ca_zip": np.array([f"{z:05d}" for z in rng.integers(10000, 99999, n)], object),
             "ca_gmt_offset": rng.integers(-8, -4, n).astype(np.int32),
+            "ca_county": np.array([f"county {i % 8}" for i in rng.integers(0, 8, n)], object),
         }
     if name == "promotion":
         yn = np.array(["Y", "N"], object)
@@ -354,6 +476,8 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "p_promo_sk": np.arange(1, n + 1, dtype=np.int64),
             "p_channel_email": yn[rng.integers(0, 2, n)],
             "p_channel_event": yn[rng.integers(0, 2, n)],
+            "p_channel_dmail": yn[rng.integers(0, 2, n)],
+            "p_channel_tv": yn[rng.integers(0, 2, n)],
         }
     if name == "household_demographics":
         return {
@@ -361,6 +485,7 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "hd_buy_potential": np.array(_BUY_POTENTIAL, object)[rng.integers(0, 6, n)],
             "hd_dep_count": rng.integers(0, 10, n).astype(np.int32),
             "hd_vehicle_count": rng.integers(-1, 5, n).astype(np.int32),
+            "hd_income_band_sk": rng.integers(1, 21, n).astype(np.int64),
         }
     if name == "customer":
         sk = np.arange(1, n + 1, dtype=np.int64)
@@ -371,6 +496,10 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "c_first_name": np.array([f"First{k % 300:03d}" for k in sk], object),
             "c_salutation": np.array(["Mr.", "Ms.", "Dr.", "Mrs.", "Sir"], object)[rng.integers(0, 5, n)],
             "c_preferred_cust_flag": np.array(["Y", "N"], object)[rng.integers(0, 2, n)],
+            "c_customer_id": np.array([f"CUST{k:012d}" for k in sk], object),
+            "c_current_cdemo_sk": rng.integers(1, 1001, n).astype(np.int64),
+            "c_current_hdemo_sk": rng.integers(1, 721, n).astype(np.int64),
+            "c_birth_year": rng.integers(1930, 1995, n).astype(np.int32),
         }
     if name == "store_sales":
         qty = rng.integers(1, 100, n).astype(np.int32)
@@ -394,6 +523,9 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "ss_ext_wholesale_cost": rng.integers(50, 500000, n).astype(np.int64),
             "ss_coupon_amt": rng.integers(0, 20000, n).astype(np.int64),
             "ss_net_profit": rng.integers(-50000, 200000, n).astype(np.int64),
+            "ss_wholesale_cost": rng.integers(50, 10000, n).astype(np.int64),
+            "ss_ext_list_price": rng.integers(100, 1200000, n).astype(np.int64),
+            "ss_net_paid": rng.integers(100, 900000, n).astype(np.int64),
         }
     if name == "store_returns":
         nss = table_rows("store_sales", sf)
@@ -403,6 +535,11 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "sr_ticket_number": rng.integers(1, max(nss // 6, 2), n).astype(np.int64),
             "sr_returned_date_sk": rng.integers(1, table_rows("date_dim", sf) + 1, n).astype(np.int64),
             "sr_return_amt": rng.integers(100, 50000, n).astype(np.int64),
+            "sr_store_sk": rng.integers(1, table_rows("store", sf) + 1, n).astype(np.int64),
+            "sr_reason_sk": rng.integers(1, 11, n).astype(np.int64),
+            "sr_cdemo_sk": rng.integers(1, 1001, n).astype(np.int64),
+            "sr_net_loss": rng.integers(100, 30000, n).astype(np.int64),
+            "sr_return_quantity": rng.integers(1, 50, n).astype(np.int32),
         }
     if name == "web_sales":
         return {
@@ -420,10 +557,24 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "ws_ext_ship_cost": rng.integers(100, 10000, n).astype(np.int64),
             "ws_ext_sales_price": rng.integers(100, 100000, n).astype(np.int64),
             "ws_net_profit": rng.integers(-5000, 20000, n).astype(np.int64),
+            "ws_quantity": rng.integers(1, 100, n).astype(np.int32),
+            "ws_ext_discount_amt": rng.integers(0, 50000, n).astype(np.int64),
+            "ws_ext_list_price": rng.integers(100, 1200000, n).astype(np.int64),
+            "ws_net_paid": rng.integers(100, 900000, n).astype(np.int64),
+            "ws_web_page_sk": rng.integers(1, 21, n).astype(np.int64),
         }
     if name == "web_returns":
         return {
             "wr_order_number": rng.integers(1, max(table_rows("web_sales", sf) // 4, 2), n).astype(np.int64),
+            "wr_item_sk": _zipf_keys(rng, n, table_rows("item", sf)),
+            "wr_returned_date_sk": rng.integers(1, table_rows("date_dim", sf) + 1, n).astype(np.int64),
+            "wr_returning_customer_sk": _zipf_keys(rng, n, table_rows("customer", sf)),
+            "wr_refunded_cash": rng.integers(100, 40000, n).astype(np.int64),
+            "wr_return_amt": rng.integers(100, 50000, n).astype(np.int64),
+            "wr_net_loss": rng.integers(100, 30000, n).astype(np.int64),
+            "wr_reason_sk": rng.integers(1, 11, n).astype(np.int64),
+            "wr_web_page_sk": rng.integers(1, 21, n).astype(np.int64),
+            "wr_return_quantity": rng.integers(1, 50, n).astype(np.int32),
         }
     if name == "catalog_sales":
         return {
@@ -442,6 +593,55 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "cs_coupon_amt": rng.integers(0, 20000, n).astype(np.int64),
             "cs_ext_sales_price": rng.integers(100, 100000, n).astype(np.int64),
             "cs_net_profit": rng.integers(-5000, 50000, n).astype(np.int64),
+            "cs_order_number": rng.integers(1, max(n // 4, 2), n).astype(np.int64),
+            "cs_ext_discount_amt": rng.integers(0, 50000, n).astype(np.int64),
+            "cs_ext_list_price": rng.integers(100, 1200000, n).astype(np.int64),
+            "cs_ext_ship_cost": rng.integers(100, 10000, n).astype(np.int64),
+            "cs_ship_addr_sk": rng.integers(1, max(int(3000 * sf), 10) + 1, n).astype(np.int64),
+            "cs_catalog_page_sk": rng.integers(1, 101, n).astype(np.int64),
+        }
+    if name == "catalog_returns":
+        ncs = table_rows("catalog_sales", sf)
+        return {
+            "cr_item_sk": _zipf_keys(rng, n, table_rows("item", sf)),
+            "cr_order_number": rng.integers(1, max(ncs // 4, 2), n).astype(np.int64),
+            "cr_returned_date_sk": rng.integers(1, table_rows("date_dim", sf) + 1, n).astype(np.int64),
+            "cr_returning_customer_sk": _zipf_keys(rng, n, table_rows("customer", sf)),
+            "cr_call_center_sk": rng.integers(1, 7, n).astype(np.int64),
+            "cr_reason_sk": rng.integers(1, 11, n).astype(np.int64),
+            "cr_catalog_page_sk": rng.integers(1, 101, n).astype(np.int64),
+            "cr_return_amount": rng.integers(100, 50000, n).astype(np.int64),
+            "cr_net_loss": rng.integers(100, 30000, n).astype(np.int64),
+            "cr_return_quantity": rng.integers(1, 50, n).astype(np.int32),
+        }
+    if name == "inventory":
+        return {
+            "inv_date_sk": rng.integers(1, table_rows("date_dim", sf) + 1, n).astype(np.int64),
+            "inv_item_sk": rng.integers(1, table_rows("item", sf) + 1, n).astype(np.int64),
+            "inv_warehouse_sk": rng.integers(1, 7, n).astype(np.int64),
+            "inv_quantity_on_hand": rng.integers(0, 1000, n).astype(np.int32),
+        }
+    if name == "reason":
+        return {
+            "r_reason_sk": np.arange(1, n + 1, dtype=np.int64),
+            "r_reason_desc": np.array([f"reason {i}" for i in range(n)], object),
+        }
+    if name == "web_page":
+        return {
+            "wp_web_page_sk": np.arange(1, n + 1, dtype=np.int64),
+            "wp_char_count": (2500 + 301 * np.arange(n) % 5000).astype(np.int32),
+        }
+    if name == "income_band":
+        sk = np.arange(1, n + 1, dtype=np.int64)
+        return {
+            "ib_income_band_sk": sk,
+            "ib_lower_bound": ((sk - 1) * 10000).astype(np.int32),
+            "ib_upper_bound": (sk * 10000).astype(np.int32),
+        }
+    if name == "catalog_page":
+        return {
+            "cp_catalog_page_sk": np.arange(1, n + 1, dtype=np.int64),
+            "cp_catalog_page_id": np.array([f"PAGE{i:012d}" for i in range(n)], object),
         }
     raise KeyError(name)
 
