@@ -1388,9 +1388,270 @@ def q60(max_groups: int = 1 << 12) -> P.PlanNode:
     )
 
 
+# ---------------------------------------------------------------------------
+# ROLLUP family (reference: grouping sets lowered through CometExpandExec —
+# spark/src/main/scala/org/apache/comet/serde operator Expand; each level
+# nulls out a suffix of the keys and tags the row with its level)
+# ---------------------------------------------------------------------------
+
+
+def _rollup(child: P.PlanNode, keys, payloads, tag: str = "lochierarchy") -> P.PlanNode:
+    """ROLLUP(keys...) via Expand: level L nulls the last L keys; ``tag``
+    is the grouping level (0 = full detail .. len(keys) = grand total),
+    matching Spark's grouping(a)+grouping(b) lochierarchy convention."""
+    n = len(keys)
+    projs = []
+    for lvl in range(n + 1):
+        row = [E.col(k) if i < n - lvl else E.lit(None, dt) for i, (k, dt) in enumerate(keys)]
+        row.append(E.lit(lvl))
+        row += [E.col(p) for p in payloads]
+        projs.append(tuple(row))
+    names = tuple(k for k, _ in keys) + (tag,) + tuple(payloads)
+    return P.Expand(child, tuple(projs), names)
+
+
+def q27(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Demographic item averages with rollup(i_item_id, s_state)."""
+    cd = _scan("customer_demographics").filter(
+        (E.col("cd_gender") == E.lit("M")) & (E.col("cd_marital_status") == E.lit("S"))
+        & (E.col("cd_education_status") == E.lit("College"))
+    )
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(2000))
+    st = _scan("store").filter(E.col("s_state").isin("TN", "CA"))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, st, ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, cd, ["ss_cdemo_sk"], ["cd_demo_sk"])
+    j = _j(j, _scan("item"), ["ss_item_sk"], ["i_item_sk"])
+    r = _rollup(j, [("i_item_id", T.string(16)), ("s_state", T.string(2))],
+                ["ss_quantity", "ss_list_price", "ss_coupon_amt", "ss_sales_price"])
+    agg = r.aggregate(
+        [E.col("i_item_id"), E.col("s_state"), E.col("lochierarchy")],
+        [
+            E.AggExpr("avg", E.col("ss_quantity"), "agg1"),
+            E.AggExpr("avg", E.col("ss_list_price"), "agg2"),
+            E.AggExpr("avg", E.col("ss_coupon_amt"), "agg3"),
+            E.AggExpr("avg", E.col("ss_sales_price"), "agg4"),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("i_item_id")), E.SortOrder(E.col("s_state"))], fetch=100
+    )
+
+
+def q18(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Catalog demographic averages with rollup(i_item_id, ca_state, ca_county)."""
+    cd = _scan("customer_demographics").filter(
+        (E.col("cd_gender") == E.lit("F")) & (E.col("cd_education_status") == E.lit("Unknown"))
+    )
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(1998))
+    c = _scan("customer").filter(E.col("c_birth_year").between(1950, 1980))
+    ca = _scan("customer_address").filter(E.col("ca_state").isin("CA", "NY", "TX"))
+    j = _j(_scan("catalog_sales"), dt, ["cs_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, cd, ["cs_cdemo_sk"], ["cd_demo_sk"])
+    j = _j(j, c, ["cs_bill_customer_sk"], ["c_customer_sk"])
+    j = _j(j, ca, ["c_current_addr_sk"], ["ca_address_sk"])
+    j = _j(j, _scan("item"), ["cs_item_sk"], ["i_item_sk"])
+    r = _rollup(
+        j,
+        [("i_item_id", T.string(16)), ("ca_state", T.string(2)), ("ca_county", T.string(20))],
+        ["cs_quantity", "cs_list_price", "cs_coupon_amt", "cs_sales_price",
+         "cs_net_profit", "c_birth_year", "cd_dep_count"],
+    )
+    agg = r.aggregate(
+        [E.col("i_item_id"), E.col("ca_state"), E.col("ca_county"), E.col("lochierarchy")],
+        [
+            E.AggExpr("avg", E.col("cs_quantity").cast(T.FLOAT64), "agg1"),
+            E.AggExpr("avg", E.col("cs_list_price").cast(T.FLOAT64), "agg2"),
+            E.AggExpr("avg", E.col("cs_coupon_amt").cast(T.FLOAT64), "agg3"),
+            E.AggExpr("avg", E.col("cs_sales_price").cast(T.FLOAT64), "agg4"),
+            E.AggExpr("avg", E.col("cs_net_profit").cast(T.FLOAT64), "agg5"),
+            E.AggExpr("avg", E.col("c_birth_year").cast(T.FLOAT64), "agg6"),
+            E.AggExpr("avg", E.col("cd_dep_count").cast(T.FLOAT64), "agg7"),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("ca_county")), E.SortOrder(E.col("ca_state")),
+         E.SortOrder(E.col("i_item_id"))],
+        fetch=100,
+    )
+
+
+def q22(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Inventory quantity-on-hand averages, 4-level item rollup."""
+    dt = _scan("date_dim").filter(E.col("d_month_seq").between(12, 23))
+    j = _j(_scan("inventory"), dt, ["inv_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("item"), ["inv_item_sk"], ["i_item_sk"])
+    r = _rollup(
+        j,
+        [("i_product_name", T.string(24)), ("i_brand", T.string(30)),
+         ("i_class", T.string(12)), ("i_category", T.string(12))],
+        ["inv_quantity_on_hand"],
+    )
+    agg = r.aggregate(
+        [E.col("i_product_name"), E.col("i_brand"), E.col("i_class"),
+         E.col("i_category"), E.col("lochierarchy")],
+        [E.AggExpr("avg", E.col("inv_quantity_on_hand"), "qoh")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("qoh")), E.SortOrder(E.col("i_product_name")),
+         E.SortOrder(E.col("i_brand")), E.SortOrder(E.col("i_class")),
+         E.SortOrder(E.col("i_category"))],
+        fetch=100,
+    )
+
+
+def _margin_rollup_query(fact: str, date_col: str, item_col: str, profit_col: str,
+                         sales_col, store_side, max_groups: int) -> P.PlanNode:
+    """q36/q86 shape: category/class gross-margin rollup + rank within parent."""
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(2001))
+    j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+    j = _j(j, _scan("item"), [item_col], ["i_item_sk"])
+    payloads = [profit_col] + ([sales_col] if sales_col else [])
+    if store_side:
+        st = _scan("store").filter(E.col("s_state").isin("TN", "CA", "TX", "NY"))
+        j = _j(j, st, ["ss_store_sk"], ["s_store_sk"])
+    r = _rollup(j, [("i_category", T.string(12)), ("i_class", T.string(12))], payloads)
+    aggs = [E.AggExpr("sum", E.col(profit_col), "profit_sum")]
+    if sales_col:
+        aggs.append(E.AggExpr("sum", E.col(sales_col), "sales_sum"))
+    agg = r.aggregate([E.col("i_category"), E.col("i_class"), E.col("lochierarchy")], aggs)
+    agg.max_groups = max_groups
+    if sales_col:
+        metric = (E.col("profit_sum").cast(T.FLOAT64)
+                  / E.col("sales_sum").cast(T.FLOAT64)).alias("gross_margin")
+    else:
+        metric = E.col("profit_sum").cast(T.FLOAT64).alias("gross_margin")
+    proj = agg.project(
+        [metric, E.col("i_category"), E.col("i_class"), E.col("lochierarchy")]
+    )
+    win = P.Window(
+        proj,
+        (E.WindowExpr(
+            "rank", None, "rank_within_parent",
+            partition_by=(E.col("lochierarchy"),
+                          E.if_(E.col("lochierarchy") == E.lit(0),
+                                E.col("i_category"), E.lit(None, T.string(12)))),
+            order_by=(E.SortOrder(E.col("gross_margin")),),
+        ),),
+    )
+    return win.sort(
+        [E.SortOrder(E.col("lochierarchy"), ascending=False),
+         E.SortOrder(E.if_(E.col("lochierarchy") == E.lit(0),
+                           E.col("i_category"), E.lit(None, T.string(12)))),
+         E.SortOrder(E.col("rank_within_parent"))],
+        fetch=100,
+    )
+
+
+def q36(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Store gross margin by category/class rollup, ranked within parent."""
+    return _margin_rollup_query("store_sales", "ss_sold_date_sk", "ss_item_sk",
+                                "ss_net_profit", "ss_ext_sales_price", True, max_groups)
+
+
+def q86(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Web net profit by category/class rollup, ranked within parent."""
+    return _margin_rollup_query("web_sales", "ws_sold_date_sk", "ws_item_sk",
+                                "ws_net_profit", None, False, max_groups)
+
+
+def q70(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Store profit rollup(s_state, s_county) restricted to the 5 most
+    profitable states (inner ranked aggregate as a semi-join filter)."""
+    dt = _scan("date_dim").filter(E.col("d_month_seq").between(12, 23))
+    inner = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    inner = _j(inner, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    st_profit = inner.aggregate(
+        [E.col("s_state")], [E.AggExpr("sum", E.col("ss_net_profit"), "state_profit")]
+    )
+    st_profit.max_groups = 64
+    ranked = P.Window(
+        st_profit,
+        (E.WindowExpr(
+            "rank", None, "ranking",
+            order_by=(E.SortOrder(E.col("state_profit"), ascending=False),),
+        ),),
+    ).filter(E.col("ranking") <= E.lit(5)).project([E.col("s_state").alias("top_state")])
+    st = P.HashJoin(
+        _scan("store"), ranked, (E.col("s_state"),), (E.col("top_state"),),
+        P.JoinType.LEFT_SEMI, "right",
+    )
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, st, ["ss_store_sk"], ["s_store_sk"])
+    r = _rollup(j, [("s_state", T.string(2)), ("s_county", T.string(20))], ["ss_net_profit"])
+    agg = r.aggregate(
+        [E.col("s_state"), E.col("s_county"), E.col("lochierarchy")],
+        [E.AggExpr("sum", E.col("ss_net_profit"), "total_sum")],
+    )
+    agg.max_groups = max_groups
+    win = P.Window(
+        agg,
+        (E.WindowExpr(
+            "rank", None, "rank_within_parent",
+            partition_by=(E.col("lochierarchy"),
+                          E.if_(E.col("lochierarchy") == E.lit(0),
+                                E.col("s_state"), E.lit(None, T.string(2)))),
+            order_by=(E.SortOrder(E.col("total_sum"), ascending=False),),
+        ),),
+    )
+    return win.sort(
+        [E.SortOrder(E.col("lochierarchy"), ascending=False),
+         E.SortOrder(E.if_(E.col("lochierarchy") == E.lit(0),
+                           E.col("s_state"), E.lit(None, T.string(2)))),
+         E.SortOrder(E.col("rank_within_parent"))],
+        fetch=100,
+    )
+
+
+def q67(max_groups: int = 1 << 16) -> P.PlanNode:
+    """8-level store-sales rollup ranked within category (top 100 each)."""
+    dt = _scan("date_dim").filter(E.col("d_month_seq").between(12, 23))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, _scan("item"), ["ss_item_sk"], ["i_item_sk"])
+    j = j.project(
+        [E.col("i_category"), E.col("i_class"), E.col("i_brand"), E.col("i_product_name"),
+         E.col("d_year"), E.col("d_qoy"), E.col("d_moy"), E.col("s_store_id"),
+         (E.col("ss_sales_price") * E.col("ss_quantity")).alias("sales_amt")]
+    )
+    r = _rollup(
+        j,
+        [("i_category", T.string(12)), ("i_class", T.string(12)), ("i_brand", T.string(30)),
+         ("i_product_name", T.string(24)), ("d_year", T.INT32), ("d_qoy", T.INT32),
+         ("d_moy", T.INT32), ("s_store_id", T.string(16))],
+        ["sales_amt"],
+    )
+    agg = r.aggregate(
+        [E.col("i_category"), E.col("i_class"), E.col("i_brand"), E.col("i_product_name"),
+         E.col("d_year"), E.col("d_qoy"), E.col("d_moy"), E.col("s_store_id")],
+        [E.AggExpr("sum", E.col("sales_amt"), "sumsales")],
+    )
+    agg.max_groups = max_groups
+    win = P.Window(
+        agg,
+        (E.WindowExpr(
+            "rank", None, "rk",
+            partition_by=(E.col("i_category"),),
+            order_by=(E.SortOrder(E.col("sumsales"), ascending=False),),
+        ),),
+    ).filter(E.col("rk") <= E.lit(100))
+    return win.sort(
+        [E.SortOrder(E.col("i_category")), E.SortOrder(E.col("i_class")),
+         E.SortOrder(E.col("i_brand")), E.SortOrder(E.col("i_product_name")),
+         E.SortOrder(E.col("d_year")), E.SortOrder(E.col("d_qoy")),
+         E.SortOrder(E.col("d_moy")), E.SortOrder(E.col("s_store_id")),
+         E.SortOrder(E.col("sumsales")), E.SortOrder(E.col("rk"))],
+        fetch=100,
+    )
+
+
 QUERIES = {
-    "q3": q3, "q7": q7, "q12": q12, "q15": q15, "q19": q19, "q20": q20,
-    "q25": q25, "q26": q26, "q34": q34,
+    "q3": q3, "q7": q7, "q12": q12, "q15": q15, "q18": q18, "q19": q19, "q20": q20,
+    "q22": q22, "q25": q25, "q26": q26, "q27": q27, "q34": q34, "q36": q36,
+    "q67": q67, "q70": q70, "q86": q86,
     "q42": q42, "q43": q43, "q45": q45, "q50": q50, "q52": q52, "q55": q55, "q60": q60, "q62": q62,
     "q65": q65, "q68": q68, "q73": q73, "q79": q79, "q95": q95, "q96": q96,
     "q88": q88, "q98": q98, "q99": q99,
