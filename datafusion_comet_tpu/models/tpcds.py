@@ -1648,11 +1648,252 @@ def q67(max_groups: int = 1 << 16) -> P.PlanNode:
     )
 
 
+# ---------------------------------------------------------------------------
+# Window family: deviation-from-average, lag/lead chains, cumulative races,
+# two-sided rankings (reference window surface: CometWindowExec.scala)
+# ---------------------------------------------------------------------------
+
+
+_ALL_FRAME = E.WindowFrame("rows", None, None)
+
+
+def _deviation_query(group_key: str, time_col: str, max_groups: int) -> P.PlanNode:
+    """q53/q63 shape: per-manufacturer/manager period sales vs their average;
+    keep periods deviating >10%."""
+    dt = _scan("date_dim").filter(E.col("d_month_seq").between(12, 23))
+    it = _scan("item").filter(E.col("i_category").isin("Books", "Home", "Sports"))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, it, ["ss_item_sk"], ["i_item_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    agg = j.aggregate(
+        [E.col(group_key), E.col(time_col)],
+        [E.AggExpr("sum", E.col("ss_sales_price"), "sum_sales")],
+    )
+    agg.max_groups = max_groups
+    win = P.Window(
+        agg,
+        (E.WindowExpr("avg", E.col("sum_sales").cast(T.FLOAT64), "avg_period_sales",
+                      partition_by=(E.col(group_key),), frame=_ALL_FRAME),),
+    )
+    dev = win.filter(
+        E.if_(
+            E.col("avg_period_sales") > E.lit(0.0),
+            (E.UnaryOp("abs", E.col("sum_sales").cast(T.FLOAT64) - E.col("avg_period_sales"))
+             / E.col("avg_period_sales")),
+            E.lit(None, T.FLOAT64),
+        )
+        > E.lit(0.1)
+    )
+    return dev.sort(
+        [E.SortOrder(E.col("avg_period_sales")), E.SortOrder(E.col("sum_sales")),
+         E.SortOrder(E.col(group_key)), E.SortOrder(E.col(time_col))],
+        fetch=100,
+    )
+
+
+def q53(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Manufacturer quarterly sales deviating >10% from their average."""
+    return _deviation_query("i_manufact_id", "d_qoy", max_groups)
+
+
+def q63(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Manager monthly sales deviating >10% from their average."""
+    return _deviation_query("i_manager_id", "d_moy", max_groups)
+
+
+def q89(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Brand/store monthly sales deviating from the in-store yearly average."""
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(2000))
+    it = _scan("item").filter(E.col("i_category").isin("Books", "Electronics", "Sports",
+                                                       "Men", "Jewelry", "Women"))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, it, ["ss_item_sk"], ["i_item_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    agg = j.aggregate(
+        [E.col("i_category"), E.col("i_class"), E.col("i_brand"),
+         E.col("s_store_name"), E.col("s_county"), E.col("d_moy")],
+        [E.AggExpr("sum", E.col("ss_sales_price"), "sum_sales")],
+    )
+    agg.max_groups = max_groups
+    win = P.Window(
+        agg,
+        (E.WindowExpr("avg", E.col("sum_sales").cast(T.FLOAT64), "avg_monthly_sales",
+                      partition_by=(E.col("i_category"), E.col("i_brand"),
+                                    E.col("s_store_name"), E.col("s_county")),
+                      frame=_ALL_FRAME),),
+    )
+    dev = win.filter(
+        E.if_(
+            E.col("avg_monthly_sales") != E.lit(0.0),
+            (E.UnaryOp("abs", E.col("sum_sales").cast(T.FLOAT64) - E.col("avg_monthly_sales"))
+             / E.col("avg_monthly_sales")),
+            E.lit(None, T.FLOAT64),
+        )
+        > E.lit(0.1)
+    )
+    return dev.sort(
+        [E.SortOrder(E.col("sum_sales").cast(T.FLOAT64) - E.col("avg_monthly_sales")),
+         E.SortOrder(E.col("s_store_name")), E.SortOrder(E.col("i_category")),
+         E.SortOrder(E.col("i_class")), E.SortOrder(E.col("i_brand")),
+         E.SortOrder(E.col("d_moy"))],
+        fetch=100,
+    )
+
+
+def _lag_lead_trend(fact: str, date_col: str, item_col: str, price_col: str,
+                    entity_scan: str, entity_key: str, fact_key: str, entity_name: str,
+                    max_groups: int) -> P.PlanNode:
+    """q47/q57 shape: monthly sums with same-partition lag/lead neighbours,
+    kept where the year-2000 month deviates >10% from the yearly average."""
+    dt = _scan("date_dim").filter(E.col("d_year").isin(1999, 2000, 2001))
+    j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+    j = _j(j, _scan("item"), [item_col], ["i_item_sk"])
+    j = _j(j, _scan(entity_scan), [fact_key], [entity_key])
+    agg = j.aggregate(
+        [E.col("i_category"), E.col("i_brand"), E.col(entity_name),
+         E.col("d_year"), E.col("d_moy")],
+        [E.AggExpr("sum", E.col(price_col), "sum_sales")],
+    )
+    agg.max_groups = max_groups
+    part = (E.col("i_category"), E.col("i_brand"), E.col(entity_name))
+    order = (E.SortOrder(E.col("d_year")), E.SortOrder(E.col("d_moy")))
+    win = P.Window(
+        agg,
+        (
+            E.WindowExpr("avg", E.col("sum_sales").cast(T.FLOAT64), "avg_yearly",
+                         partition_by=part + (E.col("d_year"),), frame=_ALL_FRAME),
+            E.WindowExpr("lag", E.col("sum_sales"), "psum",
+                         partition_by=part, order_by=order, offset=1),
+            E.WindowExpr("lead", E.col("sum_sales"), "nsum",
+                         partition_by=part, order_by=order, offset=1),
+        ),
+    )
+    keep = win.filter(
+        (E.col("d_year") == E.lit(2000))
+        & (E.col("avg_yearly") > E.lit(0.0))
+        & ((E.UnaryOp("abs", E.col("sum_sales").cast(T.FLOAT64) - E.col("avg_yearly"))
+            / E.col("avg_yearly")) > E.lit(0.1))
+    )
+    return keep.sort(
+        [E.SortOrder(E.col("sum_sales").cast(T.FLOAT64) - E.col("avg_yearly")),
+         E.SortOrder(E.col("i_category")), E.SortOrder(E.col("i_brand")),
+         E.SortOrder(E.col(entity_name)), E.SortOrder(E.col("d_moy"))],
+        fetch=100,
+    )
+
+
+def q47(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Store monthly brand sales with lag/lead months around >10% outliers."""
+    return _lag_lead_trend("store_sales", "ss_sold_date_sk", "ss_item_sk",
+                           "ss_sales_price", "store", "s_store_sk", "ss_store_sk",
+                           "s_store_name", max_groups)
+
+
+def q57(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Catalog monthly brand sales by call center, lag/lead around outliers."""
+    return _lag_lead_trend("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+                           "cs_sales_price", "call_center", "cc_call_center_sk",
+                           "cs_call_center_sk", "cc_name", max_groups)
+
+
+def q51(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Web-vs-store cumulative revenue race per item over time."""
+    dt = _scan("date_dim").filter(E.col("d_month_seq").between(12, 23))
+
+    def cumulative(fact, item_col, date_col, price_col, item_out, date_out, cum_out):
+        j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+        agg = j.aggregate(
+            [E.col(item_col), E.col("d_date_sk")],
+            [E.AggExpr("sum", E.col(price_col), "part_sales")],
+        )
+        agg.max_groups = max_groups
+        win = P.Window(
+            agg,
+            (E.WindowExpr("sum", E.col("part_sales"), cum_out,
+                          partition_by=(E.col(item_col),),
+                          order_by=(E.SortOrder(E.col("d_date_sk")),),
+                          frame=E.WindowFrame("rows", None, 0)),),
+        )
+        return win.project(
+            [E.col(item_col).alias(item_out), E.col("d_date_sk").alias(date_out),
+             E.col(cum_out)]
+        )
+
+    web = cumulative("web_sales", "ws_item_sk", "ws_sold_date_sk",
+                     "ws_sales_price", "w_item_sk", "w_date_sk", "web_cumulative")
+    store = cumulative("store_sales", "ss_item_sk", "ss_sold_date_sk",
+                       "ss_sales_price", "s_item_sk", "s_date_sk", "store_cumulative")
+    j = P.HashJoin(web, store, (E.col("w_item_sk"), E.col("w_date_sk")),
+                   (E.col("s_item_sk"), E.col("s_date_sk")), P.JoinType.FULL, "right")
+    both = j.project(
+        [E.coalesce(E.col("w_item_sk"), E.col("s_item_sk")).alias("item_sk"),
+         E.coalesce(E.col("w_date_sk"), E.col("s_date_sk")).alias("d_date_sk"),
+         E.coalesce(E.col("web_cumulative"), E.lit(0)).alias("web_cumulative"),
+         E.coalesce(E.col("store_cumulative"), E.lit(0)).alias("store_cumulative")]
+    )
+    run = P.Window(
+        both,
+        (
+            E.WindowExpr("max", E.col("web_cumulative"), "web_max",
+                         partition_by=(E.col("item_sk"),),
+                         order_by=(E.SortOrder(E.col("d_date_sk")),),
+                         frame=E.WindowFrame("rows", None, 0)),
+            E.WindowExpr("max", E.col("store_cumulative"), "store_max",
+                         partition_by=(E.col("item_sk"),),
+                         order_by=(E.SortOrder(E.col("d_date_sk")),),
+                         frame=E.WindowFrame("rows", None, 0)),
+        ),
+    )
+    keep = run.filter(E.col("web_max") > E.col("store_max"))
+    return keep.sort(
+        [E.SortOrder(E.col("item_sk")), E.SortOrder(E.col("d_date_sk"))], fetch=100
+    )
+
+
+def q44(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Best and worst ten items by average net profit at one store,
+    paired by rank (two-sided ranking + double item join)."""
+    base = _scan("store_sales").filter(E.col("ss_store_sk") == E.lit(4))
+    v = base.aggregate(
+        [E.col("ss_item_sk")],
+        [E.AggExpr("avg", E.col("ss_net_profit").cast(T.FLOAT64), "rank_col")],
+    )
+    v.max_groups = max_groups
+    ranked = P.Window(
+        v,
+        (
+            E.WindowExpr("rank", None, "rnk_asc",
+                         order_by=(E.SortOrder(E.col("rank_col")),
+                                   E.SortOrder(E.col("ss_item_sk")),)),
+            E.WindowExpr("rank", None, "rnk_desc",
+                         order_by=(E.SortOrder(E.col("rank_col"), ascending=False),
+                                   E.SortOrder(E.col("ss_item_sk")),)),
+        ),
+    )
+    asc = ranked.filter(E.col("rnk_asc") <= E.lit(10)).project(
+        [E.col("rnk_asc").alias("rnk"), E.col("ss_item_sk").alias("worst_sk")]
+    )
+    desc = ranked.filter(E.col("rnk_desc") <= E.lit(10)).project(
+        [E.col("rnk_desc").alias("rnk_d"), E.col("ss_item_sk").alias("best_sk")]
+    )
+    pair = P.HashJoin(asc, desc, (E.col("rnk"),), (E.col("rnk_d"),), P.JoinType.INNER, "right")
+    i1 = _scan("item").project([E.col("i_item_sk").alias("i1_sk"),
+                                E.col("i_product_name").alias("best_performing")])
+    i2 = _scan("item").project([E.col("i_item_sk").alias("i2_sk"),
+                                E.col("i_product_name").alias("worst_performing")])
+    j = P.HashJoin(pair, i1, (E.col("best_sk"),), (E.col("i1_sk"),), P.JoinType.INNER, "right")
+    j = P.HashJoin(j, i2, (E.col("worst_sk"),), (E.col("i2_sk"),), P.JoinType.INNER, "right")
+    return j.project(
+        [E.col("rnk"), E.col("best_performing"), E.col("worst_performing")]
+    ).sort([E.SortOrder(E.col("rnk"))], fetch=100)
+
+
 QUERIES = {
     "q3": q3, "q7": q7, "q12": q12, "q15": q15, "q18": q18, "q19": q19, "q20": q20,
     "q22": q22, "q25": q25, "q26": q26, "q27": q27, "q34": q34, "q36": q36,
     "q67": q67, "q70": q70, "q86": q86,
-    "q42": q42, "q43": q43, "q45": q45, "q50": q50, "q52": q52, "q55": q55, "q60": q60, "q62": q62,
-    "q65": q65, "q68": q68, "q73": q73, "q79": q79, "q95": q95, "q96": q96,
+    "q42": q42, "q43": q43, "q44": q44, "q45": q45, "q47": q47, "q50": q50,
+    "q51": q51, "q52": q52, "q53": q53, "q55": q55, "q57": q57, "q60": q60, "q62": q62, "q63": q63,
+    "q65": q65, "q68": q68, "q73": q73, "q79": q79, "q89": q89, "q95": q95, "q96": q96,
     "q88": q88, "q98": q98, "q99": q99,
 }
