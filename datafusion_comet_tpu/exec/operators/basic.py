@@ -163,6 +163,12 @@ def expand_op(
         branch = [p.columns[ci] for p in pieces]
         branch = branch[0].unify_encoding(*branch[1:])
         datas = [c.data for c in branch]
+        # projections may disagree on byte-matrix width (e.g. a typed null
+        # literal vs a scanned column): pad to the widest before stacking
+        if datas[0].ndim == 2:
+            w = max(d.shape[1] for d in datas)
+            datas = [jnp.pad(d, ((0, 0), (0, w - d.shape[1]))) if d.shape[1] < w else d
+                     for d in datas]
         vals = [c.validity for c in branch]
         lens = [c.lengths for c in branch]
         data = jnp.stack(datas, axis=1).reshape((-1,) + datas[0].shape[1:])

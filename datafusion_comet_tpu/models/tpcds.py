@@ -257,6 +257,7 @@ SCHEMAS: Dict[str, T.Schema] = {
             T.Field("cs_ext_ship_cost", _dec(7, 2), False),
             T.Field("cs_ship_addr_sk", T.INT64, False),
             T.Field("cs_catalog_page_sk", T.INT64, False),
+            T.Field("cs_sold_time_sk", T.INT64, False),
         ]
     ),
     "catalog_returns": T.Schema(
@@ -599,6 +600,7 @@ def generate_table(name: str, sf: float, seed: int = 20030101) -> Dict[str, np.n
             "cs_ext_ship_cost": rng.integers(100, 10000, n).astype(np.int64),
             "cs_ship_addr_sk": rng.integers(1, max(int(3000 * sf), 10) + 1, n).astype(np.int64),
             "cs_catalog_page_sk": rng.integers(1, 101, n).astype(np.int64),
+            "cs_sold_time_sk": rng.integers(0, 1440, n).astype(np.int64),
         }
     if name == "catalog_returns":
         ncs = table_rows("catalog_sales", sf)
@@ -1888,8 +1890,391 @@ def q44(max_groups: int = 1 << 14) -> P.PlanNode:
     ).sort([E.SortOrder(E.col("rnk"))], fetch=100)
 
 
+# ---------------------------------------------------------------------------
+# Multi-channel UNION family (reference: CometUnionExec over per-channel
+# subplans; returns folded in through pre-aggregated left joins so the
+# static-shape fan-out stays bounded)
+# ---------------------------------------------------------------------------
+
+
+def _manufact_channel(fact: str, date_col: str, item_col: str, addr_col: str,
+                      price_col: str, group_col: str, item_pred) -> P.PlanNode:
+    """One q33/q56/q60 channel: date + gmt-offset + item-attribute filter,
+    grouped revenue."""
+    dt = _scan("date_dim").filter((E.col("d_year") == E.lit(1998)) & (E.col("d_moy") == E.lit(5)))
+    ca = _scan("customer_address").filter(E.col("ca_gmt_offset") == E.lit(-5))
+    it = _scan("item").filter(item_pred)
+    j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+    j = _j(j, ca, [addr_col], ["ca_address_sk"])
+    j = _j(j, it, [item_col], ["i_item_sk"])
+    agg = j.aggregate([E.col(group_col)], [E.AggExpr("sum", E.col(price_col), "total_sales")])
+    agg.max_groups = 1 << 12
+    return agg
+
+
+def _three_channel_total(group_col: str, item_pred, max_groups: int) -> P.PlanNode:
+    u = P.Union((
+        _manufact_channel("store_sales", "ss_sold_date_sk", "ss_item_sk",
+                          "ss_addr_sk", "ss_ext_sales_price", group_col, item_pred),
+        _manufact_channel("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+                          "cs_ship_addr_sk", "cs_ext_sales_price", group_col, item_pred),
+        _manufact_channel("web_sales", "ws_sold_date_sk", "ws_item_sk",
+                          "ws_ship_addr_sk", "ws_ext_sales_price", group_col, item_pred),
+    ))
+    agg = u.aggregate([E.col(group_col)], [E.AggExpr("sum", E.col("total_sales"), "total_sales")])
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("total_sales")), E.SortOrder(E.col(group_col))], fetch=100
+    )
+
+
+def q33(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Manufacturer revenue across all three channels (Electronics)."""
+    return _three_channel_total(
+        "i_manufact_id", E.col("i_category") == E.lit("Electronics"), max_groups)
+
+
+def q56(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Item revenue across all three channels for selected colors."""
+    return _three_channel_total(
+        "i_item_id", E.col("i_color").isin("navy", "olive", "plum"), max_groups)
+
+
+def q71(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Brand revenue by hour/minute over three channels (manager 1)."""
+    dt = _scan("date_dim").filter((E.col("d_year") == E.lit(1999)) & (E.col("d_moy") == E.lit(11)))
+    it = _scan("item").filter(E.col("i_manager_id") == E.lit(1))
+    td = _scan("time_dim").filter(E.col("t_hour").isin(8, 9, 17, 18))
+
+    def chan(fact, date_col, item_col, time_col, price_col):
+        j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+        return j.project([E.col(price_col).alias("ext_price"),
+                          E.col(item_col).alias("sold_item_sk"),
+                          E.col(time_col).alias("time_sk")])
+
+    u = P.Union((
+        chan("web_sales", "ws_sold_date_sk", "ws_item_sk", "ws_sold_time_sk", "ws_ext_sales_price"),
+        chan("catalog_sales", "cs_sold_date_sk", "cs_item_sk", "cs_sold_time_sk", "cs_ext_sales_price"),
+        chan("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_sold_time_sk", "ss_ext_sales_price"),
+    ))
+    j = _j(u, it, ["sold_item_sk"], ["i_item_sk"])
+    j = _j(j, td, ["time_sk"], ["t_time_sk"])
+    agg = j.aggregate(
+        [E.col("i_brand_id"), E.col("i_brand"), E.col("t_hour"), E.col("t_minute")],
+        [E.AggExpr("sum", E.col("ext_price"), "ext_price")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("ext_price"), ascending=False), E.SortOrder(E.col("i_brand_id")),
+         E.SortOrder(E.col("t_hour")), E.SortOrder(E.col("t_minute"))],
+        fetch=100,
+    )
+
+
+def _returns_agg(fact: str, keys, amount_cols, out_names, max_groups: int = 1 << 16):
+    """Pre-aggregate a returns table by join keys (bounds many-to-many
+    fan-out; the oracle mirrors the same decomposition)."""
+    agg = _scan(fact).aggregate(
+        [E.col(k) for k in keys],
+        [E.AggExpr("sum", E.col(c), o) for c, o in zip(amount_cols, out_names)],
+    )
+    agg.max_groups = max_groups
+    return agg
+
+
+def q5(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Channel/id sales-vs-returns profile with rollup(channel, id)."""
+    dt = _scan("date_dim").filter(E.col("d_month_seq").between(12, 13))
+
+    def sales_part(fact, date_col, id_join, id_scan, id_key, id_out, sales_col, profit_col):
+        j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+        j = _j(j, _scan(id_scan), [id_join], [id_key])
+        return j.project([
+            E.col(id_out).alias("id"),
+            E.col(sales_col).cast(T.decimal(17, 2)).alias("sales"),
+            E.lit(0).cast(T.decimal(17, 2)).alias("returns_amt"),
+            E.col(profit_col).cast(T.decimal(17, 2)).alias("profit"),
+            E.lit(0).cast(T.decimal(17, 2)).alias("profit_loss"),
+        ])
+
+    def returns_part(fact, date_col, id_join, id_scan, id_key, id_out, ret_col, loss_col):
+        j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+        j = _j(j, _scan(id_scan), [id_join], [id_key])
+        return j.project([
+            E.col(id_out).alias("id"),
+            E.lit(0).cast(T.decimal(17, 2)).alias("sales"),
+            E.col(ret_col).cast(T.decimal(17, 2)).alias("returns_amt"),
+            E.lit(0).cast(T.decimal(17, 2)).alias("profit"),
+            E.col(loss_col).cast(T.decimal(17, 2)).alias("profit_loss"),
+        ])
+
+    def channel(name, sales, returns):
+        u = P.Union((sales, returns))
+        return P.Projection(u, (
+            E.lit(name).alias("channel"), E.col("id"), E.col("sales"),
+            E.col("returns_amt"), E.col("profit"), E.col("profit_loss"),
+        ))
+
+    store = channel(
+        "store channel",
+        sales_part("store_sales", "ss_sold_date_sk", "ss_store_sk", "store",
+                   "s_store_sk", "s_store_id", "ss_ext_sales_price", "ss_net_profit"),
+        returns_part("store_returns", "sr_returned_date_sk", "sr_store_sk", "store",
+                     "s_store_sk", "s_store_id", "sr_return_amt", "sr_net_loss"),
+    )
+    catalog = channel(
+        "catalog channel",
+        sales_part("catalog_sales", "cs_sold_date_sk", "cs_catalog_page_sk", "catalog_page",
+                   "cp_catalog_page_sk", "cp_catalog_page_id", "cs_ext_sales_price", "cs_net_profit"),
+        returns_part("catalog_returns", "cr_returned_date_sk", "cr_catalog_page_sk", "catalog_page",
+                     "cp_catalog_page_sk", "cp_catalog_page_id", "cr_return_amount", "cr_net_loss"),
+    )
+    # web returns reach web_site through the originating sale (spec: wr LEFT
+    # OUTER JOIN ws on item+order); pre-aggregate wr per (item, order) first
+    wrf = _j(_scan("web_returns"), dt, ["wr_returned_date_sk"], ["d_date_sk"])
+    wr = wrf.aggregate(
+        [E.col("wr_item_sk"), E.col("wr_order_number")],
+        [E.AggExpr("sum", E.col("wr_return_amt"), "ret_amt"),
+         E.AggExpr("sum", E.col("wr_net_loss"), "ret_loss")],
+    )
+    wr.max_groups = 1 << 16
+    ws_sk = _scan("web_sales").aggregate(
+        [E.col("ws_item_sk"), E.col("ws_order_number"), E.col("ws_web_site_sk")],
+        [E.AggExpr("count", None, "n_sales")],
+    )
+    ws_sk.max_groups = 1 << 16
+    wrj = P.HashJoin(wr, ws_sk, (E.col("wr_item_sk"), E.col("wr_order_number")),
+                     (E.col("ws_item_sk"), E.col("ws_order_number")), P.JoinType.INNER, "right")
+    wr_dated = _j(wrj, _scan("web_site"), ["ws_web_site_sk"], ["web_site_sk"]).project([
+        E.col("web_name").alias("id"),
+        E.lit(0).cast(T.decimal(17, 2)).alias("sales"),
+        E.col("ret_amt").cast(T.decimal(17, 2)).alias("returns_amt"),
+        E.lit(0).cast(T.decimal(17, 2)).alias("profit"),
+        E.col("ret_loss").cast(T.decimal(17, 2)).alias("profit_loss"),
+    ])
+    web = channel(
+        "web channel",
+        sales_part("web_sales", "ws_sold_date_sk", "ws_web_site_sk", "web_site",
+                   "web_site_sk", "web_name", "ws_ext_sales_price", "ws_net_profit"),
+        wr_dated,
+    )
+    u = P.Union((store, catalog, web))
+    r = _rollup(u, [("channel", T.string(16)), ("id", T.string(20))],
+                ["sales", "returns_amt", "profit", "profit_loss"])
+    agg = r.aggregate(
+        [E.col("channel"), E.col("id"), E.col("lochierarchy")],
+        [
+            E.AggExpr("sum", E.col("sales"), "sales"),
+            E.AggExpr("sum", E.col("returns_amt"), "returns_amt"),
+            E.AggExpr("sum", E.col("profit") - E.col("profit_loss"), "profit"),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("channel")), E.SortOrder(E.col("id"))], fetch=100
+    )
+
+
+def q75(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Year-over-year net-of-returns quantity/amount by item attributes;
+    categories whose current-year quantity fell below 90% of prior year."""
+    dt = _scan("date_dim")
+
+    def chan(fact, date_col, item_col, qty_col, price_col, rfact, rkeys, fkeys,
+             rqty, ramt):
+        r = _returns_agg(rfact, rkeys, [rqty, ramt], ["r_qty", "r_amt"])
+        j = P.HashJoin(_scan(fact), r,
+                       tuple(E.col(k) for k in fkeys),
+                       tuple(E.col(k) for k in rkeys), P.JoinType.LEFT, "right")
+        j = _j(j, dt, [date_col], ["d_date_sk"])
+        j = _j(j, _scan("item").filter(E.col("i_category") == E.lit("Books")),
+               [item_col], ["i_item_sk"])
+        return j.project([
+            E.col("d_year"), E.col("i_brand_id"), E.col("i_class"),
+            E.col("i_category"), E.col("i_manufact_id"),
+            (E.col(qty_col) - E.coalesce(E.col("r_qty"), E.lit(0))).alias("sales_cnt"),
+            (E.col(price_col).cast(T.decimal(17, 2))
+             - E.coalesce(E.col("r_amt").cast(T.decimal(17, 2)),
+                          E.lit(0).cast(T.decimal(17, 2)))).alias("sales_amt"),
+        ])
+
+    u = P.Union((
+        chan("catalog_sales", "cs_sold_date_sk", "cs_item_sk", "cs_quantity",
+             "cs_ext_sales_price", "catalog_returns",
+             ["cr_item_sk", "cr_order_number"], ["cs_item_sk", "cs_order_number"],
+             "cr_return_quantity", "cr_return_amount"),
+        chan("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_quantity",
+             "ss_ext_sales_price", "store_returns",
+             ["sr_item_sk", "sr_ticket_number"], ["ss_item_sk", "ss_ticket_number"],
+             "sr_return_quantity", "sr_return_amt"),
+        chan("web_sales", "ws_sold_date_sk", "ws_item_sk", "ws_quantity",
+             "ws_ext_sales_price", "web_returns",
+             ["wr_item_sk", "wr_order_number"], ["ws_item_sk", "ws_order_number"],
+             "wr_return_quantity", "wr_return_amt"),
+    ))
+    agg = u.aggregate(
+        [E.col("d_year"), E.col("i_brand_id"), E.col("i_class"),
+         E.col("i_category"), E.col("i_manufact_id")],
+        [E.AggExpr("sum", E.col("sales_cnt"), "sales_cnt"),
+         E.AggExpr("sum", E.col("sales_amt"), "sales_amt")],
+    )
+    agg.max_groups = max_groups
+    curr = agg.filter(E.col("d_year") == E.lit(2000)).project(
+        [E.col("i_brand_id").alias("c_brand"), E.col("i_class").alias("c_class"),
+         E.col("i_category").alias("c_cat"), E.col("i_manufact_id").alias("c_man"),
+         E.col("sales_cnt").alias("curr_cnt"), E.col("sales_amt").alias("curr_amt")]
+    )
+    prev = agg.filter(E.col("d_year") == E.lit(1999)).project(
+        [E.col("i_brand_id").alias("p_brand"), E.col("i_class").alias("p_class"),
+         E.col("i_category").alias("p_cat"), E.col("i_manufact_id").alias("p_man"),
+         E.col("sales_cnt").alias("prev_cnt"), E.col("sales_amt").alias("prev_amt")]
+    )
+    j = P.HashJoin(
+        curr, prev,
+        (E.col("c_brand"), E.col("c_class"), E.col("c_cat"), E.col("c_man")),
+        (E.col("p_brand"), E.col("p_class"), E.col("p_cat"), E.col("p_man")),
+        P.JoinType.INNER, "right",
+    )
+    keep = j.filter(
+        (E.col("prev_cnt") > E.lit(0))
+        & (E.col("curr_cnt").cast(T.FLOAT64) / E.col("prev_cnt").cast(T.FLOAT64)
+           < E.lit(0.9))
+    )
+    return keep.sort(
+        [E.SortOrder(E.col("curr_cnt") - E.col("prev_cnt")),
+         E.SortOrder(E.col("c_brand")), E.SortOrder(E.col("c_class")),
+         E.SortOrder(E.col("c_man"))],
+        fetch=100,
+    )
+
+
+def q76(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Channel sales profile union (adaptation: the reference counts rows
+    with NULL channel FKs; generated data has no nulls, so each channel
+    restricts on a small FK band instead — same union + count/sum shape)."""
+    dt = _scan("date_dim")
+    it = _scan("item")
+
+    def chan(name, col_name, fact, pred, item_col, date_col, price_col):
+        j = _scan(fact).filter(pred)
+        j = _j(j, it, [item_col], ["i_item_sk"])
+        j = _j(j, dt, [date_col], ["d_date_sk"])
+        return j.project([
+            E.lit(name).alias("channel"), E.lit(col_name).alias("col_name"),
+            E.col("d_year"), E.col("d_qoy"), E.col("i_category"),
+            E.col(price_col).alias("ext_sales_price"),
+        ])
+
+    u = P.Union((
+        chan("store", "ss_hdemo_sk", "store_sales",
+             E.col("ss_hdemo_sk") <= E.lit(10), "ss_item_sk", "ss_sold_date_sk",
+             "ss_ext_sales_price"),
+        chan("web", "ws_ship_mode_sk", "web_sales",
+             E.col("ws_ship_mode_sk") == E.lit(1), "ws_item_sk", "ws_sold_date_sk",
+             "ws_ext_sales_price"),
+        chan("catalog", "cs_warehouse_sk", "catalog_sales",
+             E.col("cs_warehouse_sk") == E.lit(1), "cs_item_sk", "cs_sold_date_sk",
+             "cs_ext_sales_price"),
+    ))
+    agg = u.aggregate(
+        [E.col("channel"), E.col("col_name"), E.col("d_year"), E.col("d_qoy"),
+         E.col("i_category")],
+        [E.AggExpr("count", None, "sales_cnt"),
+         E.AggExpr("sum", E.col("ext_sales_price"), "sales_amt")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("channel")), E.SortOrder(E.col("col_name")),
+         E.SortOrder(E.col("d_year")), E.SortOrder(E.col("d_qoy")),
+         E.SortOrder(E.col("i_category"))],
+        fetch=100,
+    )
+
+
+def q80(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Channel sales/returns/profit rollup over promoted high-price items."""
+    dt = _scan("date_dim").filter(E.col("d_month_seq").between(12, 13))
+    it = _scan("item").filter(E.col("i_current_price") > E.lit(50, T.decimal(7, 2)))
+    pr = _scan("promotion").filter(E.col("p_channel_tv") == E.lit("N"))
+
+    def chan(name, fact, date_col, item_col, promo_col, id_join, id_scan, id_key,
+             id_out, sales_col, profit_col, rfact, rkeys, fkeys, ramt, rloss):
+        r = _returns_agg(rfact, rkeys, [ramt, rloss], ["r_amt", "r_loss"])
+        j = P.HashJoin(_scan(fact), r,
+                       tuple(E.col(k) for k in fkeys),
+                       tuple(E.col(k) for k in rkeys), P.JoinType.LEFT, "right")
+        j = _j(j, dt, [date_col], ["d_date_sk"])
+        j = _j(j, it, [item_col], ["i_item_sk"])
+        j = _j(j, pr, [promo_col], ["p_promo_sk"])
+        j = _j(j, _scan(id_scan), [id_join], [id_key])
+        return j.project([
+            E.lit(name).alias("channel"), E.col(id_out).alias("id"),
+            E.col(sales_col).cast(T.decimal(17, 2)).alias("sales"),
+            E.coalesce(E.col("r_amt").cast(T.decimal(17, 2)),
+                       E.lit(0).cast(T.decimal(17, 2))).alias("returns_amt"),
+            (E.col(profit_col).cast(T.decimal(17, 2))
+             - E.coalesce(E.col("r_loss").cast(T.decimal(17, 2)),
+                          E.lit(0).cast(T.decimal(17, 2)))).alias("profit"),
+        ])
+
+    u = P.Union((
+        chan("store channel", "store_sales", "ss_sold_date_sk", "ss_item_sk",
+             "ss_promo_sk", "ss_store_sk", "store", "s_store_sk", "s_store_id",
+             "ss_ext_sales_price", "ss_net_profit", "store_returns",
+             ["sr_item_sk", "sr_ticket_number"], ["ss_item_sk", "ss_ticket_number"],
+             "sr_return_amt", "sr_net_loss"),
+        chan("catalog channel", "catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+             "cs_promo_sk", "cs_catalog_page_sk", "catalog_page",
+             "cp_catalog_page_sk", "cp_catalog_page_id",
+             "cs_ext_sales_price", "cs_net_profit", "catalog_returns",
+             ["cr_item_sk", "cr_order_number"], ["cs_item_sk", "cs_order_number"],
+             "cr_return_amount", "cr_net_loss"),
+    ))
+    r = _rollup(u, [("channel", T.string(16)), ("id", T.string(20))],
+                ["sales", "returns_amt", "profit"])
+    agg = r.aggregate(
+        [E.col("channel"), E.col("id"), E.col("lochierarchy")],
+        [E.AggExpr("sum", E.col("sales"), "sales"),
+         E.AggExpr("sum", E.col("returns_amt"), "returns_amt"),
+         E.AggExpr("sum", E.col("profit"), "profit")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("channel")), E.SortOrder(E.col("id"))], fetch=100
+    )
+
+
+def q97(max_groups: int = 1 << 18) -> P.PlanNode:
+    """Store/catalog customer-item overlap via full outer join of the two
+    distinct (customer, item) sets."""
+    dt = _scan("date_dim").filter(E.col("d_month_seq").between(12, 23))
+    ssci = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"]).aggregate(
+        [E.col("ss_customer_sk"), E.col("ss_item_sk")], [E.AggExpr("count", None, "n1")]
+    )
+    ssci.max_groups = max_groups
+    csci = _j(_scan("catalog_sales"), dt, ["cs_sold_date_sk"], ["d_date_sk"]).aggregate(
+        [E.col("cs_bill_customer_sk"), E.col("cs_item_sk")], [E.AggExpr("count", None, "n2")]
+    )
+    csci.max_groups = max_groups
+    j = P.HashJoin(ssci, csci, (E.col("ss_customer_sk"), E.col("ss_item_sk")),
+                   (E.col("cs_bill_customer_sk"), E.col("cs_item_sk")),
+                   P.JoinType.FULL, "right")
+    return j.aggregate(
+        [],
+        [
+            E.AggExpr("sum", E.if_(E.col("n1").is_not_null() & E.col("n2").is_null(),
+                                   E.lit(1), E.lit(0)), "store_only"),
+            E.AggExpr("sum", E.if_(E.col("n1").is_null() & E.col("n2").is_not_null(),
+                                   E.lit(1), E.lit(0)), "catalog_only"),
+            E.AggExpr("sum", E.if_(E.col("n1").is_not_null() & E.col("n2").is_not_null(),
+                                   E.lit(1), E.lit(0)), "store_and_catalog"),
+        ],
+    )
+
+
 QUERIES = {
-    "q3": q3, "q7": q7, "q12": q12, "q15": q15, "q18": q18, "q19": q19, "q20": q20,
+    "q3": q3, "q5": q5, "q7": q7, "q12": q12, "q15": q15, "q18": q18, "q19": q19, "q20": q20,
+    "q33": q33, "q56": q56, "q71": q71, "q75": q75, "q76": q76, "q80": q80, "q97": q97,
     "q22": q22, "q25": q25, "q26": q26, "q27": q27, "q34": q34, "q36": q36,
     "q67": q67, "q70": q70, "q86": q86,
     "q42": q42, "q43": q43, "q44": q44, "q45": q45, "q47": q47, "q50": q50,
