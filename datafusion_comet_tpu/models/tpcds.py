@@ -2272,9 +2272,497 @@ def q97(max_groups: int = 1 << 18) -> P.PlanNode:
     )
 
 
+# ---------------------------------------------------------------------------
+# Correlated-subquery / semi / anti / existence family. Scalar and
+# correlated subqueries lower to pre-aggregated joins; EXISTS/NOT EXISTS
+# lower to LEFT_SEMI/LEFT_ANTI/EXISTENCE (reference: planner.rs join-type
+# lowering + RewriteJoin; subquery.rs scalar placeholders)
+# ---------------------------------------------------------------------------
+
+
+def _exceeds_group_avg(detail: P.PlanNode, avg_key: str, value_col: str,
+                       factor: float, max_groups: int) -> P.PlanNode:
+    """Keep detail rows whose ``value_col`` exceeds ``factor`` × the average
+    of ``value_col`` over rows sharing ``avg_key`` (the correlated-average
+    decorrelation: aggregate once, join back)."""
+    avg = detail.aggregate(
+        [E.col(avg_key)], [E.AggExpr("avg", E.col(value_col).cast(T.FLOAT64), "grp_avg")]
+    )
+    avg.max_groups = max_groups
+    avg = avg.project([E.col(avg_key).alias("avg_join_key"), E.col("grp_avg")])
+    j = P.HashJoin(detail, avg, (E.col(avg_key),), (E.col("avg_join_key"),),
+                   P.JoinType.INNER, "right")
+    return j.filter(
+        E.col(value_col).cast(T.FLOAT64) > E.lit(factor) * E.col("grp_avg")
+    )
+
+
+def q1(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Customers returning more than 1.2× their store's average."""
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(2000))
+    ctr = _j(_scan("store_returns"), dt, ["sr_returned_date_sk"], ["d_date_sk"]).aggregate(
+        [E.col("sr_customer_sk"), E.col("sr_store_sk")],
+        [E.AggExpr("sum", E.col("sr_return_amt"), "ctr_total_return")],
+    )
+    ctr.max_groups = max_groups
+    keep = _exceeds_group_avg(ctr, "sr_store_sk", "ctr_total_return", 1.2, 64)
+    st = _scan("store").filter(E.col("s_state") == E.lit("TN"))
+    j = _j(keep, st, ["sr_store_sk"], ["s_store_sk"])
+    j = _j(j, _scan("customer"), ["sr_customer_sk"], ["c_customer_sk"])
+    return j.project([E.col("c_customer_id")]).sort(
+        [E.SortOrder(E.col("c_customer_id"))], fetch=100
+    )
+
+
+def q6(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Customer states buying items priced 1.2× above their category average
+    in one month (month resolved through a dimension semi-join)."""
+    month = _scan("date_dim").filter(
+        (E.col("d_year") == E.lit(1999)) & (E.col("d_moy") == E.lit(5))
+    ).aggregate([E.col("d_month_seq")], [E.AggExpr("count", None, "n")])
+    month.max_groups = 8
+    dt = P.HashJoin(_scan("date_dim"), month.project([E.col("d_month_seq").alias("target_seq")]),
+                    (E.col("d_month_seq"),), (E.col("target_seq"),),
+                    P.JoinType.LEFT_SEMI, "right")
+    cat_avg = _scan("item").aggregate(
+        [E.col("i_category")],
+        [E.AggExpr("avg", E.col("i_current_price").cast(T.FLOAT64), "cat_avg")],
+    )
+    cat_avg.max_groups = 64
+    it = P.HashJoin(_scan("item"), cat_avg.project([E.col("i_category").alias("avg_cat"),
+                                                    E.col("cat_avg")]),
+                    (E.col("i_category"),), (E.col("avg_cat"),), P.JoinType.INNER, "right")
+    it = it.filter(E.col("i_current_price").cast(T.FLOAT64) > E.lit(1.2) * E.col("cat_avg"))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, it, ["ss_item_sk"], ["i_item_sk"])
+    j = _j(j, _scan("customer"), ["ss_customer_sk"], ["c_customer_sk"])
+    j = _j(j, _scan("customer_address"), ["c_current_addr_sk"], ["ca_address_sk"])
+    agg = j.aggregate([E.col("ca_state")], [E.AggExpr("count", None, "cnt")])
+    agg.max_groups = max_groups
+    return agg.filter(E.col("cnt") >= E.lit(3)).sort(
+        [E.SortOrder(E.col("cnt")), E.SortOrder(E.col("ca_state"))], fetch=100
+    )
+
+
+def q8(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Store profits in zip prefixes shared with >10-preferred-customer zips."""
+    zip5 = E.StringFunc("substring", (E.col("ca_zip"), E.lit(1), E.lit(5)))
+    a1 = _scan("customer_address").project([zip5.alias("zip5")]).filter(
+        E.StringFunc("substring", (E.col("zip5"), E.lit(1), E.lit(2))).isin(
+            *[f"{a}{b}" for a in range(1, 10) for b in range(0, 5)])
+    )
+    pref = _j(_scan("customer").filter(E.col("c_preferred_cust_flag") == E.lit("Y")),
+              _scan("customer_address"), ["c_current_addr_sk"], ["ca_address_sk"])
+    a2 = pref.project([zip5.alias("zip5")]).aggregate(
+        [E.col("zip5")], [E.AggExpr("count", None, "cnt")]
+    )
+    # spec threshold is >10 preferred customers per zip; the synthetic
+    # generator's address density is far sparser, so default to >2
+    a2.max_groups = max_groups
+    a2 = a2.filter(E.col("cnt") > E.lit(1)).project([E.col("zip5").alias("zip5b")])
+    both = P.HashJoin(a1, a2, (E.col("zip5"),), (E.col("zip5b"),),
+                      P.JoinType.LEFT_SEMI, "right")
+    zip2 = both.project(
+        [E.StringFunc("substring", (E.col("zip5"), E.lit(1), E.lit(2))).alias("zip2")]
+    ).aggregate([E.col("zip2")], [E.AggExpr("count", None, "n")])
+    zip2.max_groups = 1 << 8
+    st = P.HashJoin(
+        _scan("store").project(
+            [E.col("s_store_sk"), E.col("s_store_name"),
+             E.StringFunc("substring", (E.col("s_zip"), E.lit(1), E.lit(2))).alias("s_zip2")]),
+        zip2.project([E.col("zip2")]),
+        (E.col("s_zip2"),), (E.col("zip2"),), P.JoinType.LEFT_SEMI, "right",
+    )
+    dt = _scan("date_dim").filter((E.col("d_qoy") == E.lit(2)) & (E.col("d_year") == E.lit(1998)))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, st, ["ss_store_sk"], ["s_store_sk"])
+    agg = j.aggregate([E.col("s_store_name")],
+                      [E.AggExpr("sum", E.col("ss_net_profit"), "net_profit")])
+    agg.max_groups = 64
+    return agg.sort([E.SortOrder(E.col("s_store_name"))], fetch=100)
+
+
+def _active_customers(require_web_or_catalog: str) -> P.PlanNode:
+    """Customers with a store purchase in the window and (existence of /
+    absence of) web or catalog purchases — the q10/q35/q69 skeleton.
+    ``require_web_or_catalog``: 'either' (q10/q35) or 'neither' (q69)."""
+    dt = _scan("date_dim").filter(
+        (E.col("d_year") == E.lit(1999)) & (E.col("d_moy").between(1, 4))
+    )
+    ss_c = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"]).aggregate(
+        [E.col("ss_customer_sk")], [E.AggExpr("count", None, "n_ss")]
+    )
+    ss_c.max_groups = 1 << 16
+    ws_c = _j(_scan("web_sales"), dt, ["ws_sold_date_sk"], ["d_date_sk"]).aggregate(
+        [E.col("ws_bill_customer_sk")], [E.AggExpr("count", None, "n_ws")]
+    )
+    ws_c.max_groups = 1 << 16
+    cs_c = _j(_scan("catalog_sales"), dt, ["cs_sold_date_sk"], ["d_date_sk"]).aggregate(
+        [E.col("cs_bill_customer_sk")], [E.AggExpr("count", None, "n_cs")]
+    )
+    cs_c.max_groups = 1 << 16
+    c = P.HashJoin(_scan("customer"), ss_c.project([E.col("ss_customer_sk")]),
+                   (E.col("c_customer_sk"),), (E.col("ss_customer_sk"),),
+                   P.JoinType.LEFT_SEMI, "right")
+    c = P.HashJoin(c, ws_c.project([E.col("ws_bill_customer_sk")]),
+                   (E.col("c_customer_sk"),), (E.col("ws_bill_customer_sk"),),
+                   P.JoinType.EXISTENCE, "right")
+    c = c.project([E.col(f.name) for f in SCHEMAS["customer"].fields]
+                  + [E.col("exists").alias("has_ws")])
+    c = P.HashJoin(c, cs_c.project([E.col("cs_bill_customer_sk")]),
+                   (E.col("c_customer_sk"),), (E.col("cs_bill_customer_sk"),),
+                   P.JoinType.EXISTENCE, "right")
+    c = c.project([E.col(f.name) for f in SCHEMAS["customer"].fields]
+                  + [E.col("has_ws"), E.col("exists").alias("has_cs")])
+    if require_web_or_catalog == "either":
+        return c.filter(E.col("has_ws") | E.col("has_cs"))
+    return c.filter(~E.col("has_ws") & ~E.col("has_cs"))
+
+
+def q10(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Demographic counts of county customers active in store + web/catalog."""
+    c = _active_customers("either")
+    ca = _scan("customer_address").filter(
+        E.col("ca_county").isin("county 0", "county 1", "county 2", "county 3", "county 4")
+    )
+    j = _j(c, ca, ["c_current_addr_sk"], ["ca_address_sk"])
+    j = _j(j, _scan("customer_demographics"), ["c_current_cdemo_sk"], ["cd_demo_sk"])
+    agg = j.aggregate(
+        [E.col("cd_gender"), E.col("cd_marital_status"), E.col("cd_education_status"),
+         E.col("cd_purchase_estimate"), E.col("cd_credit_rating")],
+        [E.AggExpr("count", None, "cnt")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("cd_gender")), E.SortOrder(E.col("cd_marital_status")),
+         E.SortOrder(E.col("cd_education_status")), E.SortOrder(E.col("cd_purchase_estimate")),
+         E.SortOrder(E.col("cd_credit_rating"))],
+        fetch=100,
+    )
+
+
+def q35(max_groups: int = 1 << 12) -> P.PlanNode:
+    """State/demographic profile of active customers with dependent stats."""
+    c = _active_customers("either")
+    j = _j(c, _scan("customer_address"), ["c_current_addr_sk"], ["ca_address_sk"])
+    j = _j(j, _scan("customer_demographics"), ["c_current_cdemo_sk"], ["cd_demo_sk"])
+    agg = j.aggregate(
+        [E.col("ca_state"), E.col("cd_gender"), E.col("cd_marital_status"),
+         E.col("cd_dep_count"), E.col("cd_dep_employed_count"), E.col("cd_dep_college_count")],
+        [
+            E.AggExpr("count", None, "cnt1"),
+            E.AggExpr("max", E.col("cd_dep_count"), "max_dep"),
+            E.AggExpr("sum", E.col("cd_dep_employed_count"), "sum_emp"),
+            E.AggExpr("avg", E.col("cd_dep_college_count").cast(T.FLOAT64), "avg_col"),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("ca_state")), E.SortOrder(E.col("cd_gender")),
+         E.SortOrder(E.col("cd_marital_status")), E.SortOrder(E.col("cd_dep_count")),
+         E.SortOrder(E.col("cd_dep_employed_count")),
+         E.SortOrder(E.col("cd_dep_college_count"))],
+        fetch=100,
+    )
+
+
+def q69(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Demographics of store-only customers (anti web/catalog)."""
+    c = _active_customers("neither")
+    ca = _scan("customer_address").filter(E.col("ca_state").isin("CA", "TX", "NY"))
+    j = _j(c, ca, ["c_current_addr_sk"], ["ca_address_sk"])
+    j = _j(j, _scan("customer_demographics"), ["c_current_cdemo_sk"], ["cd_demo_sk"])
+    agg = j.aggregate(
+        [E.col("cd_gender"), E.col("cd_marital_status"), E.col("cd_education_status"),
+         E.col("cd_purchase_estimate"), E.col("cd_credit_rating")],
+        [E.AggExpr("count", None, "cnt")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("cd_gender")), E.SortOrder(E.col("cd_marital_status")),
+         E.SortOrder(E.col("cd_education_status")), E.SortOrder(E.col("cd_purchase_estimate")),
+         E.SortOrder(E.col("cd_credit_rating"))],
+        fetch=100,
+    )
+
+
+def q13() -> P.PlanNode:
+    """Single-row store-sales averages under OR'd demographic/address bands."""
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(2001))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, _scan("customer_demographics"), ["ss_cdemo_sk"], ["cd_demo_sk"])
+    j = _j(j, _scan("household_demographics"), ["ss_hdemo_sk"], ["hd_demo_sk"])
+    j = _j(j, _scan("customer_address"), ["ss_addr_sk"], ["ca_address_sk"])
+    demo = (
+        ((E.col("cd_marital_status") == E.lit("M"))
+         & E.col("ss_sales_price").between(E.lit(0, T.decimal(7, 2)), E.lit(150, T.decimal(7, 2)))
+         & E.col("hd_dep_count").between(0, 4))
+        | ((E.col("cd_marital_status") == E.lit("S"))
+           & E.col("ss_sales_price").between(E.lit(50, T.decimal(7, 2)), E.lit(200, T.decimal(7, 2)))
+           & E.col("hd_dep_count").between(1, 6))
+        | ((E.col("cd_marital_status") == E.lit("W"))
+           & E.col("ss_sales_price").between(E.lit(25, T.decimal(7, 2)), E.lit(175, T.decimal(7, 2)))
+           & E.col("hd_dep_count").between(3, 9))
+    )
+    addr = (
+        (E.col("ca_state").isin("CA", "TX") & E.col("ss_net_profit").between(
+            E.lit(-500, T.decimal(7, 2)), E.lit(1000, T.decimal(7, 2))))
+        | (E.col("ca_state").isin("NY", "FL") & E.col("ss_net_profit").between(
+            E.lit(0, T.decimal(7, 2)), E.lit(2000, T.decimal(7, 2))))
+        | (E.col("ca_state").isin("WA", "GA") & E.col("ss_net_profit").between(
+            E.lit(50, T.decimal(7, 2)), E.lit(1500, T.decimal(7, 2))))
+    )
+    j = j.filter(demo & addr)
+    return j.aggregate(
+        [],
+        [
+            E.AggExpr("avg", E.col("ss_quantity"), "avg_qty"),
+            E.AggExpr("avg", E.col("ss_ext_sales_price").cast(T.FLOAT64), "avg_esp"),
+            E.AggExpr("avg", E.col("ss_ext_wholesale_cost").cast(T.FLOAT64), "avg_ewc"),
+            E.AggExpr("sum", E.col("ss_ext_wholesale_cost"), "sum_ewc"),
+        ],
+    )
+
+
+def q48() -> P.PlanNode:
+    """Single-row quantity sum under OR'd demographic/address bands."""
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(2000))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, _scan("customer_demographics"), ["ss_cdemo_sk"], ["cd_demo_sk"])
+    j = _j(j, _scan("customer_address"), ["ss_addr_sk"], ["ca_address_sk"])
+    demo = (
+        ((E.col("cd_marital_status") == E.lit("M")) & (E.col("cd_education_status") == E.lit("4 yr Degree"))
+         & E.col("ss_sales_price").between(E.lit(100, T.decimal(7, 2)), E.lit(150, T.decimal(7, 2))))
+        | ((E.col("cd_marital_status") == E.lit("D")) & (E.col("cd_education_status") == E.lit("Secondary"))
+           & E.col("ss_sales_price").between(E.lit(50, T.decimal(7, 2)), E.lit(100, T.decimal(7, 2))))
+        | ((E.col("cd_marital_status") == E.lit("S")) & (E.col("cd_education_status") == E.lit("College"))
+           & E.col("ss_sales_price").between(E.lit(150, T.decimal(7, 2)), E.lit(200, T.decimal(7, 2))))
+    )
+    addr = (
+        (E.col("ca_state").isin("CA", "TX") & E.col("ss_net_profit").between(
+            E.lit(0, T.decimal(7, 2)), E.lit(2000, T.decimal(7, 2))))
+        | (E.col("ca_state").isin("NY", "FL") & E.col("ss_net_profit").between(
+            E.lit(150, T.decimal(7, 2)), E.lit(300, T.decimal(7, 2))))
+        | (E.col("ca_state").isin("WA", "GA") & E.col("ss_net_profit").between(
+            E.lit(50, T.decimal(7, 2)), E.lit(250, T.decimal(7, 2))))
+    )
+    j = j.filter(demo & addr)
+    return j.aggregate([], [E.AggExpr("sum", E.col("ss_quantity"), "total_qty")])
+
+
+def _excess_discount(fact: str, date_col: str, item_col: str, disc_col: str,
+                     manufact: int) -> P.PlanNode:
+    """q32/q92 shape: discounts above 1.3× the per-item window average."""
+    dt = _scan("date_dim").filter(E.col("d_date_sk").between(100, 190))
+    it = _scan("item").filter(E.col("i_manufact_id") == E.lit(manufact))
+    base = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+    base = _j(base, it, [item_col], ["i_item_sk"])
+    keep = _exceeds_group_avg(base, item_col, disc_col, 1.3, 1 << 12)
+    return keep.aggregate([], [E.AggExpr("sum", E.col(disc_col), "excess_discount")])
+
+
+def q32() -> P.PlanNode:
+    """Catalog excess discount amount."""
+    return _excess_discount("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+                            "cs_ext_discount_amt", 77)
+
+
+def q92() -> P.PlanNode:
+    """Web excess discount amount."""
+    return _excess_discount("web_sales", "ws_sold_date_sk", "ws_item_sk",
+                            "ws_ext_discount_amt", 35)
+
+
+def _returns_above_state_avg(rfact: str, cust_col: str, date_col: str, amt_col: str,
+                             home_states, max_groups: int) -> P.PlanNode:
+    """q30/q81 shape: per-customer channel returns above 1.2× the state
+    average, joined back to home-state customers."""
+    dt = _scan("date_dim").filter(E.col("d_year").isin(1999, 2000, 2001))
+    r = _j(_scan(rfact), dt, [date_col], ["d_date_sk"])
+    ctr = _j(r, _scan("customer"), [cust_col], ["c_customer_sk"])
+    ctr = _j(ctr, _scan("customer_address"), ["c_current_addr_sk"], ["ca_address_sk"])
+    ctr = ctr.aggregate(
+        [E.col(cust_col), E.col("ca_state")],
+        [E.AggExpr("sum", E.col(amt_col), "ctr_total_return")],
+    )
+    ctr.max_groups = max_groups
+    keep = _exceeds_group_avg(ctr, "ca_state", "ctr_total_return", 1.2, 64)
+    c = _scan("customer")
+    j = P.HashJoin(keep, c, (E.col(cust_col),), (E.col("c_customer_sk"),),
+                   P.JoinType.INNER, "right")
+    home = _scan("customer_address").filter(E.col("ca_state").isin(*home_states)).project(
+        [E.col("ca_address_sk").alias("home_addr_sk")]
+    )
+    j = _j(j, home, ["c_current_addr_sk"], ["home_addr_sk"])
+    return j.project(
+        [E.col("c_customer_id"), E.col("c_salutation"), E.col("c_first_name"),
+         E.col("c_last_name"), E.col("ctr_total_return")]
+    ).sort(
+        [E.SortOrder(E.col("c_customer_id")), E.SortOrder(E.col("ctr_total_return"))],
+        fetch=100,
+    )
+
+
+def q30(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Web returners above 1.2× their state's average, home state CA."""
+    return _returns_above_state_avg("web_returns", "wr_returning_customer_sk",
+                                    "wr_returned_date_sk", "wr_return_amt", ("CA", "TX", "NY", "FL"), max_groups)
+
+
+def q81(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Catalog returners above 1.2× their state's average, home state TX."""
+    return _returns_above_state_avg("catalog_returns", "cr_returning_customer_sk",
+                                    "cr_returned_date_sk", "cr_return_amount", ("TX", "WA", "GA", "IL"), max_groups)
+
+
+def _multi_warehouse_orders(fact: str, order_col: str, wh_col: str,
+                            rfact: str, rorder_col: str,
+                            date_col: str, ship_date_lo: int, ship_date_hi: int,
+                            addr_col: str, state: str,
+                            site_scan: str, site_join: str, site_key: str,
+                            ship_cost_col: str, profit_col: str) -> P.PlanNode:
+    """q16/q94 shape: orders shipped from ≥2 warehouses (self-exists),
+    never returned (anti), within a ship-date window and state."""
+    multi = _scan(fact).aggregate(
+        [E.col(order_col)],
+        [E.AggExpr("count_distinct", E.col(wh_col), "n_wh")],
+    )
+    multi.max_groups = 1 << 16
+    multi = multi.filter(E.col("n_wh") >= E.lit(2)).project(
+        [E.col(order_col).alias("multi_order")]
+    )
+    dt = _scan("date_dim").filter(E.col("d_date_sk").between(ship_date_lo, ship_date_hi))
+    ca = _scan("customer_address").filter(E.col("ca_state") == E.lit(state))
+    j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+    j = _j(j, ca, [addr_col], ["ca_address_sk"])
+    j = _j(j, _scan(site_scan), [site_join], [site_key])
+    j = P.HashJoin(j, multi, (E.col(order_col),), (E.col("multi_order"),),
+                   P.JoinType.LEFT_SEMI, "right")
+    returned = _scan(rfact).aggregate(
+        [E.col(rorder_col)], [E.AggExpr("count", None, "n_r")]
+    )
+    returned.max_groups = 1 << 16
+    j = P.HashJoin(j, returned.project([E.col(rorder_col)]),
+                   (E.col(order_col),), (E.col(rorder_col),),
+                   P.JoinType.LEFT_ANTI, "right")
+    # count(distinct order) alongside plain sums: pre-aggregate per order,
+    # then count rows + sum the partial sums (same decomposition DataFusion
+    # planner uses for single-distinct + other aggs)
+    per_order = j.aggregate(
+        [E.col(order_col)],
+        [E.AggExpr("sum", E.col(ship_cost_col), "ship_part"),
+         E.AggExpr("sum", E.col(profit_col), "profit_part")],
+    )
+    per_order.max_groups = 1 << 16
+    return per_order.aggregate(
+        [],
+        [
+            E.AggExpr("count", None, "order_count"),
+            E.AggExpr("sum", E.col("ship_part"), "total_shipping_cost"),
+            E.AggExpr("sum", E.col("profit_part"), "total_net_profit"),
+        ],
+    )
+
+
+def q16() -> P.PlanNode:
+    """Catalog multi-warehouse never-returned order stats."""
+    return _multi_warehouse_orders(
+        "catalog_sales", "cs_order_number", "cs_warehouse_sk",
+        "catalog_returns", "cr_order_number",
+        "cs_ship_date_sk", 60, 120, "cs_ship_addr_sk", "GA",
+        "call_center", "cs_call_center_sk", "cc_call_center_sk",
+        "cs_ext_ship_cost", "cs_net_profit")
+
+
+def q94() -> P.PlanNode:
+    """Web multi-warehouse never-returned order stats."""
+    return _multi_warehouse_orders(
+        "web_sales", "ws_order_number", "ws_warehouse_sk",
+        "web_returns", "wr_order_number",
+        "ws_ship_date_sk", 60, 120, "ws_ship_addr_sk", "IL",
+        "web_site", "ws_web_site_sk", "web_site_sk",
+        "ws_ext_ship_cost", "ws_net_profit")
+
+
+def q85(max_groups: int = 1 << 10) -> P.PlanNode:
+    """Web return reasons with demographic/address band filters."""
+    wr = _scan("web_returns").aggregate(
+        [E.col("wr_item_sk"), E.col("wr_order_number"), E.col("wr_reason_sk"),
+         E.col("wr_refunded_cash"), E.col("wr_web_page_sk")],
+        [E.AggExpr("sum", E.col("wr_return_quantity"), "ret_qty")],
+    )
+    wr.max_groups = 1 << 16
+    j = P.HashJoin(_scan("web_sales"), wr,
+                   (E.col("ws_item_sk"), E.col("ws_order_number")),
+                   (E.col("wr_item_sk"), E.col("wr_order_number")),
+                   P.JoinType.INNER, "right")
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(2000))
+    j = _j(j, dt, ["ws_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("web_page"), ["ws_web_page_sk"], ["wp_web_page_sk"])
+    j = _j(j, _scan("reason"), ["wr_reason_sk"], ["r_reason_sk"])
+    j = _j(j, _scan("customer_demographics"), ["ws_bill_customer_sk"], ["cd_demo_sk"])
+    band = (
+        ((E.col("cd_marital_status") == E.lit("M"))
+         & E.col("ws_sales_price").between(E.lit(0, T.decimal(7, 2)), E.lit(150, T.decimal(7, 2))))
+        | ((E.col("cd_marital_status") == E.lit("S"))
+           & E.col("ws_sales_price").between(E.lit(50, T.decimal(7, 2)), E.lit(200, T.decimal(7, 2))))
+        | ((E.col("cd_marital_status") == E.lit("W"))
+           & E.col("ws_sales_price").between(E.lit(25, T.decimal(7, 2)), E.lit(175, T.decimal(7, 2))))
+    )
+    j = j.filter(band)
+    agg = j.aggregate(
+        [E.col("r_reason_desc")],
+        [
+            E.AggExpr("avg", E.col("ws_quantity"), "avg_qty"),
+            E.AggExpr("avg", E.col("wr_refunded_cash").cast(T.FLOAT64), "avg_refund"),
+            E.AggExpr("avg", E.col("ret_qty"), "avg_ret_qty"),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("r_reason_desc")), E.SortOrder(E.col("avg_qty"))], fetch=100
+    )
+
+
+def q93(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Actual net paid per customer after reason-specific returns."""
+    sr = _j(_scan("store_returns"),
+            _scan("reason").filter(E.col("r_reason_desc") == E.lit("reason 3")),
+            ["sr_reason_sk"], ["r_reason_sk"])
+    sra = sr.aggregate(
+        [E.col("sr_item_sk"), E.col("sr_ticket_number")],
+        [E.AggExpr("sum", E.col("sr_return_quantity"), "ret_qty")],
+    )
+    sra.max_groups = 1 << 16
+    j = P.HashJoin(_scan("store_sales"), sra,
+                   (E.col("ss_item_sk"), E.col("ss_ticket_number")),
+                   (E.col("sr_item_sk"), E.col("sr_ticket_number")),
+                   P.JoinType.INNER, "right")
+    act = j.project([
+        E.col("ss_customer_sk"),
+        (E.if_(
+            E.col("ret_qty").is_not_null(),
+            (E.col("ss_quantity") - E.col("ret_qty")).cast(T.decimal(10, 0)),
+            E.col("ss_quantity").cast(T.decimal(10, 0)),
+        ) * E.col("ss_sales_price")).alias("act_sales"),
+    ])
+    agg = act.aggregate([E.col("ss_customer_sk")],
+                        [E.AggExpr("sum", E.col("act_sales"), "sumsales")])
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("sumsales")), E.SortOrder(E.col("ss_customer_sk"))],
+        fetch=100,
+    )
+
+
 QUERIES = {
-    "q3": q3, "q5": q5, "q7": q7, "q12": q12, "q15": q15, "q18": q18, "q19": q19, "q20": q20,
-    "q33": q33, "q56": q56, "q71": q71, "q75": q75, "q76": q76, "q80": q80, "q97": q97,
+    "q1": q1, "q3": q3, "q5": q5, "q6": q6, "q7": q7, "q8": q8, "q10": q10,
+    "q12": q12, "q13": q13, "q15": q15, "q16": q16, "q18": q18, "q19": q19, "q20": q20,
+    "q30": q30, "q32": q32, "q33": q33, "q35": q35, "q48": q48,
+    "q56": q56, "q69": q69, "q71": q71, "q75": q75, "q76": q76, "q80": q80,
+    "q81": q81, "q85": q85, "q92": q92, "q93": q93, "q94": q94, "q97": q97,
     "q22": q22, "q25": q25, "q26": q26, "q27": q27, "q34": q34, "q36": q36,
     "q67": q67, "q70": q70, "q86": q86,
     "q42": q42, "q43": q43, "q44": q44, "q45": q45, "q47": q47, "q50": q50,
