@@ -2757,8 +2757,271 @@ def q93(max_groups: int = 1 << 16) -> P.PlanNode:
     )
 
 
+# ---------------------------------------------------------------------------
+# Year-over-year self-join family: a shared aggregate reused under several
+# filters and joined against itself (the CTE reuse pattern; reference:
+# Spark reuses the exchange, here the sub-aggregate appears once per arm)
+# ---------------------------------------------------------------------------
+
+
+def _dow_pivot_aggs(price_col: str):
+    return [
+        E.AggExpr("sum", E.if_(E.col("d_dow") == E.lit(d), E.col(price_col),
+                               E.lit(None, T.NULLTYPE)), name)
+        for d, name in [(0, "mon"), (1, "tue"), (2, "wed"), (3, "thu"),
+                        (4, "fri"), (5, "sat"), (6, "sun")]
+    ]
+
+
+_DOW_NAMES = ["mon", "tue", "wed", "thu", "fri", "sat", "sun"]
+
+
+def q2() -> P.PlanNode:
+    """Web+catalog weekly day-of-week sales, year-over-year ratio (53-week
+    offset self-join of the shared weekly pivot)."""
+    u = P.Union((
+        _scan("web_sales").project([E.col("ws_sold_date_sk").alias("sold_date_sk"),
+                                    E.col("ws_ext_sales_price").alias("sales_price")]),
+        _scan("catalog_sales").project([E.col("cs_sold_date_sk").alias("sold_date_sk"),
+                                        E.col("cs_ext_sales_price").alias("sales_price")]),
+    ))
+    j = _j(u, _scan("date_dim"), ["sold_date_sk"], ["d_date_sk"])
+    wswscs = j.aggregate([E.col("d_week_seq")], _dow_pivot_aggs("sales_price"))
+    wswscs.max_groups = 1 << 10
+
+    def year_weeks(year, prefix):
+        wk = _scan("date_dim").filter(E.col("d_year") == E.lit(year)).aggregate(
+            [E.col("d_week_seq")], [E.AggExpr("count", None, "n")]
+        )
+        wk.max_groups = 1 << 10
+        sel = P.HashJoin(wswscs, wk.project([E.col("d_week_seq").alias("wk")]),
+                         (E.col("d_week_seq"),), (E.col("wk"),),
+                         P.JoinType.LEFT_SEMI, "right")
+        return sel.project(
+            [E.col("d_week_seq").alias(f"{prefix}_week_seq")]
+            + [E.col(n).alias(f"{prefix}_{n}") for n in _DOW_NAMES]
+        )
+
+    y1 = year_weeks(1999, "y1")
+    y2 = year_weeks(2000, "y2")
+    y2 = y2.project([(E.col("y2_week_seq") - E.lit(53)).alias("y2_week_off")]
+                    + [E.col(f"y2_{n}") for n in _DOW_NAMES])
+    j2 = P.HashJoin(y1, y2, (E.col("y1_week_seq"),), (E.col("y2_week_off"),),
+                    P.JoinType.INNER, "right")
+    ratios = [
+        (E.col(f"y1_{n}").cast(T.FLOAT64) / E.col(f"y2_{n}").cast(T.FLOAT64)).alias(f"r_{n}")
+        for n in _DOW_NAMES
+    ]
+    return j2.project([E.col("y1_week_seq")] + ratios).sort(
+        [E.SortOrder(E.col("y1_week_seq"))], fetch=100
+    )
+
+
+def q59(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Store weekly day-of-week sales, year-over-year by store (52-week
+    offset self-join; joins store twice)."""
+    j = _j(_scan("store_sales"), _scan("date_dim"), ["ss_sold_date_sk"], ["d_date_sk"])
+    wss = j.aggregate([E.col("d_week_seq"), E.col("ss_store_sk")],
+                      _dow_pivot_aggs("ss_sales_price"))
+    wss.max_groups = max_groups
+
+    def arm(year, prefix):
+        wk = _scan("date_dim").filter(E.col("d_year") == E.lit(year)).aggregate(
+            [E.col("d_week_seq")], [E.AggExpr("count", None, "n")]
+        )
+        wk.max_groups = 1 << 10
+        sel = P.HashJoin(wss, wk.project([E.col("d_week_seq").alias("wk")]),
+                         (E.col("d_week_seq"),), (E.col("wk"),),
+                         P.JoinType.LEFT_SEMI, "right")
+        sel = _j(sel, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+        return sel.project(
+            [E.col("s_store_name").alias(f"{prefix}_store_name"),
+             E.col("s_store_id").alias(f"{prefix}_store_id"),
+             E.col("d_week_seq").alias(f"{prefix}_week_seq")]
+            + [E.col(n).alias(f"{prefix}_{n}") for n in _DOW_NAMES]
+        )
+
+    y = arm(1999, "y")
+    x = arm(2000, "x")
+    x = x.project([E.col("x_store_id"),
+                   (E.col("x_week_seq") - E.lit(52)).alias("x_week_off")]
+                  + [E.col(f"x_{n}") for n in _DOW_NAMES])
+    j2 = P.HashJoin(y, x, (E.col("y_store_id"), E.col("y_week_seq")),
+                    (E.col("x_store_id"), E.col("x_week_off")), P.JoinType.INNER, "right")
+    ratios = [
+        (E.col(f"y_{n}").cast(T.FLOAT64) / E.col(f"x_{n}").cast(T.FLOAT64)).alias(f"r_{n}")
+        for n in _DOW_NAMES
+    ]
+    return j2.project(
+        [E.col("y_store_name"), E.col("y_store_id"), E.col("y_week_seq")] + ratios
+    ).sort(
+        [E.SortOrder(E.col("y_store_name")), E.SortOrder(E.col("y_store_id")),
+         E.SortOrder(E.col("y_week_seq"))],
+        fetch=100,
+    )
+
+
+def _year_total(fact: str, cust_col: str, date_col: str, formula, year: int,
+                prefix: str, max_groups: int) -> P.PlanNode:
+    dt = _scan("date_dim").filter(E.col("d_year") == E.lit(year))
+    j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+    agg = j.aggregate([E.col(cust_col)], [E.AggExpr("sum", formula, "total")])
+    agg.max_groups = max_groups
+    return agg.project([E.col(cust_col).alias(f"{prefix}_cust"),
+                        E.col("total").alias(f"{prefix}_total")])
+
+
+def _growth_compare(store_formula, web_formula, extra_catalog=None,
+                    max_groups: int = 1 << 16) -> P.PlanNode:
+    """q4/q11/q74 skeleton: per-customer totals per channel per year; keep
+    customers whose web (and catalog) growth exceeds store growth."""
+    s1 = _year_total("store_sales", "ss_customer_sk", "ss_sold_date_sk",
+                     store_formula, 1999, "s1", max_groups)
+    s2 = _year_total("store_sales", "ss_customer_sk", "ss_sold_date_sk",
+                     store_formula, 2000, "s2", max_groups)
+    w1 = _year_total("web_sales", "ws_bill_customer_sk", "ws_sold_date_sk",
+                     web_formula, 1999, "w1", max_groups)
+    w2 = _year_total("web_sales", "ws_bill_customer_sk", "ws_sold_date_sk",
+                     web_formula, 2000, "w2", max_groups)
+    j = P.HashJoin(s1, s2, (E.col("s1_cust"),), (E.col("s2_cust"),), P.JoinType.INNER, "right")
+    j = P.HashJoin(j, w1, (E.col("s1_cust"),), (E.col("w1_cust"),), P.JoinType.INNER, "right")
+    j = P.HashJoin(j, w2, (E.col("s1_cust"),), (E.col("w2_cust"),), P.JoinType.INNER, "right")
+    cond = (
+        (E.col("s1_total").cast(T.FLOAT64) > E.lit(0.0))
+        & (E.col("w1_total").cast(T.FLOAT64) > E.lit(0.0))
+        & (E.col("w2_total").cast(T.FLOAT64) / E.col("w1_total").cast(T.FLOAT64)
+           > E.col("s2_total").cast(T.FLOAT64) / E.col("s1_total").cast(T.FLOAT64))
+    )
+    if extra_catalog is not None:
+        c1 = _year_total("catalog_sales", "cs_bill_customer_sk", "cs_sold_date_sk",
+                         extra_catalog, 1999, "c1", max_groups)
+        c2 = _year_total("catalog_sales", "cs_bill_customer_sk", "cs_sold_date_sk",
+                         extra_catalog, 2000, "c2", max_groups)
+        j = P.HashJoin(j, c1, (E.col("s1_cust"),), (E.col("c1_cust"),), P.JoinType.INNER, "right")
+        j = P.HashJoin(j, c2, (E.col("s1_cust"),), (E.col("c2_cust"),), P.JoinType.INNER, "right")
+        cond = cond & (
+            (E.col("c1_total").cast(T.FLOAT64) > E.lit(0.0))
+            & (E.col("c2_total").cast(T.FLOAT64) / E.col("c1_total").cast(T.FLOAT64)
+               > E.col("s2_total").cast(T.FLOAT64) / E.col("s1_total").cast(T.FLOAT64))
+        )
+    keep = j.filter(cond)
+    keep = P.HashJoin(keep, _scan("customer"), (E.col("s1_cust"),),
+                      (E.col("c_customer_sk"),), P.JoinType.INNER, "right")
+    return keep.project(
+        [E.col("c_customer_id"), E.col("c_first_name"), E.col("c_last_name")]
+    ).sort([E.SortOrder(E.col("c_customer_id"))], fetch=100)
+
+
+def q74(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Customers whose web net-paid growth beat store growth."""
+    return _growth_compare(E.col("ss_net_paid"), E.col("ws_net_paid"),
+                           None, max_groups)
+
+
+def q11(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Customers whose web (list − discount) growth beat store growth."""
+    return _growth_compare(
+        E.col("ss_ext_list_price") - E.col("ss_ext_discount_amt"),
+        E.col("ws_ext_list_price") - E.col("ws_ext_discount_amt"),
+        None, max_groups)
+
+
+def q4(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Customers whose web AND catalog growth beat store growth
+    (((list − wholesale − discount) + sales) / 2 formula)."""
+    half = E.lit(2, T.decimal(10, 0))
+
+    def formula(lp, wc, dc, sp):
+        return (E.col(lp) - E.col(wc) - E.col(dc) + E.col(sp)) / half
+
+    return _growth_compare(
+        formula("ss_ext_list_price", "ss_ext_wholesale_cost",
+                "ss_ext_discount_amt", "ss_ext_sales_price"),
+        formula("ws_ext_list_price", "ws_ext_ship_cost",
+                "ws_ext_discount_amt", "ws_ext_sales_price"),
+        formula("cs_ext_list_price", "cs_ext_ship_cost",
+                "cs_ext_discount_amt", "cs_ext_sales_price"),
+        max_groups)
+
+
+def q31(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Counties where web sales grew faster than store sales across three
+    consecutive quarters of 2000."""
+    def arm(fact, date_col, addr_col, price_col, qoy, prefix):
+        dt = _scan("date_dim").filter(
+            (E.col("d_year") == E.lit(2000)) & (E.col("d_qoy") == E.lit(qoy))
+        )
+        j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+        j = _j(j, _scan("customer_address"), [addr_col], ["ca_address_sk"])
+        agg = j.aggregate([E.col("ca_county")],
+                          [E.AggExpr("sum", E.col(price_col), "total")])
+        agg.max_groups = max_groups
+        return agg.project([E.col("ca_county").alias(f"{prefix}_county"),
+                            E.col("total").alias(f"{prefix}_sales")])
+
+    ss1 = arm("store_sales", "ss_sold_date_sk", "ss_addr_sk", "ss_ext_sales_price", 1, "ss1")
+    ss2 = arm("store_sales", "ss_sold_date_sk", "ss_addr_sk", "ss_ext_sales_price", 2, "ss2")
+    ss3 = arm("store_sales", "ss_sold_date_sk", "ss_addr_sk", "ss_ext_sales_price", 3, "ss3")
+    ws1 = arm("web_sales", "ws_sold_date_sk", "ws_ship_addr_sk", "ws_ext_sales_price", 1, "ws1")
+    ws2 = arm("web_sales", "ws_sold_date_sk", "ws_ship_addr_sk", "ws_ext_sales_price", 2, "ws2")
+    ws3 = arm("web_sales", "ws_sold_date_sk", "ws_ship_addr_sk", "ws_ext_sales_price", 3, "ws3")
+    j = ss1
+    for nxt, key in [(ss2, "ss2_county"), (ss3, "ss3_county"), (ws1, "ws1_county"),
+                     (ws2, "ws2_county"), (ws3, "ws3_county")]:
+        j = P.HashJoin(j, nxt, (E.col("ss1_county"),), (E.col(key),), P.JoinType.INNER, "right")
+    f64 = lambda c: E.col(c).cast(T.FLOAT64)  # noqa: E731
+    keep = j.filter(
+        (f64("ss1_sales") > E.lit(0.0)) & (f64("ss2_sales") > E.lit(0.0))
+        & (f64("ws1_sales") > E.lit(0.0)) & (f64("ws2_sales") > E.lit(0.0))
+        & (f64("ws2_sales") / f64("ws1_sales") > f64("ss2_sales") / f64("ss1_sales"))
+        & (f64("ws3_sales") / f64("ws2_sales") > f64("ss3_sales") / f64("ss2_sales"))
+    )
+    return keep.project(
+        [E.col("ss1_county"),
+         (f64("ws2_sales") / f64("ws1_sales")).alias("web_q1_q2_increase"),
+         (f64("ss2_sales") / f64("ss1_sales")).alias("store_q1_q2_increase"),
+         (f64("ws3_sales") / f64("ws2_sales")).alias("web_q2_q3_increase"),
+         (f64("ss3_sales") / f64("ss2_sales")).alias("store_q2_q3_increase")]
+    ).sort([E.SortOrder(E.col("ss1_county"))], fetch=100)
+
+
+def q39(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Inventory coefficient-of-variation outliers in consecutive months
+    (stdev/mean > 1, self-joined on month+1)."""
+    j = _j(_scan("inventory"), _scan("date_dim"), ["inv_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("item"), ["inv_item_sk"], ["i_item_sk"])
+    j = _j(j, _scan("warehouse"), ["inv_warehouse_sk"], ["w_warehouse_sk"])
+    base = j.filter(E.col("d_year") == E.lit(2000)).aggregate(
+        [E.col("w_warehouse_sk"), E.col("i_item_sk"), E.col("d_moy")],
+        [
+            E.AggExpr("stddev_samp", E.col("inv_quantity_on_hand").cast(T.FLOAT64), "stdev"),
+            E.AggExpr("avg", E.col("inv_quantity_on_hand").cast(T.FLOAT64), "mean"),
+        ],
+    )
+    base.max_groups = max_groups
+    cov = base.filter(
+        E.if_(E.col("mean") == E.lit(0.0), E.lit(None, T.FLOAT64),
+              E.col("stdev") / E.col("mean")) > E.lit(1.0)
+    ).project([E.col("w_warehouse_sk"), E.col("i_item_sk"), E.col("d_moy"),
+               E.col("mean"), (E.col("stdev") / E.col("mean")).alias("cov")])
+    inv1 = cov.project([E.col("w_warehouse_sk").alias("w1"), E.col("i_item_sk").alias("i1"),
+                        E.col("d_moy").alias("m1"), E.col("mean").alias("mean1"),
+                        E.col("cov").alias("cov1")])
+    inv2 = cov.project([E.col("w_warehouse_sk").alias("w2"), E.col("i_item_sk").alias("i2"),
+                        (E.col("d_moy") - E.lit(1)).alias("m2_off"),
+                        E.col("mean").alias("mean2"), E.col("cov").alias("cov2")])
+    j2 = P.HashJoin(inv1, inv2, (E.col("w1"), E.col("i1"), E.col("m1")),
+                    (E.col("w2"), E.col("i2"), E.col("m2_off")), P.JoinType.INNER, "right")
+    return j2.sort(
+        [E.SortOrder(E.col("w1")), E.SortOrder(E.col("i1")), E.SortOrder(E.col("m1")),
+         E.SortOrder(E.col("cov1"))],
+        fetch=100,
+    )
+
+
 QUERIES = {
-    "q1": q1, "q3": q3, "q5": q5, "q6": q6, "q7": q7, "q8": q8, "q10": q10,
+    "q1": q1, "q2": q2, "q3": q3, "q4": q4, "q11": q11, "q31": q31, "q39": q39,
+    "q59": q59, "q74": q74, "q5": q5, "q6": q6, "q7": q7, "q8": q8, "q10": q10,
     "q12": q12, "q13": q13, "q15": q15, "q16": q16, "q18": q18, "q19": q19, "q20": q20,
     "q30": q30, "q32": q32, "q33": q33, "q35": q35, "q48": q48,
     "q56": q56, "q69": q69, "q71": q71, "q75": q75, "q76": q76, "q80": q80,
