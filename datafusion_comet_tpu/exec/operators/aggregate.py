@@ -315,6 +315,11 @@ def hash_aggregate(
 ) -> Batch:
     ctx = ctx or EvalContext()
     max_groups = min(max_groups * max(ctx.agg_scale, 1), batch.capacity)
+    if not group_exprs:
+        # ungrouped aggregate: exactly one output row — a tight capacity
+        # keeps downstream cross joins (scalar-subquery BNLJ chains) from
+        # inheriting the input's padding multiplicatively
+        max_groups = min(max_groups, 8)
     key_cols = [evaluate(g, batch, ctx) for g in group_exprs]
     packed = _try_pack_keys(key_cols) if key_cols else None
     # Sortless paths:

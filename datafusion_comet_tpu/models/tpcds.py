@@ -3019,9 +3019,579 @@ def q39(max_groups: int = 1 << 14) -> P.PlanNode:
     )
 
 
+# ---------------------------------------------------------------------------
+# Inventory / misc family: before-after pivots, scalar-bucket cross joins,
+# intersect/except as semi/anti joins, moment-based joined statistics, and
+# the q64 cross-channel two-year self-join
+# ---------------------------------------------------------------------------
+
+
+def _cross(left: P.PlanNode, right: P.PlanNode) -> P.PlanNode:
+    """Cross join a single-row aggregate onto the left side (scalar
+    subquery materialization; reference: BNLJ with no condition)."""
+    return P.BroadcastNestedLoopJoin(left, right, P.JoinType.INNER, None)
+
+
+def q21(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Inventory before/after a pivot date per warehouse/item, keeping
+    ratios within [2/3, 3/2]."""
+    dt = _scan("date_dim").filter(E.col("d_date_sk").between(300, 400))
+    it = _scan("item").filter(
+        E.col("i_current_price").between(E.lit(1, T.decimal(7, 2)), E.lit(300, T.decimal(7, 2))))
+    j = _j(_scan("inventory"), dt, ["inv_date_sk"], ["d_date_sk"])
+    j = _j(j, it, ["inv_item_sk"], ["i_item_sk"])
+    j = _j(j, _scan("warehouse"), ["inv_warehouse_sk"], ["w_warehouse_sk"])
+    pivot = E.lit(350)
+    agg = j.aggregate(
+        [E.col("w_warehouse_name"), E.col("i_item_id")],
+        [
+            E.AggExpr("sum", E.if_(E.col("inv_date_sk") < pivot,
+                                   E.col("inv_quantity_on_hand"), E.lit(0)),
+                      "inv_before"),
+            E.AggExpr("sum", E.if_(E.col("inv_date_sk") >= pivot,
+                                   E.col("inv_quantity_on_hand"), E.lit(0)),
+                      "inv_after"),
+        ],
+    )
+    agg.max_groups = max_groups
+    keep = agg.filter(
+        E.if_(E.col("inv_before") > E.lit(0),
+              E.col("inv_after").cast(T.FLOAT64) / E.col("inv_before").cast(T.FLOAT64),
+              E.lit(None, T.FLOAT64)).between(E.lit(2.0 / 3.0), E.lit(3.0 / 2.0))
+    )
+    return keep.sort(
+        [E.SortOrder(E.col("w_warehouse_name")), E.SortOrder(E.col("i_item_id"))],
+        fetch=100,
+    )
+
+
+def _item_inventory_shortlist(fact: str, item_col: str, date_col: str,
+                              manufacts, max_groups: int) -> P.PlanNode:
+    """q37/q82 shape: in-stock items (inventory 100..500 in a window)
+    currently sold through the channel."""
+    it = _scan("item").filter(
+        E.col("i_current_price").between(E.lit(10, T.decimal(7, 2)), E.lit(250, T.decimal(7, 2)))
+        & E.col("i_manufact_id").isin(*manufacts)
+    )
+    dt = _scan("date_dim").filter(E.col("d_date_sk").between(300, 360))
+    inv = _j(_scan("inventory"), dt, ["inv_date_sk"], ["d_date_sk"]).filter(
+        E.col("inv_quantity_on_hand").between(100, 500)
+    ).aggregate([E.col("inv_item_sk")], [E.AggExpr("count", None, "n_inv")])
+    inv.max_groups = 1 << 12
+    it = P.HashJoin(it, inv.project([E.col("inv_item_sk")]),
+                    (E.col("i_item_sk"),), (E.col("inv_item_sk"),),
+                    P.JoinType.LEFT_SEMI, "right")
+    sold = _scan(fact).aggregate([E.col(item_col)], [E.AggExpr("count", None, "n_sold")])
+    sold.max_groups = 1 << 14
+    it = P.HashJoin(it, sold.project([E.col(item_col)]),
+                    (E.col("i_item_sk"),), (E.col(item_col),),
+                    P.JoinType.LEFT_SEMI, "right")
+    agg = it.aggregate(
+        [E.col("i_item_id"), E.col("i_item_desc"), E.col("i_current_price")],
+        [E.AggExpr("count", None, "n")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("i_item_id"))], fetch=100)
+
+
+def q37(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Catalog items in stock (manufacturer shortlist)."""
+    return _item_inventory_shortlist("catalog_sales", "cs_item_sk", "cs_sold_date_sk",
+                                     range(1, 500), max_groups)
+
+
+def q82(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Store items in stock (manufacturer shortlist)."""
+    return _item_inventory_shortlist("store_sales", "ss_item_sk", "ss_sold_date_sk",
+                                     range(300, 800), max_groups)
+
+
+def q72(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Catalog orders short on same-week inventory, by item/warehouse/week."""
+    d1 = _scan("date_dim").project([E.col("d_date_sk").alias("d1_sk"),
+                                    E.col("d_week_seq").alias("wk1")])
+    d2 = _scan("date_dim").project([E.col("d_date_sk").alias("d2_sk"),
+                                    E.col("d_week_seq").alias("wk2")])
+    hd = _scan("household_demographics").filter(
+        E.col("hd_buy_potential") == E.lit(">10000"))
+    cd = _scan("customer_demographics").filter(E.col("cd_marital_status") == E.lit("M"))
+    j = _j(_scan("catalog_sales"), d1, ["cs_sold_date_sk"], ["d1_sk"])
+    j = _j(j, cd, ["cs_cdemo_sk"], ["cd_demo_sk"])
+    # join inventory on (item, week) — not item alone — so the static join
+    # capacity tracks the real match rate instead of the per-item fan-out
+    inv = _j(_scan("inventory"), d2, ["inv_date_sk"], ["d2_sk"])
+    j = P.HashJoin(j, inv, (E.col("cs_item_sk"), E.col("wk1")),
+                   (E.col("inv_item_sk"), E.col("wk2")), P.JoinType.INNER, "right")
+    j = j.filter(E.col("inv_quantity_on_hand") < E.col("cs_quantity"))
+    j = _j(j, _scan("warehouse"), ["inv_warehouse_sk"], ["w_warehouse_sk"])
+    j = _j(j, _scan("item"), ["cs_item_sk"], ["i_item_sk"])
+    agg = j.aggregate(
+        [E.col("i_item_desc"), E.col("w_warehouse_name"), E.col("wk1")],
+        [E.AggExpr("count", None, "no_promo")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("no_promo"), ascending=False),
+         E.SortOrder(E.col("i_item_desc")), E.SortOrder(E.col("w_warehouse_name")),
+         E.SortOrder(E.col("wk1"))],
+        fetch=100,
+    )
+
+
+def q29(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Quantity flow store→return→catalog-rebuy (q25 shape, quantity sums)."""
+    d1 = _scan("date_dim").filter(E.col("d_year").isin(1999, 2000, 2001)).project(
+        [E.col("d_date_sk").alias("d1_sk")])
+    d2 = _scan("date_dim").filter(E.col("d_year").isin(1999, 2000, 2001)).project(
+        [E.col("d_date_sk").alias("d2_sk")])
+    d3 = _scan("date_dim").filter(E.col("d_year").isin(2000, 2001, 2002)).project(
+        [E.col("d_date_sk").alias("d3_sk")])
+    cs = _j(_scan("catalog_sales"), d3, ["cs_sold_date_sk"], ["d3_sk"])
+    cs_agg = cs.aggregate(
+        [E.col("cs_bill_customer_sk"), E.col("cs_item_sk")],
+        [E.AggExpr("sum", E.col("cs_quantity"), "cs_qty_sum"),
+         E.AggExpr("count", None, "cs_cnt")],
+    )
+    cs_agg.max_groups = max_groups
+    j = P.HashJoin(
+        _scan("store_sales"), _scan("store_returns"),
+        (E.col("ss_customer_sk"), E.col("ss_item_sk"), E.col("ss_ticket_number")),
+        (E.col("sr_customer_sk"), E.col("sr_item_sk"), E.col("sr_ticket_number")),
+        P.JoinType.INNER, "right",
+    )
+    j = _j(j, d1, ["ss_sold_date_sk"], ["d1_sk"])
+    j = _j(j, d2, ["sr_returned_date_sk"], ["d2_sk"])
+    j = P.HashJoin(j, cs_agg,
+                   (E.col("ss_customer_sk"), E.col("ss_item_sk")),
+                   (E.col("cs_bill_customer_sk"), E.col("cs_item_sk")),
+                   P.JoinType.INNER, "right")
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, _scan("item"), ["ss_item_sk"], ["i_item_sk"])
+    agg = j.aggregate(
+        [E.col("i_item_id"), E.col("i_item_desc"), E.col("s_store_id"), E.col("s_store_name")],
+        [
+            E.AggExpr("sum", E.col("ss_quantity") * E.col("cs_cnt"), "store_sales_quantity"),
+            E.AggExpr("sum", E.col("sr_return_quantity") * E.col("cs_cnt"),
+                      "store_returns_quantity"),
+            E.AggExpr("sum", E.col("cs_qty_sum"), "catalog_sales_quantity"),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("i_item_id")), E.SortOrder(E.col("i_item_desc")),
+         E.SortOrder(E.col("s_store_id")), E.SortOrder(E.col("s_store_name"))],
+        fetch=100,
+    )
+
+
+def q40(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Catalog sales net of returns before/after a pivot date by state/item."""
+    cr = _returns_agg("catalog_returns", ["cr_item_sk", "cr_order_number"],
+                      ["cr_return_amount"], ["r_amt"])
+    j = P.HashJoin(_scan("catalog_sales"), cr,
+                   (E.col("cs_item_sk"), E.col("cs_order_number")),
+                   (E.col("cr_item_sk"), E.col("cr_order_number")),
+                   P.JoinType.LEFT, "right")
+    dt = _scan("date_dim").filter(E.col("d_date_sk").between(300, 400))
+    it = _scan("item").filter(
+        E.col("i_current_price").between(E.lit(10, T.decimal(7, 2)), E.lit(250, T.decimal(7, 2))))
+    j = _j(j, dt, ["cs_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, it, ["cs_item_sk"], ["i_item_sk"])
+    j = _j(j, _scan("warehouse"), ["cs_warehouse_sk"], ["w_warehouse_sk"])
+    net = (E.col("cs_sales_price").cast(T.decimal(17, 2))
+           - E.coalesce(E.col("r_amt").cast(T.decimal(17, 2)),
+                        E.lit(0).cast(T.decimal(17, 2))))
+    pivot = E.lit(350)
+    agg = j.aggregate(
+        [E.col("w_state"), E.col("i_item_id")],
+        [
+            E.AggExpr("sum", E.if_(E.col("cs_sold_date_sk") < pivot, net,
+                                   E.lit(0).cast(T.decimal(17, 2))), "sales_before"),
+            E.AggExpr("sum", E.if_(E.col("cs_sold_date_sk") >= pivot, net,
+                                   E.lit(0).cast(T.decimal(17, 2))), "sales_after"),
+        ],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("w_state")), E.SortOrder(E.col("i_item_id"))], fetch=100
+    )
+
+
+def q9() -> P.PlanNode:
+    """Five quantity-bucket CASE selectors between two bucket averages
+    (scalar subqueries as chained single-row cross joins)."""
+    plan = _scan("reason").filter(E.col("r_reason_sk") == E.lit(1))
+    cases = []
+    for i, (lo, hi) in enumerate([(1, 20), (21, 40), (41, 60), (61, 80), (81, 100)]):
+        b = _scan("store_sales").filter(E.col("ss_quantity").between(lo, hi)).aggregate(
+            [],
+            [
+                E.AggExpr("count", None, f"cnt_{i}"),
+                E.AggExpr("avg", E.col("ss_ext_discount_amt").cast(T.FLOAT64), f"disc_{i}"),
+                E.AggExpr("avg", E.col("ss_net_paid").cast(T.FLOAT64), f"paid_{i}"),
+            ],
+        )
+        plan = _cross(plan, b)
+        cases.append(
+            E.if_(E.col(f"cnt_{i}") > E.lit(100 * (i + 1)),
+                  E.col(f"disc_{i}"), E.col(f"paid_{i}")).alias(f"bucket{i + 1}")
+        )
+    return plan.project([E.col("r_reason_sk")] + cases)
+
+
+def q28() -> P.PlanNode:
+    """Six list-price-band (avg, count, distinct-count) triples cross-joined
+    into one row (distinct+avg via group-by-price decomposition)."""
+    plan = None
+    outs = []
+    bands = [(0, 5000), (5000, 10000), (10000, 15000), (15000, 20000),
+             (20000, 25000), (25000, 30000)]
+    for i, (lo, hi) in enumerate(bands):
+        per_price = _scan("store_sales").filter(
+            E.col("ss_list_price").between(
+                E.lit(lo // 100, T.decimal(7, 2)), E.lit(hi // 100, T.decimal(7, 2)))
+        ).aggregate([E.col("ss_list_price")], [E.AggExpr("count", None, "n")])
+        per_price.max_groups = 1 << 14
+        b = per_price.aggregate(
+            [],
+            [
+                E.AggExpr("count", None, f"distinct_{i}"),
+                E.AggExpr("sum", E.col("ss_list_price") * E.col("n"), f"weighted_{i}"),
+                E.AggExpr("sum", E.col("n"), f"cnt_{i}"),
+            ],
+        )
+        plan = b if plan is None else _cross(plan, b)
+        outs += [
+            (E.col(f"weighted_{i}").cast(T.FLOAT64)
+             / E.col(f"cnt_{i}").cast(T.FLOAT64)).alias(f"b{i + 1}_lp"),
+            E.col(f"cnt_{i}").alias(f"b{i + 1}_cnt"),
+            E.col(f"distinct_{i}").alias(f"b{i + 1}_cntd"),
+        ]
+    return plan.project(outs)
+
+
+def _channel_people(fact: str, cust_col: str, date_col: str) -> P.PlanNode:
+    j = _j(_scan(fact), _scan("date_dim").filter(E.col("d_month_seq").between(12, 23)),
+           [date_col], ["d_date_sk"])
+    j = _j(j, _scan("customer"), [cust_col], ["c_customer_sk"])
+    agg = j.aggregate(
+        [E.col("c_last_name"), E.col("c_first_name"), E.col("d_date_sk")],
+        [E.AggExpr("count", None, "n")],
+    )
+    agg.max_groups = 1 << 16
+    return agg
+
+
+def q38(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Customers appearing in ALL three channels (INTERSECT as semi-joins)."""
+    ss = _channel_people("store_sales", "ss_customer_sk", "ss_sold_date_sk")
+    cs = _channel_people("catalog_sales", "cs_bill_customer_sk", "cs_sold_date_sk")
+    ws = _channel_people("web_sales", "ws_bill_customer_sk", "ws_sold_date_sk")
+    keys = lambda p: tuple(E.col(c).alias(f"{p}_{c}") for c in  # noqa: E731
+                           ("c_last_name", "c_first_name", "d_date_sk"))
+    cs2 = cs.project(list(keys("cs")))
+    ws2 = ws.project(list(keys("ws")))
+    on = (E.col("c_last_name"), E.col("c_first_name"), E.col("d_date_sk"))
+    j = P.HashJoin(ss, cs2, on, tuple(E.col(f"cs_{c.name}") for c in on),
+                   P.JoinType.LEFT_SEMI, "right")
+    j = P.HashJoin(j, ws2, on, tuple(E.col(f"ws_{c.name}") for c in on),
+                   P.JoinType.LEFT_SEMI, "right")
+    return j.aggregate([], [E.AggExpr("count", None, "num")])
+
+
+def q87(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Store-only customers (EXCEPT as anti-joins)."""
+    ss = _channel_people("store_sales", "ss_customer_sk", "ss_sold_date_sk")
+    cs = _channel_people("catalog_sales", "cs_bill_customer_sk", "cs_sold_date_sk")
+    ws = _channel_people("web_sales", "ws_bill_customer_sk", "ws_sold_date_sk")
+    keys = lambda p: tuple(E.col(c).alias(f"{p}_{c}") for c in  # noqa: E731
+                           ("c_last_name", "c_first_name", "d_date_sk"))
+    cs2 = cs.project(list(keys("cs")))
+    ws2 = ws.project(list(keys("ws")))
+    on = (E.col("c_last_name"), E.col("c_first_name"), E.col("d_date_sk"))
+    j = P.HashJoin(ss, cs2, on, tuple(E.col(f"cs_{c.name}") for c in on),
+                   P.JoinType.LEFT_ANTI, "right")
+    j = P.HashJoin(j, ws2, on, tuple(E.col(f"ws_{c.name}") for c in on),
+                   P.JoinType.LEFT_ANTI, "right")
+    return j.aggregate([], [E.AggExpr("count", None, "num")])
+
+
+def q61() -> P.PlanNode:
+    """Promotional vs all sales for one category/month (two single-row
+    aggregates cross-joined into a ratio)."""
+    dt = _scan("date_dim").filter((E.col("d_year") == E.lit(1999)) & (E.col("d_moy") == E.lit(11)))
+    it = _scan("item").filter(E.col("i_category") == E.lit("Jewelry"))
+    ca = _scan("customer_address").filter(E.col("ca_gmt_offset") == E.lit(-5))
+    base = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    base = _j(base, it, ["ss_item_sk"], ["i_item_sk"])
+    base = _j(base, _scan("customer"), ["ss_customer_sk"], ["c_customer_sk"])
+    base = _j(base, ca, ["c_current_addr_sk"], ["ca_address_sk"])
+    pr = _scan("promotion").filter(
+        (E.col("p_channel_dmail") == E.lit("Y")) | (E.col("p_channel_email") == E.lit("Y"))
+        | (E.col("p_channel_tv") == E.lit("Y"))
+    )
+    promo = _j(base, pr, ["ss_promo_sk"], ["p_promo_sk"]).aggregate(
+        [], [E.AggExpr("sum", E.col("ss_ext_sales_price"), "promotions")]
+    )
+    total = base.aggregate([], [E.AggExpr("sum", E.col("ss_ext_sales_price"), "total")])
+    j = _cross(promo, total)
+    return j.project(
+        [E.col("promotions"), E.col("total"),
+         (E.col("promotions").cast(T.FLOAT64) / E.col("total").cast(T.FLOAT64)
+          * E.lit(100.0)).alias("promo_pct")]
+    )
+
+
+def q66(max_groups: int = 1 << 10) -> P.PlanNode:
+    """Warehouse monthly shipping profile: 12 sum(case moy) columns per
+    measure, web + catalog unioned, grouped by warehouse."""
+    sm = _scan("ship_mode").filter(E.col("sm_type").isin("AIR", "EXPRESS"))
+    td = _scan("time_dim").filter(E.col("t_hour").between(8, 17))
+
+    def chan(fact, date_col, time_col, mode_col, wh_col, price_col, net_col):
+        j = _j(_scan(fact), _scan("date_dim").filter(E.col("d_year") == E.lit(1999)),
+               [date_col], ["d_date_sk"])
+        j = _j(j, td, [time_col], ["t_time_sk"])
+        j = _j(j, sm, [mode_col], ["sm_ship_mode_sk"])
+        j = _j(j, _scan("warehouse"), [wh_col], ["w_warehouse_sk"])
+        aggs = []
+        for m in range(1, 13):
+            aggs.append(E.AggExpr(
+                "sum", E.if_(E.col("d_moy") == E.lit(m), E.col(price_col),
+                             E.lit(0).cast(T.decimal(17, 2))), f"sales_m{m}"))
+        for m in range(1, 13):
+            aggs.append(E.AggExpr(
+                "sum", E.if_(E.col("d_moy") == E.lit(m), E.col(net_col),
+                             E.lit(0).cast(T.decimal(17, 2))), f"net_m{m}"))
+        agg = j.aggregate(
+            [E.col("w_warehouse_name"), E.col("w_warehouse_sq_ft"), E.col("w_state")],
+            aggs,
+        )
+        agg.max_groups = max_groups
+        return agg
+
+    u = P.Union((
+        chan("web_sales", "ws_sold_date_sk", "ws_sold_time_sk", "ws_ship_mode_sk",
+             "ws_warehouse_sk", "ws_ext_sales_price", "ws_net_paid"),
+        chan("catalog_sales", "cs_sold_date_sk", "cs_sold_time_sk", "cs_ship_mode_sk",
+             "cs_warehouse_sk", "cs_sales_price", "cs_net_profit"),
+    ))
+    aggs = [E.AggExpr("sum", E.col(f"sales_m{m}"), f"sales_m{m}") for m in range(1, 13)]
+    aggs += [E.AggExpr("sum", E.col(f"net_m{m}"), f"net_m{m}") for m in range(1, 13)]
+    agg = u.aggregate(
+        [E.col("w_warehouse_name"), E.col("w_warehouse_sq_ft"), E.col("w_state")], aggs
+    )
+    agg.max_groups = max_groups
+    return agg.sort([E.SortOrder(E.col("w_warehouse_name"))], fetch=100)
+
+
+def q84(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Customers in one city within an income band, with store returns
+    (reached through the returns' demographic key)."""
+    ib = _scan("income_band").filter(
+        (E.col("ib_lower_bound") >= E.lit(30000)) & (E.col("ib_upper_bound") <= E.lit(100000)))
+    ca = _scan("customer_address").filter(E.col("ca_city").isin("city5", "city10", "city15", "city20"))
+    j = _j(_scan("customer"), ca, ["c_current_addr_sk"], ["ca_address_sk"])
+    j = _j(j, _scan("household_demographics"), ["c_current_hdemo_sk"], ["hd_demo_sk"])
+    j = _j(j, ib, ["hd_income_band_sk"], ["ib_income_band_sk"])
+    j = _j(j, _scan("customer_demographics"), ["c_current_cdemo_sk"], ["cd_demo_sk"])
+    sr = _scan("store_returns").aggregate(
+        [E.col("sr_cdemo_sk")], [E.AggExpr("count", None, "n_r")]
+    )
+    sr.max_groups = 1 << 12
+    j = P.HashJoin(j, sr.project([E.col("sr_cdemo_sk")]),
+                   (E.col("cd_demo_sk"),), (E.col("sr_cdemo_sk"),),
+                   P.JoinType.LEFT_SEMI, "right")
+    return j.project(
+        [E.col("c_customer_id"), E.col("c_last_name"), E.col("c_first_name")]
+    ).sort([E.SortOrder(E.col("c_customer_id"))], fetch=100)
+
+
+def q91(max_groups: int = 1 << 10) -> P.PlanNode:
+    """Call-center catalog-return losses by demographic segment."""
+    dt = _scan("date_dim").filter(E.col("d_year").isin(1999, 2000, 2001))
+    cd = _scan("customer_demographics").filter(
+        ((E.col("cd_marital_status") == E.lit("M")) & (E.col("cd_education_status") == E.lit("Unknown")))
+        | ((E.col("cd_marital_status") == E.lit("W")) & (E.col("cd_education_status") == E.lit("Advanced Degree")))
+        | ((E.col("cd_marital_status") == E.lit("S")) & (E.col("cd_education_status") == E.lit("College")))
+        | ((E.col("cd_marital_status") == E.lit("D")) & (E.col("cd_education_status") == E.lit("Primary")))
+    )
+    hd = _scan("household_demographics").filter(
+        E.col("hd_buy_potential").isin(">10000", "Unknown", "5001-10000"))
+    ca = _scan("customer_address").filter(E.col("ca_gmt_offset").isin(-7, -6, -5))
+    j = _j(_scan("catalog_returns"), dt, ["cr_returned_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("call_center"), ["cr_call_center_sk"], ["cc_call_center_sk"])
+    j = _j(j, _scan("customer"), ["cr_returning_customer_sk"], ["c_customer_sk"])
+    j = _j(j, cd, ["c_current_cdemo_sk"], ["cd_demo_sk"])
+    j = _j(j, hd, ["c_current_hdemo_sk"], ["hd_demo_sk"])
+    j = _j(j, ca, ["c_current_addr_sk"], ["ca_address_sk"])
+    agg = j.aggregate(
+        [E.col("cc_name"), E.col("cd_marital_status"), E.col("cd_education_status")],
+        [E.AggExpr("sum", E.col("cr_net_loss"), "returns_loss")],
+    )
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("returns_loss"), ascending=False),
+         E.SortOrder(E.col("cc_name"))],
+        fetch=100,
+    )
+
+
+def q17(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Quantity statistics across the store→return→catalog-rebuy chain,
+    with count/avg/stdev computed from joined moment sums (the pre-
+    aggregated catalog side carries count/sum/sum-of-squares)."""
+    d1 = _scan("date_dim").filter(E.col("d_year") == E.lit(2000)).project(
+        [E.col("d_date_sk").alias("d1_sk")])
+    d2 = _scan("date_dim").filter(E.col("d_year").isin(2000, 2001)).project(
+        [E.col("d_date_sk").alias("d2_sk")])
+    d3 = _scan("date_dim").filter(E.col("d_year").isin(2000, 2001)).project(
+        [E.col("d_date_sk").alias("d3_sk")])
+    cs = _j(_scan("catalog_sales"), d3, ["cs_sold_date_sk"], ["d3_sk"])
+    csq = E.col("cs_quantity").cast(T.INT64)
+    cs_agg = cs.aggregate(
+        [E.col("cs_bill_customer_sk"), E.col("cs_item_sk")],
+        [
+            E.AggExpr("count", None, "n3"),
+            E.AggExpr("sum", csq, "s3"),
+            E.AggExpr("sum", csq * csq, "ss3"),
+        ],
+    )
+    cs_agg.max_groups = max_groups
+    j = P.HashJoin(
+        _scan("store_sales"), _scan("store_returns"),
+        (E.col("ss_customer_sk"), E.col("ss_item_sk"), E.col("ss_ticket_number")),
+        (E.col("sr_customer_sk"), E.col("sr_item_sk"), E.col("sr_ticket_number")),
+        P.JoinType.INNER, "right",
+    )
+    j = _j(j, d1, ["ss_sold_date_sk"], ["d1_sk"])
+    j = _j(j, d2, ["sr_returned_date_sk"], ["d2_sk"])
+    j = P.HashJoin(j, cs_agg,
+                   (E.col("ss_customer_sk"), E.col("ss_item_sk")),
+                   (E.col("cs_bill_customer_sk"), E.col("cs_item_sk")),
+                   P.JoinType.INNER, "right")
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, _scan("item"), ["ss_item_sk"], ["i_item_sk"])
+    q1 = E.col("ss_quantity").cast(T.INT64)
+    q2 = E.col("sr_return_quantity").cast(T.INT64)
+    agg = j.aggregate(
+        [E.col("i_item_id"), E.col("i_item_desc"), E.col("s_state")],
+        [
+            E.AggExpr("sum", E.col("n3"), "cnt1"),
+            E.AggExpr("sum", q1 * E.col("n3"), "sum1"),
+            E.AggExpr("sum", q1 * q1 * E.col("n3"), "sumsq1"),
+            E.AggExpr("sum", q2 * E.col("n3"), "sum2"),
+            E.AggExpr("sum", q2 * q2 * E.col("n3"), "sumsq2"),
+            E.AggExpr("sum", E.col("s3"), "sum3"),
+            E.AggExpr("sum", E.col("ss3"), "sumsq3"),
+        ],
+    )
+    agg.max_groups = max_groups
+    f64 = lambda c: E.col(c).cast(T.FLOAT64)  # noqa: E731
+
+    def stats(prefix, n, s, ss):
+        avg = (f64(s) / f64(n)).alias(f"{prefix}_avg")
+        var = ((f64(ss) - f64(s) * f64(s) / f64(n)) / (f64(n) - E.lit(1.0)))
+        std = E.MathFunc("sqrt", (var,)).alias(f"{prefix}_stdev")
+        return [avg, std]
+
+    return agg.project(
+        [E.col("i_item_id"), E.col("i_item_desc"), E.col("s_state"), E.col("cnt1")]
+        + stats("store", "cnt1", "sum1", "sumsq1")
+        + stats("ret", "cnt1", "sum2", "sumsq2")
+        + stats("cat", "cnt1", "sum3", "sumsq3")
+    ).sort(
+        [E.SortOrder(E.col("i_item_id")), E.SortOrder(E.col("i_item_desc")),
+         E.SortOrder(E.col("s_state"))],
+        fetch=100,
+    )
+
+
+def q64(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Cross-channel item purchases: store sales of returned-then-kept
+    catalog items, per item/store/year, self-joined across two years
+    (BASELINE configs[3] names this query; demographic chain reduced to
+    hd→income_band, documented)."""
+    cr = _returns_agg("catalog_returns", ["cr_item_sk", "cr_order_number"],
+                      ["cr_return_amount"], ["r_amt"])
+    csj = P.HashJoin(_scan("catalog_sales"), cr,
+                     (E.col("cs_item_sk"), E.col("cs_order_number")),
+                     (E.col("cr_item_sk"), E.col("cr_order_number")),
+                     P.JoinType.LEFT, "right")
+    cs_ui = csj.aggregate(
+        [E.col("cs_item_sk")],
+        [E.AggExpr("sum", E.col("cs_ext_list_price"), "sale"),
+         E.AggExpr("sum", E.coalesce(E.col("r_amt"), E.lit(0, T.decimal(17, 2))), "refund")],
+    )
+    cs_ui.max_groups = max_groups
+    cs_ui = cs_ui.filter(
+        E.col("sale").cast(T.FLOAT64) > E.lit(2.0) * E.col("refund").cast(T.FLOAT64)
+    ).project([E.col("cs_item_sk").alias("ui_item_sk")])
+
+    it = _scan("item").filter(E.col("i_color").isin("red", "blue", "navy", "plum"))
+    # the hd→income_band chain is a pure per-customer filter (both links are
+    # 1:1): reduce it to an eligible-customer semi-join on the fact BEFORE
+    # the wide join chain so static join capacities don't compound
+    ib = _scan("income_band").filter(
+        (E.col("ib_lower_bound") >= E.lit(20000)) & (E.col("ib_upper_bound") <= E.lit(150000)))
+    elig = _j(_scan("customer"), _scan("household_demographics"),
+              ["c_current_hdemo_sk"], ["hd_demo_sk"])
+    elig = _j(elig, ib, ["hd_income_band_sk"], ["ib_income_band_sk"])
+    elig = elig.project([E.col("c_customer_sk").alias("elig_cust")])
+    ss = P.HashJoin(_scan("store_sales"), it.project([E.col("i_item_sk").alias("color_item")]),
+                    (E.col("ss_item_sk"),), (E.col("color_item"),),
+                    P.JoinType.LEFT_SEMI, "right")
+    ss = P.HashJoin(ss, cs_ui, (E.col("ss_item_sk"),), (E.col("ui_item_sk"),),
+                    P.JoinType.LEFT_SEMI, "right")
+    ss = P.HashJoin(ss, elig, (E.col("ss_customer_sk"),), (E.col("elig_cust"),),
+                    P.JoinType.LEFT_SEMI, "right")
+    j = P.HashJoin(
+        ss, _scan("store_returns"),
+        (E.col("ss_item_sk"), E.col("ss_ticket_number")),
+        (E.col("sr_item_sk"), E.col("sr_ticket_number")),
+        P.JoinType.INNER, "right",
+    )
+    j = _j(j, _scan("date_dim"), ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, it, ["ss_item_sk"], ["i_item_sk"])
+    cross_sales = j.aggregate(
+        [E.col("i_product_name"), E.col("i_item_sk"), E.col("s_store_name"),
+         E.col("s_zip"), E.col("d_year")],
+        [
+            E.AggExpr("count", None, "cnt"),
+            E.AggExpr("sum", E.col("ss_wholesale_cost"), "s1"),
+            E.AggExpr("sum", E.col("ss_list_price"), "s2"),
+            E.AggExpr("sum", E.col("ss_coupon_amt"), "s3"),
+        ],
+    )
+    cross_sales.max_groups = max_groups
+    cs1 = cross_sales.filter(E.col("d_year") == E.lit(1999)).project(
+        [E.col("i_product_name").alias("pn1"), E.col("i_item_sk").alias("ik1"),
+         E.col("s_store_name").alias("sn1"), E.col("s_zip").alias("z1"),
+         E.col("cnt").alias("cnt1"), E.col("s1").alias("y1_s1"),
+         E.col("s2").alias("y1_s2"), E.col("s3").alias("y1_s3")]
+    )
+    cs2 = cross_sales.filter(E.col("d_year") == E.lit(2000)).project(
+        [E.col("i_item_sk").alias("ik2"), E.col("s_store_name").alias("sn2"),
+         E.col("s_zip").alias("z2"), E.col("cnt").alias("cnt2"),
+         E.col("s1").alias("y2_s1"), E.col("s2").alias("y2_s2"),
+         E.col("s3").alias("y2_s3")]
+    )
+    j2 = P.HashJoin(cs1, cs2, (E.col("ik1"), E.col("sn1"), E.col("z1")),
+                    (E.col("ik2"), E.col("sn2"), E.col("z2")), P.JoinType.INNER, "right")
+    keep = j2.filter(E.col("cnt2") <= E.col("cnt1"))
+    return keep.sort(
+        [E.SortOrder(E.col("pn1")), E.SortOrder(E.col("sn1")),
+         E.SortOrder(E.col("cnt2")), E.SortOrder(E.col("ik1"))],
+        fetch=100,
+    )
+
+
 QUERIES = {
-    "q1": q1, "q2": q2, "q3": q3, "q4": q4, "q11": q11, "q31": q31, "q39": q39,
-    "q59": q59, "q74": q74, "q5": q5, "q6": q6, "q7": q7, "q8": q8, "q10": q10,
+    "q1": q1, "q2": q2, "q3": q3, "q4": q4, "q9": q9, "q11": q11, "q17": q17,
+    "q21": q21, "q28": q28, "q29": q29, "q31": q31, "q37": q37, "q38": q38,
+    "q39": q39, "q40": q40, "q59": q59, "q61": q61, "q64": q64, "q66": q66,
+    "q72": q72, "q74": q74, "q82": q82, "q84": q84, "q87": q87, "q91": q91, "q5": q5, "q6": q6, "q7": q7, "q8": q8, "q10": q10,
     "q12": q12, "q13": q13, "q15": q15, "q16": q16, "q18": q18, "q19": q19, "q20": q20,
     "q30": q30, "q32": q32, "q33": q33, "q35": q35, "q48": q48,
     "q56": q56, "q69": q69, "q71": q71, "q75": q75, "q76": q76, "q80": q80,

@@ -1,0 +1,417 @@
+"""TPC-DS expansion: inventory / misc family (q9, q17, q21, q28, q29, q37,
+q38, q40, q61, q64, q66, q72, q82, q84, q87, q91) — before/after pivots,
+scalar-bucket cross joins, INTERSECT/EXCEPT as semi/anti joins, moment-based
+joined statistics, and the q64 cross-channel two-year self-join."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datafusion_comet_tpu.exec.engine import Session
+from datafusion_comet_tpu.models import tpcds
+
+SF = 0.02
+ALL = list(tpcds.SCHEMAS)
+
+
+@pytest.fixture(scope="module")
+def data():
+    return tpcds.generate_tables(ALL, SF)
+
+
+@pytest.fixture(scope="module")
+def sess(data):
+    s = Session()
+    for name, cols in data.items():
+        s.register_numpy(name, cols, tpcds.SCHEMAS[name])
+    return s
+
+
+def df(data, name):
+    return pd.DataFrame(data[name])
+
+
+def canon(rows_dict, cols):
+    n = len(next(iter(rows_dict.values())))
+    out = []
+    for i in range(n):
+        row = []
+        for c in cols:
+            v = rows_dict[c][i]
+            ok = rows_dict.get(f"{c}__valid")
+            if ok is not None and not ok[i]:
+                v = None
+            if isinstance(v, (np.floating, float)):
+                v = round(float(v), 8)
+            elif v is not None and not isinstance(v, str):
+                v = int(v)
+            row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=lambda t: tuple((x is not None, str(x)) for x in t))
+
+
+def canon_df(frame, cols):
+    out = []
+    for _, r in frame.iterrows():
+        row = []
+        for c in cols:
+            v = r[c]
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                v = None
+            elif isinstance(v, (np.floating, float)):
+                v = round(float(v), 8)
+            elif not isinstance(v, str):
+                v = int(v)
+            row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=lambda t: tuple((x is not None, str(x)) for x in t))
+
+
+def test_q21(sess, data):
+    out = sess.collect(tpcds.q21())
+    inv, dt, it, wh = (df(data, x) for x in ("inventory", "date_dim", "item", "warehouse"))
+    j = (inv.merge(dt[(dt.d_date_sk >= 300) & (dt.d_date_sk <= 400)],
+                   left_on="inv_date_sk", right_on="d_date_sk")
+         .merge(it[(it.i_current_price >= 100) & (it.i_current_price <= 30000)],
+                left_on="inv_item_sk", right_on="i_item_sk")
+         .merge(wh, left_on="inv_warehouse_sk", right_on="w_warehouse_sk"))
+    j["before"] = np.where(j.inv_date_sk < 350, j.inv_quantity_on_hand, 0)
+    j["after"] = np.where(j.inv_date_sk >= 350, j.inv_quantity_on_hand, 0)
+    g = j.groupby(["w_warehouse_name", "i_item_id"]).agg(
+        inv_before=("before", "sum"), inv_after=("after", "sum")).reset_index()
+    r = g.inv_after / g.inv_before.replace(0, np.nan)
+    g = g[(r >= 2.0 / 3.0) & (r <= 3.0 / 2.0)]
+    g = g.sort_values(["w_warehouse_name", "i_item_id"], kind="stable").head(100)
+    cols = ["w_warehouse_name", "i_item_id", "inv_before", "inv_after"]
+    assert canon(out, cols) == canon_df(g, cols)
+
+
+@pytest.mark.parametrize("qname,fact,item_col,manu_lo,manu_hi", [
+    ("q37", "catalog_sales", "cs_item_sk", 1, 500),
+    ("q82", "store_sales", "ss_item_sk", 300, 800),
+])
+def test_in_stock_items(sess, data, qname, fact, item_col, manu_lo, manu_hi):
+    out = sess.collect(tpcds.QUERIES[qname]())
+    it, inv, dt, f = (df(data, x) for x in ("item", "inventory", "date_dim", fact))
+    itf = it[(it.i_current_price >= 1000) & (it.i_current_price <= 25000)
+             & it.i_manufact_id.isin(range(manu_lo, manu_hi))]
+    dsk = set(dt[(dt.d_date_sk >= 300) & (dt.d_date_sk <= 360)].d_date_sk)
+    stocked = set(inv[inv.inv_date_sk.isin(dsk)
+                      & inv.inv_quantity_on_hand.between(100, 500)].inv_item_sk)
+    sold = set(f[item_col])
+    itf = itf[itf.i_item_sk.isin(stocked & sold)]
+    g = itf.groupby(["i_item_id", "i_item_desc", "i_current_price"]
+                    ).size().reset_index(name="n")
+    g = g.sort_values("i_item_id", kind="stable").head(100)
+    cols = ["i_item_id", "i_item_desc", "i_current_price", "n"]
+    assert canon(out, cols) == canon_df(g, cols)
+
+
+def test_q72(sess, data):
+    out = sess.collect(tpcds.q72())
+    cs, inv, dt, cd, wh, it = (df(data, x) for x in
+                               ("catalog_sales", "inventory", "date_dim",
+                                "customer_demographics", "warehouse", "item"))
+    wk = dt.set_index("d_date_sk").d_week_seq
+    csf = cs.merge(cd[cd.cd_marital_status == "M"], left_on="cs_cdemo_sk",
+                   right_on="cd_demo_sk")
+    csf = csf.assign(wk1=csf.cs_sold_date_sk.map(wk))
+    invf = inv.assign(wk2=inv.inv_date_sk.map(wk))
+    j = csf.merge(invf, left_on=["cs_item_sk", "wk1"], right_on=["inv_item_sk", "wk2"])
+    j = j[j.inv_quantity_on_hand < j.cs_quantity]
+    j = (j.merge(wh, left_on="inv_warehouse_sk", right_on="w_warehouse_sk")
+         .merge(it, left_on="cs_item_sk", right_on="i_item_sk"))
+    g = j.groupby(["i_item_desc", "w_warehouse_name", "wk1"]).size().reset_index(name="no_promo")
+    g = g.sort_values(["no_promo", "i_item_desc", "w_warehouse_name", "wk1"],
+                      ascending=[False, True, True, True], kind="stable").head(100)
+    cols = ["i_item_desc", "w_warehouse_name", "wk1", "no_promo"]
+    assert canon(out, cols) == canon_df(g, cols)
+
+
+def test_q29(sess, data):
+    out = sess.collect(tpcds.q29())
+    ss, sr, cs, dt, st, it = (df(data, x) for x in
+                              ("store_sales", "store_returns", "catalog_sales",
+                               "date_dim", "store", "item"))
+    yrs = set(dt[dt.d_year.isin([1999, 2000, 2001])].d_date_sk)
+    d3 = set(dt[dt.d_year.isin([2000, 2001, 2002])].d_date_sk)
+    cs_agg = (cs[cs.cs_sold_date_sk.isin(d3)]
+              .groupby(["cs_bill_customer_sk", "cs_item_sk"])
+              .agg(cs_qty_sum=("cs_quantity", "sum"), cs_cnt=("cs_quantity", "size"))
+              .reset_index())
+    j = ss.merge(sr, left_on=["ss_customer_sk", "ss_item_sk", "ss_ticket_number"],
+                 right_on=["sr_customer_sk", "sr_item_sk", "sr_ticket_number"])
+    j = j[j.ss_sold_date_sk.isin(yrs) & j.sr_returned_date_sk.isin(yrs)]
+    j = j.merge(cs_agg, left_on=["ss_customer_sk", "ss_item_sk"],
+                right_on=["cs_bill_customer_sk", "cs_item_sk"])
+    j = (j.merge(st, left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(it, left_on="ss_item_sk", right_on="i_item_sk"))
+    g = j.groupby(["i_item_id", "i_item_desc", "s_store_id", "s_store_name"]).apply(
+        lambda x: pd.Series({
+            "store_sales_quantity": (x.ss_quantity * x.cs_cnt).sum(),
+            "store_returns_quantity": (x.sr_return_quantity * x.cs_cnt).sum(),
+            "catalog_sales_quantity": x.cs_qty_sum.sum(),
+        }), include_groups=False).reset_index()
+    g = g.sort_values(["i_item_id", "i_item_desc", "s_store_id", "s_store_name"],
+                      kind="stable").head(100)
+    cols = ["i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+            "store_sales_quantity", "store_returns_quantity", "catalog_sales_quantity"]
+    assert canon(out, cols) == canon_df(g, cols)
+
+
+def test_q40(sess, data):
+    out = sess.collect(tpcds.q40())
+    cs, cr, dt, it, wh = (df(data, x) for x in
+                          ("catalog_sales", "catalog_returns", "date_dim", "item", "warehouse"))
+    ragg = cr.groupby(["cr_item_sk", "cr_order_number"]
+                      ).cr_return_amount.sum().reset_index(name="r_amt")
+    j = cs.merge(ragg, left_on=["cs_item_sk", "cs_order_number"],
+                 right_on=["cr_item_sk", "cr_order_number"], how="left")
+    j = (j[(j.cs_sold_date_sk >= 300) & (j.cs_sold_date_sk <= 400)]
+         .merge(it[(it.i_current_price >= 1000) & (it.i_current_price <= 25000)],
+                left_on="cs_item_sk", right_on="i_item_sk")
+         .merge(wh, left_on="cs_warehouse_sk", right_on="w_warehouse_sk"))
+    j["net"] = j.cs_sales_price - j.r_amt.fillna(0)
+    j["b"] = np.where(j.cs_sold_date_sk < 350, j.net, 0)
+    j["a"] = np.where(j.cs_sold_date_sk >= 350, j.net, 0)
+    g = j.groupby(["w_state", "i_item_id"]).agg(
+        sales_before=("b", "sum"), sales_after=("a", "sum")).reset_index()
+    g = g.sort_values(["w_state", "i_item_id"], kind="stable").head(100)
+    cols = ["w_state", "i_item_id", "sales_before", "sales_after"]
+    assert canon(out, cols) == canon_df(g, cols)
+
+
+def test_q9(sess, data):
+    out = sess.collect(tpcds.q9())
+    ss = df(data, "store_sales")
+    for i, (lo, hi) in enumerate([(1, 20), (21, 40), (41, 60), (61, 80), (81, 100)]):
+        b = ss[ss.ss_quantity.between(lo, hi)]
+        want = (b.ss_ext_discount_amt.mean() if len(b) > 100 * (i + 1)
+                else b.ss_net_paid.mean()) / 100.0
+        assert float(out[f"bucket{i + 1}"][0]) == pytest.approx(want, rel=1e-12)
+
+
+def test_q28(sess, data):
+    out = sess.collect(tpcds.q28())
+    ss = df(data, "store_sales")
+    bands = [(0, 5000), (5000, 10000), (10000, 15000), (15000, 20000),
+             (20000, 25000), (25000, 30000)]
+    for i, (lo, hi) in enumerate(bands):
+        b = ss[ss.ss_list_price.between(lo, hi)]
+        assert int(out[f"b{i + 1}_cnt"][0]) == len(b)
+        assert int(out[f"b{i + 1}_cntd"][0]) == b.ss_list_price.nunique()
+        if len(b):
+            assert float(out[f"b{i + 1}_lp"][0]) == pytest.approx(
+                b.ss_list_price.mean() / 100.0, rel=1e-12)
+
+
+def _people_sets(data):
+    dt = df(data, "date_dim")
+    dsk = set(dt[(dt.d_month_seq >= 12) & (dt.d_month_seq <= 23)].d_date_sk)
+    c = df(data, "customer").set_index("c_customer_sk")
+    sets = {}
+    for key, fact, cust, date_col in [
+        ("ss", "store_sales", "ss_customer_sk", "ss_sold_date_sk"),
+        ("cs", "catalog_sales", "cs_bill_customer_sk", "cs_sold_date_sk"),
+        ("ws", "web_sales", "ws_bill_customer_sk", "ws_sold_date_sk"),
+    ]:
+        f = df(data, fact)
+        f = f[f[date_col].isin(dsk)]
+        tup = set()
+        for cust_sk, dsk_v in zip(f[cust], f[date_col]):
+            tup.add((c.c_last_name[cust_sk], c.c_first_name[cust_sk], dsk_v))
+        sets[key] = tup
+    return sets
+
+
+def test_q38(sess, data):
+    out = sess.collect(tpcds.q38())
+    s = _people_sets(data)
+    assert int(out["num"][0]) == len(s["ss"] & s["cs"] & s["ws"])
+
+
+def test_q87(sess, data):
+    out = sess.collect(tpcds.q87())
+    s = _people_sets(data)
+    assert int(out["num"][0]) == len(s["ss"] - s["cs"] - s["ws"])
+
+
+def test_q61(sess, data):
+    out = sess.collect(tpcds.q61())
+    ss, dt, it, c, ca, pr = (df(data, x) for x in
+                             ("store_sales", "date_dim", "item", "customer",
+                              "customer_address", "promotion"))
+    base = (ss.merge(dt[(dt.d_year == 1999) & (dt.d_moy == 11)],
+                     left_on="ss_sold_date_sk", right_on="d_date_sk")
+            .merge(it[it.i_category == "Jewelry"], left_on="ss_item_sk", right_on="i_item_sk")
+            .merge(c, left_on="ss_customer_sk", right_on="c_customer_sk")
+            .merge(ca[ca.ca_gmt_offset == -5], left_on="c_current_addr_sk",
+                   right_on="ca_address_sk"))
+    prf = pr[(pr.p_channel_dmail == "Y") | (pr.p_channel_email == "Y")
+             | (pr.p_channel_tv == "Y")]
+    promo = base.merge(prf, left_on="ss_promo_sk", right_on="p_promo_sk")
+    got_p = None if not out["promotions__valid"][0] else int(out["promotions"][0])
+    got_t = None if not out["total__valid"][0] else int(out["total"][0])
+    assert got_p == (int(promo.ss_ext_sales_price.sum()) if len(promo) else None)
+    assert got_t == (int(base.ss_ext_sales_price.sum()) if len(base) else None)
+
+
+def test_q66(sess, data):
+    out = sess.collect(tpcds.q66())
+    dt, td, sm, wh = (df(data, x) for x in ("date_dim", "time_dim", "ship_mode", "warehouse"))
+    parts = []
+    for fact, date_col, time_col, mode_col, wh_col, price_col, net_col in [
+        ("web_sales", "ws_sold_date_sk", "ws_sold_time_sk", "ws_ship_mode_sk",
+         "ws_warehouse_sk", "ws_ext_sales_price", "ws_net_paid"),
+        ("catalog_sales", "cs_sold_date_sk", "cs_sold_time_sk", "cs_ship_mode_sk",
+         "cs_warehouse_sk", "cs_sales_price", "cs_net_profit"),
+    ]:
+        f = df(data, fact)
+        j = (f.merge(dt[dt.d_year == 1999], left_on=date_col, right_on="d_date_sk")
+             .merge(td[(td.t_hour >= 8) & (td.t_hour <= 17)],
+                    left_on=time_col, right_on="t_time_sk")
+             .merge(sm[sm.sm_type.isin(["AIR", "EXPRESS"])],
+                    left_on=mode_col, right_on="sm_ship_mode_sk")
+             .merge(wh, left_on=wh_col, right_on="w_warehouse_sk"))
+        j = j.rename(columns={price_col: "price", net_col: "net"})
+        parts.append(j[["w_warehouse_name", "w_warehouse_sq_ft", "w_state",
+                        "d_moy", "price", "net"]])
+    u = pd.concat(parts, ignore_index=True)
+    rows = []
+    for key, g in u.groupby(["w_warehouse_name", "w_warehouse_sq_ft", "w_state"]):
+        row = dict(zip(["w_warehouse_name", "w_warehouse_sq_ft", "w_state"], key))
+        for m in range(1, 13):
+            row[f"sales_m{m}"] = g[g.d_moy == m].price.sum()
+            row[f"net_m{m}"] = g[g.d_moy == m].net.sum()
+        rows.append(row)
+    o = pd.DataFrame(rows).sort_values("w_warehouse_name", kind="stable").head(100)
+    cols = (["w_warehouse_name", "w_warehouse_sq_ft", "w_state"]
+            + [f"sales_m{m}" for m in range(1, 13)] + [f"net_m{m}" for m in range(1, 13)])
+    assert canon(out, cols) == canon_df(o, cols)
+
+
+def test_q84(sess, data):
+    out = sess.collect(tpcds.q84())
+    c, ca, hd, ib, cd, sr = (df(data, x) for x in
+                             ("customer", "customer_address", "household_demographics",
+                              "income_band", "customer_demographics", "store_returns"))
+    ibf = ib[(ib.ib_lower_bound >= 30000) & (ib.ib_upper_bound <= 100000)]
+    j = (c.merge(ca[ca.ca_city.isin(["city5", "city10", "city15", "city20"])],
+                 left_on="c_current_addr_sk", right_on="ca_address_sk")
+         .merge(hd, left_on="c_current_hdemo_sk", right_on="hd_demo_sk")
+         .merge(ibf, left_on="hd_income_band_sk", right_on="ib_income_band_sk")
+         .merge(cd, left_on="c_current_cdemo_sk", right_on="cd_demo_sk"))
+    j = j[j.cd_demo_sk.isin(set(sr.sr_cdemo_sk))]
+    o = j.sort_values("c_customer_id", kind="stable").head(100)
+    cols = ["c_customer_id", "c_last_name", "c_first_name"]
+    assert canon(out, cols) == canon_df(o, cols)
+
+
+def test_q91(sess, data):
+    out = sess.collect(tpcds.q91())
+    cr, dt, cc, c, cd, hd, ca = (df(data, x) for x in
+                                 ("catalog_returns", "date_dim", "call_center", "customer",
+                                  "customer_demographics", "household_demographics",
+                                  "customer_address"))
+    cdf = cd[((cd.cd_marital_status == "M") & (cd.cd_education_status == "Unknown"))
+             | ((cd.cd_marital_status == "W") & (cd.cd_education_status == "Advanced Degree"))
+             | ((cd.cd_marital_status == "S") & (cd.cd_education_status == "College"))
+             | ((cd.cd_marital_status == "D") & (cd.cd_education_status == "Primary"))]
+    j = (cr.merge(dt[dt.d_year.isin([1999, 2000, 2001])],
+                  left_on="cr_returned_date_sk", right_on="d_date_sk")
+         .merge(cc, left_on="cr_call_center_sk", right_on="cc_call_center_sk")
+         .merge(c, left_on="cr_returning_customer_sk", right_on="c_customer_sk")
+         .merge(cdf, left_on="c_current_cdemo_sk", right_on="cd_demo_sk")
+         .merge(hd[hd.hd_buy_potential.isin([">10000", "Unknown", "5001-10000"])],
+                left_on="c_current_hdemo_sk", right_on="hd_demo_sk")
+         .merge(ca[ca.ca_gmt_offset.isin([-7, -6, -5])],
+                left_on="c_current_addr_sk", right_on="ca_address_sk"))
+    g = j.groupby(["cc_name", "cd_marital_status", "cd_education_status"]
+                  ).cr_net_loss.sum().reset_index(name="returns_loss")
+    g = g.sort_values(["returns_loss", "cc_name"], ascending=[False, True],
+                      kind="stable").head(100)
+    cols = ["cc_name", "cd_marital_status", "cd_education_status", "returns_loss"]
+    assert canon(out, cols) == canon_df(g, cols)
+
+
+def test_q17(sess, data):
+    out = sess.collect(tpcds.q17())
+    ss, sr, cs, dt, st, it = (df(data, x) for x in
+                              ("store_sales", "store_returns", "catalog_sales",
+                               "date_dim", "store", "item"))
+    d1 = set(dt[dt.d_year == 2000].d_date_sk)
+    d23 = set(dt[dt.d_year.isin([2000, 2001])].d_date_sk)
+    cs_agg = (cs[cs.cs_sold_date_sk.isin(d23)]
+              .groupby(["cs_bill_customer_sk", "cs_item_sk"])
+              .cs_quantity.agg(n3="size", s3="sum", ss3=lambda x: (x.astype(np.int64)**2).sum())
+              .reset_index())
+    j = ss.merge(sr, left_on=["ss_customer_sk", "ss_item_sk", "ss_ticket_number"],
+                 right_on=["sr_customer_sk", "sr_item_sk", "sr_ticket_number"])
+    j = j[j.ss_sold_date_sk.isin(d1) & j.sr_returned_date_sk.isin(d23)]
+    j = j.merge(cs_agg, left_on=["ss_customer_sk", "ss_item_sk"],
+                right_on=["cs_bill_customer_sk", "cs_item_sk"])
+    j = (j.merge(st, left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(it, left_on="ss_item_sk", right_on="i_item_sk"))
+    rows = []
+    for key, g in j.groupby(["i_item_id", "i_item_desc", "s_state"]):
+        n = g.n3.sum()
+        row = dict(zip(["i_item_id", "i_item_desc", "s_state"], key))
+        row["cnt1"] = n
+
+        def stats(s, sq):
+            avg = s / n
+            var = (sq - s * s / n) / (n - 1) if n > 1 else float("nan")
+            return avg, math.sqrt(var) if var == var and var >= 0 else float("nan")
+
+        row["store_avg"], row["store_stdev"] = stats(
+            float((g.ss_quantity * g.n3).sum()), float((g.ss_quantity.astype(np.int64)**2 * g.n3).sum()))
+        row["ret_avg"], row["ret_stdev"] = stats(
+            float((g.sr_return_quantity * g.n3).sum()),
+            float((g.sr_return_quantity.astype(np.int64)**2 * g.n3).sum()))
+        row["cat_avg"], row["cat_stdev"] = stats(float(g.s3.sum()), float(g.ss3.sum()))
+        rows.append(row)
+    o = pd.DataFrame(rows).sort_values(["i_item_id", "i_item_desc", "s_state"],
+                                       kind="stable").head(100)
+    cols = ["i_item_id", "i_item_desc", "s_state", "cnt1",
+            "store_avg", "store_stdev", "ret_avg", "ret_stdev", "cat_avg", "cat_stdev"]
+    assert canon(out, cols) == canon_df(o, cols)
+
+
+def test_q64(sess, data):
+    out = sess.collect(tpcds.q64())
+    cs, cr, ss, sr, dt, st, c, hd, ib, ca, it = (df(data, x) for x in
+        ("catalog_sales", "catalog_returns", "store_sales", "store_returns", "date_dim",
+         "store", "customer", "household_demographics", "income_band",
+         "customer_address", "item"))
+    ragg = cr.groupby(["cr_item_sk", "cr_order_number"]
+                      ).cr_return_amount.sum().reset_index(name="r_amt")
+    csj = cs.merge(ragg, left_on=["cs_item_sk", "cs_order_number"],
+                   right_on=["cr_item_sk", "cr_order_number"], how="left")
+    ui = csj.groupby("cs_item_sk").agg(sale=("cs_ext_list_price", "sum"),
+                                       refund=("r_amt", lambda x: x.fillna(0).sum()))
+    ui = set(ui[ui.sale > 2.0 * ui.refund].index)
+    itf = it[it.i_color.isin(["red", "blue", "navy", "plum"])]
+    ibf = ib[(ib.ib_lower_bound >= 20000) & (ib.ib_upper_bound <= 150000)]
+    elig = (c.merge(hd, left_on="c_current_hdemo_sk", right_on="hd_demo_sk")
+            .merge(ibf, left_on="hd_income_band_sk", right_on="ib_income_band_sk"))
+    elig = set(elig.c_customer_sk)
+    f = ss[ss.ss_item_sk.isin(ui & set(itf.i_item_sk)) & ss.ss_customer_sk.isin(elig)]
+    j = f.merge(sr, left_on=["ss_item_sk", "ss_ticket_number"],
+                right_on=["sr_item_sk", "sr_ticket_number"])
+    j = (j.merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(st, left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(itf, left_on="ss_item_sk", right_on="i_item_sk"))
+    g = j.groupby(["i_product_name", "i_item_sk", "s_store_name", "s_zip", "d_year"]).agg(
+        cnt=("ss_item_sk", "size"), s1=("ss_wholesale_cost", "sum"),
+        s2=("ss_list_price", "sum"), s3=("ss_coupon_amt", "sum")).reset_index()
+    g1 = g[g.d_year == 1999]
+    g2 = g[g.d_year == 2000]
+    m = g1.merge(g2, on=["i_item_sk", "s_store_name", "s_zip"], suffixes=("_1", "_2"))
+    m = m[m.cnt_2 <= m.cnt_1]
+    m = m.rename(columns={"i_product_name_1": "pn1", "s_store_name": "sn1",
+                          "cnt_1": "cnt1", "cnt_2": "cnt2", "i_item_sk": "ik1"})
+    m = m.sort_values(["pn1", "sn1", "cnt2", "ik1"], kind="stable").head(100)
+    cols = ["pn1", "ik1", "sn1", "cnt1", "cnt2"]
+    assert canon(out, cols) == canon_df(m, cols)
