@@ -86,7 +86,8 @@ def _exec_inner(plan, tables, ctx, flags, fanout, metrics=None) -> Batch:
     if isinstance(plan, P.HashAggregate):
         child = _exec(plan.child, tables, ctx, flags, fanout, metrics)
         return AGG.hash_aggregate(
-            child, plan.group_exprs, plan.agg_exprs, plan.mode, plan.max_groups, plan.schema, ctx
+            child, plan.group_exprs, plan.agg_exprs, plan.mode,
+            plan.max_groups or (1 << 16), plan.schema, ctx
         )
     if isinstance(plan, P.Sort):
         return B.sort_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.orders, plan.fetch, plan.skip, ctx)
@@ -216,6 +217,7 @@ class Session:
 
     def __init__(self, join_fanout: int = 4, max_join_retries: int = 4):
         self.tables: Dict[str, Batch] = {}
+        self.stats: Dict[str, object] = {}  # per-table NDV sketches (exec/stats.py)
         self.join_fanout = join_fanout
         self.max_join_retries = max_join_retries
         self._subqueries: Dict[int, Tuple[P.PlanNode, int]] = {}
@@ -230,6 +232,9 @@ class Session:
         self.tables[name] = batch
 
     def register_numpy(self, name: str, data, schema: T.Schema, **kw) -> None:
+        from datafusion_comet_tpu.exec.stats import collect_stats
+
+        self.stats[name] = collect_stats(data, schema)
         self.tables[name] = from_numpy(data, schema, **kw)
 
     def register_parquet(self, name: str, path: str, schema: Optional[T.Schema] = None) -> None:
@@ -468,6 +473,9 @@ class Session:
         from datafusion_comet_tpu.conf import CONF, STAGE_MAX_JOINS
 
         bound0 = P.bind_plan(plan) if _needs_bind(plan) else plan
+        from datafusion_comet_tpu.exec.stats import derive_capacities
+
+        derive_capacities(bound0, self.stats)
         if _contains_map_in_batch(bound0):
             bound0 = self._stage_udfs(bound0)
         elif _plan_has_udf(bound0) and not _callbacks_supported():

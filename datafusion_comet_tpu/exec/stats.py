@@ -1,0 +1,207 @@
+"""Table statistics + capacity derivation.
+
+The reference relies on Spark's cost-based planner for aggregate sizing;
+here static XLA shapes make group capacities part of the compiled program,
+so the engine derives them from per-table NDV sketches collected at
+registration (reference analog: the JVM plumbs Spark statistics into
+CometExecRule; native/core planner consumes them via the proto).
+
+Flow: ``collect_stats`` sketches row count + per-column NDV from host data
+(sampled beyond a threshold), ``derive_capacities`` walks a bound plan
+bottom-up carrying (row_estimate, {column: ndv}) and fills every
+``HashAggregate.max_groups is None`` with a padded estimate. Underestimates
+are not fatal: the engine's overflow re-planning loop doubles capacities
+and re-executes (exec/engine.py _execute_retry).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.ir import expr as E
+from datafusion_comet_tpu.ir import plan as P
+
+DEFAULT_MAX_GROUPS = 1 << 16
+_SAMPLE = 65536
+
+
+@dataclasses.dataclass
+class TableStats:
+    rows: int
+    ndv: Dict[str, int]  # per-column distinct-count estimate
+
+
+def collect_stats(data: Dict[str, np.ndarray], schema: T.Schema) -> TableStats:
+    """Sketch row count + per-column NDV from host arrays. Columns longer
+    than the sample threshold are sampled and scaled with the first-order
+    birthday estimator d ≈ u / (1 - (1 - s/n)^(n_s/u))... kept simpler: the
+    sample's unique count scaled by the unseen-mass ratio (good enough to
+    size a power-of-two capacity; overflow re-planning corrects the rest)."""
+    n = len(next(iter(data.values()))) if data else 0
+    ndv: Dict[str, int] = {}
+    for f in schema.fields:
+        col = data.get(f.name)
+        if col is None or n == 0:
+            continue
+        arr = np.asarray(col)
+        if n <= _SAMPLE:
+            try:
+                u = len(np.unique(arr[~_null_mask(arr)])) or 1
+            except TypeError:  # unhashable/object mix
+                u = min(n, DEFAULT_MAX_GROUPS)
+            ndv[f.name] = max(u, 1)
+            continue
+        idx = np.random.default_rng(0).choice(n, _SAMPLE, replace=False)
+        sample = arr[idx]
+        try:
+            u = len(np.unique(sample[~_null_mask(sample)])) or 1
+        except TypeError:
+            ndv[f.name] = min(n, DEFAULT_MAX_GROUPS)
+            continue
+        if u < _SAMPLE // 2:
+            # saturating column: the sample very likely saw every value
+            ndv[f.name] = u
+        else:
+            # mostly-unique column: scale linearly
+            ndv[f.name] = min(n, int(u * (n / _SAMPLE)))
+    return TableStats(rows=n, ndv=ndv)
+
+
+def _null_mask(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype == object:
+        return np.array([v is None for v in arr])
+    return np.zeros(len(arr), bool)
+
+
+_FILTER_SELECTIVITY = 0.5
+
+
+def derive_capacities(plan: P.PlanNode, stats: Dict[str, TableStats]) -> None:
+    """Fill every ``HashAggregate.max_groups is None`` in-place with a
+    power-of-two estimate: min(Π ndv(group cols), input row estimate) × 2
+    safety, floored at 1024."""
+    _walk(plan, stats)
+
+
+def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str, int]]:
+    """Returns (row_estimate, {output column name: ndv estimate})."""
+    if isinstance(plan, P.Scan):
+        st = stats.get(plan.table)
+        if st is None:
+            return DEFAULT_MAX_GROUPS, {}
+        names = plan.out_schema().field_names() if hasattr(plan.out_schema(), "field_names") \
+            else [f.name for f in plan.out_schema().fields]
+        return max(st.rows, 1), {k: v for k, v in st.ndv.items() if k in names}
+
+    kids = [_walk(c, stats) for c in plan.children()]
+
+    if isinstance(plan, P.Filter):
+        rows, ndv = kids[0]
+        rows = max(int(rows * _FILTER_SELECTIVITY), 1)
+        return rows, {k: min(v, rows) for k, v in ndv.items()}
+
+    if isinstance(plan, P.Projection):
+        rows, ndv = kids[0]
+        out: Dict[str, int] = {}
+        for e in plan.exprs:
+            src = _source_column(e)
+            if src is not None and src in ndv:
+                out[e.name] = ndv[src]
+        return rows, out
+
+    if isinstance(plan, (P.HashJoin, P.SortMergeJoin)):
+        (lr, ln), (rr, rn) = kids
+        jt = plan.join_type
+        if jt in (P.JoinType.LEFT_SEMI, P.JoinType.LEFT_ANTI,
+                  P.JoinType.LEFT_ANTI_NULL_AWARE, P.JoinType.EXISTENCE):
+            return lr, ln
+        # FK→PK star join heuristic: output ≈ the larger (fact) side
+        rows = max(lr, rr)
+        ndv = {**rn, **ln}
+        return rows, {k: min(v, rows) for k, v in ndv.items()}
+
+    if isinstance(plan, P.BroadcastNestedLoopJoin):
+        (lr, ln), (rr, rn) = kids
+        rows = max(lr * rr, 1)
+        return rows, {**rn, **ln}
+
+    if isinstance(plan, P.Union):
+        rows = sum(r for r, _ in kids)
+        ndv: Dict[str, int] = {}
+        for _, n in kids:
+            for k, v in n.items():
+                ndv[k] = ndv.get(k, 0) + v
+        return rows, {k: min(v, rows) for k, v in ndv.items()}
+
+    if isinstance(plan, P.Expand):
+        rows, ndv = kids[0]
+        n_proj = len(plan.projections)
+        out = {}
+        for name in plan.names:
+            if name in ndv:
+                out[name] = min(ndv[name] + n_proj, rows * n_proj)
+            else:
+                out[name] = n_proj  # tag / literal columns
+        return rows * n_proj, out
+
+    if isinstance(plan, P.HashAggregate):
+        rows, ndv = kids[0]
+        est = 1
+        known = True
+        for g in plan.group_exprs:
+            src = _source_column(g)
+            if src is not None and src in ndv:
+                est *= max(ndv[src], 1)
+            else:
+                known = False
+        if not plan.group_exprs:
+            groups = 1
+        elif known:
+            groups = min(est, rows)
+        else:
+            groups = min(max(est, 1) * DEFAULT_MAX_GROUPS, rows) if est > 1 else min(DEFAULT_MAX_GROUPS, rows)
+        if plan.max_groups is None:
+            plan.max_groups = _pad(groups)
+        out = {}
+        for g in plan.group_exprs:
+            src = _source_column(g)
+            out[g.name] = min(ndv.get(src, groups), groups) if src else groups
+        return max(groups, 1), out
+
+    if isinstance(plan, P.Sort):
+        rows, ndv = kids[0]
+        if plan.fetch is not None:
+            rows = min(rows, plan.fetch)
+        return rows, {k: min(v, rows) for k, v in ndv.items()}
+
+    if isinstance(plan, P.Limit):
+        rows, ndv = kids[0]
+        rows = min(rows, plan.limit)
+        return rows, {k: min(v, rows) for k, v in ndv.items()}
+
+    if kids:
+        return kids[0]
+    return DEFAULT_MAX_GROUPS, {}
+
+
+def _source_column(e: E.Expr) -> Optional[str]:
+    """The underlying column name when the expr is (an alias/cast of) a
+    column reference; None for computed exprs."""
+    while isinstance(e, (E.Alias, E.Cast)):
+        e = e.child
+    if isinstance(e, (E.BoundRef, E.ColumnRef)):
+        return e.col_name
+    return None
+
+
+def _pad(groups: int) -> int:
+    """×2 safety, next power of two, floor 1024 (overflow re-planning
+    corrects underestimates; the floor keeps tiny aggregates from
+    retracing when data grows slightly)."""
+    target = max(groups * 2, 1024)
+    return 1 << max(int(math.ceil(math.log2(target))), 0)

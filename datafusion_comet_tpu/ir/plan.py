@@ -134,7 +134,9 @@ class HashAggregate(PlanNode):
     group_exprs: Tuple[E.Expr, ...]
     agg_exprs: Tuple[E.AggExpr, ...]
     mode: str = AggMode.SINGLE
-    max_groups: int = 1 << 16  # static capacity; engine re-plans on overflow
+    # static group capacity; None = derive from table stats at execution
+    # (exec/stats.py); the engine re-plans on overflow either way
+    max_groups: Optional[int] = None
 
     def children(self):
         return (self.child,)

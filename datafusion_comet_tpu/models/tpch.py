@@ -273,7 +273,7 @@ def _date_lit(datestr: str) -> E.Literal:
     return E.lit(_d(datestr), T.DATE)
 
 
-def q1(max_groups: int = 64) -> P.PlanNode:
+def q1() -> P.PlanNode:
     """Pricing summary report: filter + 8-agg group-by + sort."""
     l = P.Scan("lineitem", SCHEMAS["lineitem"])
     disc_price = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
@@ -291,7 +291,6 @@ def q1(max_groups: int = 64) -> P.PlanNode:
             E.AggExpr("count", None, "count_order"),
         ],
     )
-    agg.max_groups = max_groups
     return agg.sort([E.SortOrder(E.col("l_returnflag")), E.SortOrder(E.col("l_linestatus"))])
 
 
@@ -308,11 +307,10 @@ def q6() -> P.PlanNode:
     agg = l.filter(pred).aggregate(
         [], [E.AggExpr("sum", E.col("l_extendedprice") * E.col("l_discount"), "revenue")]
     )
-    agg.max_groups = 8
     return agg
 
 
-def q3(max_groups: int = 1 << 16) -> P.PlanNode:
+def q3() -> P.PlanNode:
     """Shipping priority: 3-way join, group, top-10 by revenue."""
     c = P.Scan("customer", SCHEMAS["customer"]).filter(
         E.col("c_mktsegment") == E.lit("BUILDING")
@@ -330,7 +328,6 @@ def q3(max_groups: int = 1 << 16) -> P.PlanNode:
         [E.col("l_orderkey"), E.col("o_orderdate"), E.col("o_shippriority")],
         [E.AggExpr("sum", revenue, "revenue")],
     )
-    agg.max_groups = max_groups
     return agg.sort(
         [E.SortOrder(E.col("revenue"), ascending=False), E.SortOrder(E.col("o_orderdate"))],
         fetch=10,
@@ -339,7 +336,7 @@ def q3(max_groups: int = 1 << 16) -> P.PlanNode:
     )
 
 
-def q5(max_groups: int = 64) -> P.PlanNode:
+def q5() -> P.PlanNode:
     """Local supplier volume: 6-way join, group by nation name."""
     r = P.Scan("region", SCHEMAS["region"]).filter(E.col("r_name") == E.lit("ASIA"))
     n = P.Scan("nation", SCHEMAS["nation"])
@@ -367,11 +364,10 @@ def q5(max_groups: int = 64) -> P.PlanNode:
     )
     revenue = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
     agg = locs.aggregate([E.col("n_name")], [E.AggExpr("sum", revenue, "revenue")])
-    agg.max_groups = max_groups
     return agg.sort([E.SortOrder(E.col("revenue"), ascending=False)])
 
 
-def q4(max_groups: int = 64) -> P.PlanNode:
+def q4() -> P.PlanNode:
     """Order priority checking: EXISTS → left-semi join + group-by."""
     o = P.Scan("orders", SCHEMAS["orders"]).filter(
         (E.col("o_orderdate") >= _date_lit("1993-07-01"))
@@ -384,11 +380,10 @@ def q4(max_groups: int = 64) -> P.PlanNode:
         o, l, (E.col("o_orderkey"),), (E.col("l_orderkey"),), P.JoinType.LEFT_SEMI, "right"
     )
     agg = semi.aggregate([E.col("o_orderpriority")], [E.AggExpr("count", None, "order_count")])
-    agg.max_groups = max_groups
     return agg.sort([E.SortOrder(E.col("o_orderpriority"))])
 
 
-def q10(max_groups: int = 1 << 16) -> P.PlanNode:
+def q10() -> P.PlanNode:
     """Returned item reporting: top-20 customers by lost revenue."""
     c = P.Scan("customer", SCHEMAS["customer"])
     o = P.Scan("orders", SCHEMAS["orders"]).filter(
@@ -405,11 +400,10 @@ def q10(max_groups: int = 1 << 16) -> P.PlanNode:
         [E.col("c_custkey"), E.col("c_name"), E.col("c_acctbal"), E.col("n_name")],
         [E.AggExpr("sum", revenue, "revenue")],
     )
-    agg.max_groups = max_groups
     return agg.sort([E.SortOrder(E.col("revenue"), ascending=False)], fetch=20)
 
 
-def q12(max_groups: int = 16) -> P.PlanNode:
+def q12() -> P.PlanNode:
     """Shipping modes and order priority: join + conditional counts."""
     o = P.Scan("orders", SCHEMAS["orders"])
     l = P.Scan("lineitem", SCHEMAS["lineitem"]).filter(
@@ -432,7 +426,6 @@ def q12(max_groups: int = 16) -> P.PlanNode:
         [E.col("l_shipmode")],
         [E.AggExpr("sum", high, "high_line_count"), E.AggExpr("sum", low, "low_line_count")],
     )
-    agg.max_groups = max_groups
     return agg.sort([E.SortOrder(E.col("l_shipmode"))])
 
 
@@ -450,7 +443,6 @@ def q14() -> P.PlanNode:
         [],
         [E.AggExpr("sum", promo, "promo_rev"), E.AggExpr("sum", disc, "total_rev")],
     )
-    agg.max_groups = 8
     return P.Projection(
         agg,
         (
@@ -487,11 +479,10 @@ def q19() -> P.PlanNode:
     )
     disc = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
     agg = j.filter(pred).aggregate([], [E.AggExpr("sum", disc, "revenue")])
-    agg.max_groups = 8
     return agg
 
 
-def q2(max_groups: int = 1 << 14) -> P.PlanNode:
+def q2() -> P.PlanNode:
     """Minimum cost supplier: correlated MIN subquery decorrelated into a
     per-part min-cost aggregate joined back (the standard rewrite)."""
     p = P.Scan("part", SCHEMAS["part"]).filter(
@@ -507,7 +498,7 @@ def q2(max_groups: int = 1 << 14) -> P.PlanNode:
     # min supplycost per part among EUROPE suppliers
     mincost = P.HashAggregate(
         pss, (E.col("ps_partkey"),), (E.AggExpr("min", E.col("ps_supplycost"), "min_cost"),),
-        P.AggMode.SINGLE, max_groups,
+        P.AggMode.SINGLE,
     )
     psp = P.HashJoin(pss, p, (E.col("ps_partkey"),), (E.col("p_partkey"),), P.JoinType.INNER, "right")
     best = P.HashJoin(
@@ -530,7 +521,7 @@ def q2(max_groups: int = 1 << 14) -> P.PlanNode:
     )
 
 
-def q7(max_groups: int = 256) -> P.PlanNode:
+def q7() -> P.PlanNode:
     """Volume shipping: FRANCE<->GERMANY flows by year."""
     n1 = P.Scan("nation", SCHEMAS["nation"]).project(
         [E.col("n_nationkey").alias("n1_key"), E.col("n_name").alias("supp_nation")]
@@ -563,13 +554,12 @@ def q7(max_groups: int = 256) -> P.PlanNode:
         [E.col("supp_nation"), E.col("cust_nation"), E.col("l_year")],
         [E.AggExpr("sum", E.col("volume"), "revenue")],
     )
-    agg.max_groups = max_groups
     return agg.sort(
         [E.SortOrder(E.col("supp_nation")), E.SortOrder(E.col("cust_nation")), E.SortOrder(E.col("l_year"))]
     )
 
 
-def q8(max_groups: int = 64) -> P.PlanNode:
+def q8() -> P.PlanNode:
     """National market share of BRAZIL in AMERICA for ECONOMY ANODIZED STEEL."""
     p = P.Scan("part", SCHEMAS["part"]).filter(E.col("p_type") == E.lit("ECONOMY ANODIZED STEEL"))
     l = P.Scan("lineitem", SCHEMAS["lineitem"])
@@ -603,14 +593,13 @@ def q8(max_groups: int = 64) -> P.PlanNode:
         [E.col("o_year")],
         [E.AggExpr("sum", E.col("brazil_vol"), "bv"), E.AggExpr("sum", E.col("volume"), "tv")],
     )
-    agg.max_groups = max_groups
     share = P.Projection(
         agg, (E.col("o_year"), (E.col("bv") / E.col("tv")).alias("mkt_share"))
     )
     return P.Sort(share, (E.SortOrder(E.col("o_year")),))
 
 
-def q9(max_groups: int = 1 << 10) -> P.PlanNode:
+def q9() -> P.PlanNode:
     """Product type profit by nation and year (LIKE '%green%')."""
     p = P.Scan("part", SCHEMAS["part"]).filter(E.col("p_name").like("%green%"))
     l = P.Scan("lineitem", SCHEMAS["lineitem"])
@@ -636,11 +625,10 @@ def q9(max_groups: int = 1 << 10) -> P.PlanNode:
          amount.alias("amount")]
     )
     agg = pre.aggregate([E.col("nation"), E.col("o_year")], [E.AggExpr("sum", E.col("amount"), "sum_profit")])
-    agg.max_groups = max_groups
     return agg.sort([E.SortOrder(E.col("nation")), E.SortOrder(E.col("o_year"), ascending=False)])
 
 
-def q11(max_groups: int = 1 << 16) -> P.PlanNode:
+def q11() -> P.PlanNode:
     """Important stock: partsupp value per part in GERMANY, HAVING value >
     0.0001 × total — expressed as a nested-loop join against the global sum."""
     n = P.Scan("nation", SCHEMAS["nation"]).filter(E.col("n_name") == E.lit("GERMANY"))
@@ -650,9 +638,7 @@ def q11(max_groups: int = 1 << 16) -> P.PlanNode:
     pss = P.HashJoin(ps, sn, (E.col("ps_suppkey"),), (E.col("s_suppkey"),), P.JoinType.INNER, "right")
     value = (E.col("ps_supplycost") * E.col("ps_availqty").cast(T.INT64)).alias("value")
     per_part = pss.aggregate([E.col("ps_partkey")], [E.AggExpr("sum", value, "value")])
-    per_part.max_groups = max_groups
     total = pss.aggregate([], [E.AggExpr("sum", value, "total")])
-    total.max_groups = 8
     thresh = P.Projection(
         total, ((E.col("total").cast(T.FLOAT64) * E.lit(0.0001)).alias("threshold"),)
     )
@@ -666,7 +652,7 @@ def q11(max_groups: int = 1 << 16) -> P.PlanNode:
     )
 
 
-def q13(max_groups: int = 1 << 16) -> P.PlanNode:
+def q13() -> P.PlanNode:
     """Customer distribution: count of customers per order count (left outer
     join + two-level aggregate; NOT LIKE '%special%requests%')."""
     c = P.Scan("customer", SCHEMAS["customer"])
@@ -677,15 +663,13 @@ def q13(max_groups: int = 1 << 16) -> P.PlanNode:
     per_cust = j.aggregate(
         [E.col("c_custkey")], [E.AggExpr("count", E.col("o_orderkey"), "c_count")]
     )
-    per_cust.max_groups = max_groups
     dist = per_cust.aggregate([E.col("c_count")], [E.AggExpr("count", None, "custdist")])
-    dist.max_groups = 1 << 10
     return dist.sort(
         [E.SortOrder(E.col("custdist"), ascending=False), E.SortOrder(E.col("c_count"), ascending=False)]
     )
 
 
-def q15(max_groups: int = 1 << 14) -> P.PlanNode:
+def q15() -> P.PlanNode:
     """Top supplier: revenue view + join on max revenue."""
     l = P.Scan("lineitem", SCHEMAS["lineitem"]).filter(
         (E.col("l_shipdate") >= _date_lit("1996-01-01"))
@@ -693,9 +677,7 @@ def q15(max_groups: int = 1 << 14) -> P.PlanNode:
     )
     rev = E.col("l_extendedprice") * (E.lit(1).cast(_dec(10, 0)) - E.col("l_discount"))
     revenue = l.aggregate([E.col("l_suppkey")], [E.AggExpr("sum", rev, "total_revenue")])
-    revenue.max_groups = max_groups
     maxrev = revenue.aggregate([], [E.AggExpr("max", E.col("total_revenue"), "max_revenue")])
-    maxrev.max_groups = 8
     top = P.HashJoin(
         revenue, maxrev, (E.col("total_revenue"),), (E.col("max_revenue"),),
         P.JoinType.LEFT_SEMI, "right",
@@ -707,7 +689,7 @@ def q15(max_groups: int = 1 << 14) -> P.PlanNode:
     )
 
 
-def q16(max_groups: int = 1 << 14) -> P.PlanNode:
+def q16() -> P.PlanNode:
     """Parts/supplier relationship: COUNT(DISTINCT ps_suppkey) with NOT IN
     complaint suppliers (null-aware anti join) and multi-filter on part."""
     p = P.Scan("part", SCHEMAS["part"]).filter(
@@ -727,14 +709,13 @@ def q16(max_groups: int = 1 << 14) -> P.PlanNode:
         [E.col("p_brand"), E.col("p_type"), E.col("p_size")],
         [E.AggExpr("count_distinct", E.col("ps_suppkey"), "supplier_cnt")],
     )
-    agg.max_groups = max_groups
     return agg.sort(
         [E.SortOrder(E.col("supplier_cnt"), ascending=False), E.SortOrder(E.col("p_brand")),
          E.SortOrder(E.col("p_type")), E.SortOrder(E.col("p_size"))]
     )
 
 
-def q17(max_groups: int = 1 << 16) -> P.PlanNode:
+def q17() -> P.PlanNode:
     """Small-quantity-order revenue: correlated AVG subquery decorrelated to
     a per-part average joined back."""
     p = P.Scan("part", SCHEMAS["part"]).filter(
@@ -742,7 +723,6 @@ def q17(max_groups: int = 1 << 16) -> P.PlanNode:
     )
     l = P.Scan("lineitem", SCHEMAS["lineitem"])
     avgq = l.aggregate([E.col("l_partkey")], [E.AggExpr("avg", E.col("l_quantity"), "avg_qty")])
-    avgq.max_groups = max_groups
     lp = P.HashJoin(l, p, (E.col("l_partkey"),), (E.col("p_partkey"),), P.JoinType.INNER, "right")
     j = P.HashJoin(
         lp, avgq, (E.col("l_partkey"),), (E.col("l_partkey"),), P.JoinType.INNER, "right",
@@ -750,17 +730,15 @@ def q17(max_groups: int = 1 << 16) -> P.PlanNode:
         < E.lit(0.2) * E.col("avg_qty").cast(T.FLOAT64),
     )
     agg = j.aggregate([], [E.AggExpr("sum", E.col("l_extendedprice"), "s")])
-    agg.max_groups = 8
     return P.Projection(
         agg, ((E.col("s").cast(T.FLOAT64) / E.lit(7.0)).alias("avg_yearly"),)
     )
 
 
-def q18(max_groups: int = 1 << 16) -> P.PlanNode:
+def q18() -> P.PlanNode:
     """Large volume customers: orders whose lineitem quantity sum > 300."""
     l = P.Scan("lineitem", SCHEMAS["lineitem"])
     perorder = l.aggregate([E.col("l_orderkey")], [E.AggExpr("sum", E.col("l_quantity"), "qty")])
-    perorder.max_groups = max_groups
     big = P.Filter(perorder, E.col("qty") > E.lit(300, _dec(25, 2)))
     o = P.Scan("orders", SCHEMAS["orders"])
     ob = P.HashJoin(o, big, (E.col("o_orderkey"),), (E.col("l_orderkey"),), P.JoinType.LEFT_SEMI, "right")
@@ -772,14 +750,13 @@ def q18(max_groups: int = 1 << 16) -> P.PlanNode:
         [E.col("c_name"), E.col("c_custkey"), E.col("o_orderkey"), E.col("o_orderdate"), E.col("o_totalprice")],
         [E.AggExpr("sum", E.col("l_quantity"), "sum_qty")],
     )
-    agg.max_groups = max_groups
     return agg.sort(
         [E.SortOrder(E.col("o_totalprice"), ascending=False), E.SortOrder(E.col("o_orderdate"))],
         fetch=100,
     )
 
 
-def q20(max_groups: int = 1 << 16) -> P.PlanNode:
+def q20() -> P.PlanNode:
     """Potential part promotion: suppliers in CANADA with availqty > half of
     1994 shipped quantity for 'forest%' parts (correlated subqueries
     decorrelated into per-(part,supp) aggregates)."""
@@ -793,7 +770,6 @@ def q20(max_groups: int = 1 << 16) -> P.PlanNode:
     shipped = l.aggregate(
         [E.col("l_partkey"), E.col("l_suppkey")], [E.AggExpr("sum", E.col("l_quantity"), "qty")]
     )
-    shipped.max_groups = max_groups
     ps = P.Scan("partsupp", SCHEMAS["partsupp"])
     ps_forest = P.HashJoin(ps, p, (E.col("ps_partkey"),), (E.col("p_partkey"),), P.JoinType.LEFT_SEMI, "right")
     psq = P.HashJoin(
@@ -815,7 +791,7 @@ def q20(max_groups: int = 1 << 16) -> P.PlanNode:
     )
 
 
-def q21(max_groups: int = 1 << 14) -> P.PlanNode:
+def q21() -> P.PlanNode:
     """Suppliers who kept orders waiting: multi-exists/not-exists with
     inequality correlation (semi/anti joins with extra conditions)."""
     n = P.Scan("nation", SCHEMAS["nation"]).filter(E.col("n_name") == E.lit("SAUDI ARABIA"))
@@ -844,14 +820,13 @@ def q21(max_groups: int = 1 << 14) -> P.PlanNode:
         condition=E.col("ls3") != E.col("l_suppkey"),
     )
     agg = without_l3.aggregate([E.col("s_name")], [E.AggExpr("count", None, "numwait")])
-    agg.max_groups = max_groups
     return agg.sort(
         [E.SortOrder(E.col("numwait"), ascending=False), E.SortOrder(E.col("s_name"))],
         fetch=100,
     )
 
 
-def q22(max_groups: int = 64) -> P.PlanNode:
+def q22() -> P.PlanNode:
     """Global sales opportunity: country-code substring, acctbal above the
     positive average (nested-loop vs the global avg), no orders (anti join)."""
     codes = ["13", "31", "23", "29", "30", "18", "17"]
@@ -865,7 +840,6 @@ def q22(max_groups: int = 64) -> P.PlanNode:
     ).filter(
         (E.col("c_acctbal") > E.lit(0, _dec(15, 2))) & E.col("cc").isin(*codes)
     ).aggregate([], [E.AggExpr("avg", E.col("c_acctbal"), "ab")])
-    avg_bal.max_groups = 8
     rich = P.BroadcastNestedLoopJoin(
         c, avg_bal, P.JoinType.INNER,
         condition=E.col("c_acctbal").cast(T.FLOAT64) > E.col("ab").cast(T.FLOAT64),
@@ -876,7 +850,6 @@ def q22(max_groups: int = 64) -> P.PlanNode:
         [E.col("cntrycode")],
         [E.AggExpr("count", None, "numcust"), E.AggExpr("sum", E.col("c_acctbal"), "totacctbal")],
     )
-    agg.max_groups = max_groups
     return agg.sort([E.SortOrder(E.col("cntrycode"))])
 
 

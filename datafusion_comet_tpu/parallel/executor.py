@@ -81,9 +81,10 @@ def _dist(plan: P.PlanNode, np_: int) -> P.PlanNode:
         return plan
     if isinstance(plan, P.HashAggregate) and plan.mode == P.AggMode.SINGLE:
         child = _dist(plan.child, np_)
+        mg = plan.max_groups or (1 << 16)
         partial_ = P.HashAggregate(
             child, plan.group_exprs, plan.agg_exprs, P.AggMode.PARTIAL,
-            max(plan.max_groups // max(np_, 1), 1024) if plan.max_groups > 2048 else plan.max_groups,
+            max(mg // max(np_, 1), 1024) if mg > 2048 else mg,
         )
         partial_.schema = _partial_schema(plan)
         if plan.group_exprs:
@@ -94,7 +95,7 @@ def _dist(plan: P.PlanNode, np_: int) -> P.PlanNode:
         ex.schema = partial_.schema
         # rebind group refs against the state schema for the final stage
         final_groups = tuple(E.bind(E.col(g.name), ex.schema) for g in plan.group_exprs)
-        final = P.HashAggregate(ex, final_groups, plan.agg_exprs, P.AggMode.FINAL, plan.max_groups)
+        final = P.HashAggregate(ex, final_groups, plan.agg_exprs, P.AggMode.FINAL, mg)
         final.schema = plan.schema
         if not plan.group_exprs:
             # ungrouped: every device's final emits its one mandatory row;
@@ -111,6 +112,21 @@ def _dist(plan: P.PlanNode, np_: int) -> P.PlanNode:
         left = _dist(plan.left, np_)
         right = _dist(plan.right, np_)
         build = plan.build_side if isinstance(plan, P.HashJoin) else "right"
+        jt = plan.join_type
+        if (jt == P.JoinType.FULL
+                or (jt == P.JoinType.RIGHT and build == "right")
+                or (jt == P.JoinType.LEFT and build == "left")):
+            # the build side's unmatched rows reach the output: a broadcast
+            # build would emit them once PER DEVICE — gather both sides to a
+            # single partition instead (reference: Spark disallows broadcast
+            # on the outer side for the same reason)
+            exl = P.ShuffleExchange(left, "single", (), np_)
+            exl.schema = plan.left.schema
+            exr = P.ShuffleExchange(right, "single", (), np_)
+            exr.schema = plan.right.schema
+            out = dataclasses.replace(plan, left=exl, right=exr)
+            out.schema = plan.schema
+            return out
         if build == "left":
             left = Broadcast(left)
             left.schema = plan.left.schema
@@ -118,6 +134,25 @@ def _dist(plan: P.PlanNode, np_: int) -> P.PlanNode:
             right = Broadcast(right)
             right.schema = plan.right.schema
         out = dataclasses.replace(plan, left=left, right=right)
+        out.schema = plan.schema
+        return out
+    if isinstance(plan, P.Window):
+        # a device must see EVERY row of each window partition: hash-exchange
+        # on the keys every window expr partitions by (their common subset
+        # suffices — finer per-expr partitions nest inside it); a window with
+        # no common key (global rank) gathers to one partition (reference:
+        # Spark requires ClusteredDistribution / AllTuples under WindowExec)
+        child = _dist(plan.child, np_)
+        keysets = [{repr(k) for k in w.partition_by} for w in plan.window_exprs]
+        common = set.intersection(*keysets) if keysets else set()
+        if common:
+            first = plan.window_exprs[0].partition_by
+            keys = tuple(k for k in first if repr(k) in common)
+            ex = P.ShuffleExchange(child, "hash", keys, np_)
+        else:
+            ex = P.ShuffleExchange(child, "single", (), np_)
+        ex.schema = plan.child.schema
+        out = P.Window(ex, plan.window_exprs)
         out.schema = plan.schema
         return out
     if isinstance(plan, P.BroadcastNestedLoopJoin):
@@ -327,6 +362,11 @@ class DistributedSession:
         """Row-partition host data over the mesh: shard i holds original rows
         [i*per, i*per+per) in its cap-row slot (the analog of Spark's input
         split assignment)."""
+        from datafusion_comet_tpu.exec.stats import collect_stats
+
+        if not hasattr(self, "stats"):
+            self.stats = {}
+        self.stats[name] = collect_stats(data, schema)
         np_ = self.num_partitions
         n = len(next(iter(data.values())))
         per = -(-n // np_)
@@ -355,6 +395,9 @@ class DistributedSession:
             bound = P.bind_plan(prune_columns(plan))
         else:
             bound = plan
+        from datafusion_comet_tpu.exec.stats import derive_capacities
+
+        derive_capacities(bound, getattr(self, "stats", {}))
         dplan = distribute(bound, self.num_partitions)
         np_ = self.num_partitions
         fanout = join_fanout or self.join_fanout

@@ -17,7 +17,22 @@ def data():
     return tpcds.generate_tables(ALL, SF)
 
 
-@pytest.mark.parametrize("qname", ["q3", "q42", "q43", "q55"])
+@pytest.mark.parametrize("qname", [
+    # star joins / aggregation
+    "q3", "q42", "q43", "q55", "q96",
+    # rollup (Expand) family
+    "q27", "q36", "q86",
+    # window family
+    "q53", "q89", "q51",
+    # multi-channel unions
+    "q33", "q56", "q76", "q97",
+    # subquery / semi / anti / existence
+    "q1", "q10", "q69", "q93", "q94",
+    # year-over-year self-joins
+    "q31", "q74",
+    # inventory / misc
+    "q21", "q38", "q87",
+])
 def test_distributed_matches_single(data, qname):
     plan = tpcds.QUERIES[qname]()
     d = DistributedSession()
@@ -30,4 +45,11 @@ def test_distributed_matches_single(data, qname):
     for k in ref:
         if k.endswith("__valid"):
             continue
-        np.testing.assert_array_equal(got[k], ref[k], err_msg=f"{qname}:{k}")
+        if getattr(ref[k], "dtype", None) is not None and ref[k].dtype.kind == "f":
+            # float reductions sum in exchange arrival order — bit-exactness
+            # across partitionings is not part of the contract (Spark's
+            # isn't either); everything else must match exactly
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-12,
+                                       err_msg=f"{qname}:{k}")
+        else:
+            np.testing.assert_array_equal(got[k], ref[k], err_msg=f"{qname}:{k}")
