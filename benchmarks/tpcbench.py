@@ -112,6 +112,13 @@ def main() -> None:
         except Exception as e:  # keep going; report the failure
             results[name] = {"error": f"{type(e).__name__}: {e}"}
         print(name, results[name].get("best_s", results[name].get("error")), flush=True)
+        if args.out:  # incremental write: hours-long TPU compile runs may
+            with open(args.out, "w") as f:  # be cut short — keep what we have
+                f.write(json.dumps({
+                    "suite": args.suite, "sf": args.sf,
+                    "backend": jax.default_backend(), "partial": True,
+                    "queries": results,
+                }, indent=2))
 
     doc = {
         "suite": args.suite,

@@ -149,31 +149,71 @@ def _conjunct_triplet(e: E.Expr):
 # -------------------------------------------------------------------------------------
 
 
+def _filter_expr_arrow(predicate: Optional[E.Expr], arrow_schema):
+    """Conjunct triplets → a pyarrow.compute filter over plain int/float/
+    string/bool/date columns (row-filter pushdown: rows the device Filter
+    would drop anyway are dropped before staging — the host analog of the
+    reference's RowFilter / late materialization,
+    parquet_exec.rs:60 with_row_filter)."""
+    if predicate is None:
+        return None
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ok_types = (pa.types.is_integer, pa.types.is_floating, pa.types.is_string,
+                pa.types.is_large_string, pa.types.is_boolean, pa.types.is_date)
+    expr = None
+    for c in _split_conjuncts(predicate):
+        trip = _conjunct_triplet(c)
+        if trip is None:
+            continue
+        name, op, value = trip
+        if name not in arrow_schema.names:
+            continue
+        at = arrow_schema.field(name).type
+        if not any(t(at) for t in ok_types):
+            continue  # decimals/timestamps: unit scaling differs — leave on device
+        f = pc.field(name)
+        e = {"eq": f == value, "lt": f < value, "le": f <= value,
+             "gt": f > value, "ge": f >= value}[op]
+        expr = e if expr is None else expr & e
+    return expr
+
+
 def read_parquet(
     path: str,
     columns: Optional[Sequence[str]] = None,
     predicate: Optional[E.Expr] = None,
     schema: Optional[T.Schema] = None,
     capacity: Optional[int] = None,
+    row_filter: bool = False,
+    device_decode: bool = False,
 ) -> Batch:
     """Read a Parquet file (or directory of files) into one device Batch.
 
     - ``columns``: projection pushdown.
-    - ``predicate``: used for row-group pruning only (exact filtering happens
-      in the Filter operator on device — same split as the reference, where
-      pruning is best-effort and row-filter pushdown is optional).
+    - ``predicate``: used for row-group pruning (and, with ``row_filter``,
+      host row filtering before staging — the exact filter still runs in
+      the device Filter operator; same best-effort split as the reference).
     - ``schema``: target engine schema (drives string widths / missing-column
       null fill, the schema-evolution behaviors of schema_adapter.rs).
+    - ``device_decode``: decode eligible (required int/float) columns ON
+      DEVICE from raw pages (io/pages.py + exec/decode.py) instead of host
+      pyarrow — the phase-2 scan path. Single plain file, no predicate.
     """
     import pyarrow.parquet as pq
     import os
 
+    fs, fs_root = resolve_filesystem(path)
     paths = _expand(path)
     import pyarrow as pa
 
+    if device_decode and len(paths) == 1 and predicate is None and fs is None:
+        return _read_parquet_device(paths[0], columns, schema, capacity)
+
     arrow_tables = []
     for p in paths:
-        pf = pq.ParquetFile(p)
+        pf = pq.ParquetFile(fs.open_input_file(p)) if fs is not None else pq.ParquetFile(p)
         rgs = prune_row_groups(pf, predicate)
         if not rgs:
             continue
@@ -182,10 +222,15 @@ def read_parquet(
             avail = set(pf.schema_arrow.names)
             cols = [c for c in cols if c in avail]
         tbl = pf.read_row_groups(rgs, columns=cols)
+        if row_filter:
+            fe = _filter_expr_arrow(predicate, tbl.schema)
+            if fe is not None:
+                tbl = tbl.filter(fe)
         # hive-style partition values from the directory path
         # (reference: NativeScanCommon partition values, schema_adapter.rs —
         # partition columns materialize as constants per file)
-        for seg in reversed(os.path.relpath(p, path).split(os.sep)[:-1]):
+        rel_base = fs_root if fs is not None else path
+        for seg in reversed(os.path.relpath(p, rel_base).split(os.sep)[:-1]):
             if "=" in seg:
                 name, val = seg.split("=", 1)
                 if name not in tbl.schema.names and (
@@ -198,16 +243,125 @@ def read_parquet(
 
     if not arrow_tables:
         # empty result with correct schema
-        first = pq.ParquetFile(paths[0])
+        first = (pq.ParquetFile(fs.open_input_file(paths[0]))
+                 if fs is not None else pq.ParquetFile(paths[0]))
         tbl = first.schema_arrow.empty_table()
     else:
         tbl = pa.concat_tables(arrow_tables, promote_options="default")
     return arrow_table_to_batch(tbl, schema=schema, columns=columns, capacity=capacity)
 
 
+def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
+                         capacity: Optional[int]) -> Batch:
+    """Phase-2 scan: eligible (required int32/int64/float/double, non-
+    nested) columns never touch the host decoder — raw pages ship to the
+    device and unpack there (exec/decode.py); everything else takes the
+    pyarrow staging path with zero-filled placeholders replaced after."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from datafusion_comet_tpu.exec.decode import decode_column_chunk
+
+    pf = pq.ParquetFile(path)
+    arrow_schema = pf.schema_arrow
+    names = list(columns) if columns is not None else list(arrow_schema.names)
+    phys = {}
+    for ci in range(pf.metadata.num_columns):
+        cmeta = pf.metadata.row_group(0).column(ci) if pf.metadata.num_row_groups else None
+        if cmeta is not None:
+            phys[cmeta.path_in_schema] = (ci, cmeta.physical_type)
+    import pyarrow as pa
+
+    eligible = {}
+    for n in names:
+        if n not in arrow_schema.names or arrow_schema.field(n).nullable:
+            continue
+        at = arrow_schema.field(n).type
+        if not (pa.types.is_integer(at) or pa.types.is_floating(at)):
+            continue  # temporal/decimal logical types keep the host path
+        ci_pt = phys.get(n)
+        if ci_pt and ci_pt[1] in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+            eligible[n] = ci_pt
+    host_cols = [n for n in names if n not in eligible]
+    tbl = pf.read(columns=host_cols) if host_cols else None
+    n_rows = pf.metadata.num_rows
+    np_of = {"INT32": np.dtype("<i4"), "INT64": np.dtype("<i8"),
+             "FLOAT": np.dtype("<f4"), "DOUBLE": np.dtype("<f8")}
+    if schema is None:
+        # infer from the full arrow schema (string widths from host columns)
+        import pyarrow as pa
+        fields = []
+        for n in names:
+            fields.append(T.Field(n, arrow_field_to_dtype(arrow_schema.field(n), 0),
+                                  arrow_schema.field(n).nullable))
+        # width inference for binary host columns happens in arrow_table_to_batch;
+        # device-decoded columns are numeric so widths don't apply
+        schema = None if any(f.dtype.is_binary and f.dtype.byte_width == 0 for f in fields) \
+            else T.Schema(fields)
+    # stage host columns + zero placeholders for eligible ones
+    if tbl is not None:
+        placeholder = {n: np.zeros(n_rows, np_of[pt]) for n, (ci, pt) in eligible.items()}
+        import pyarrow as pa
+        for n, arr in placeholder.items():
+            tbl = tbl.append_column(
+                pa.field(n, arrow_schema.field(n).type, nullable=False), pa.array(arr))
+        tbl = tbl.select(names)
+        batch = arrow_table_to_batch(tbl, schema=schema, columns=names, capacity=capacity)
+    else:
+        data = {n: np.zeros(n_rows, np_of[pt]) for n, (ci, pt) in eligible.items()}
+        if schema is None:
+            schema = T.Schema([T.Field(n, arrow_field_to_dtype(arrow_schema.field(n), 0), False)
+                               for n in names])
+        from datafusion_comet_tpu.exec.batch import from_numpy
+
+        batch = from_numpy(data, schema, capacity=capacity)
+    # replace placeholders with device-decoded columns
+    cols = list(batch.columns)
+    cap = batch.row_mask.shape[0]
+    for i, f in enumerate(batch.schema.fields):
+        if f.name not in eligible:
+            continue
+        ci, pt = eligible[f.name]
+        parts = [decode_column_chunk(path, rg, ci, np_of[pt])
+                 for rg in range(pf.metadata.num_row_groups)]
+        dev = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        want = cols[i].data.dtype
+        dev = jnp.pad(dev, (0, cap - dev.shape[0])).astype(want)
+        cols[i] = dataclasses.replace(cols[i], data=dev)
+    return Batch(tuple(cols), batch.row_mask, batch.schema)
+
+
+def resolve_filesystem(path: str):
+    """URI → (pyarrow filesystem, fs-local path). s3://, gs://, hdfs://,
+    file:// route through pyarrow.fs (the reference's object-store layer:
+    native/core/src/parquet/objectstore/s3.rs + object_store crate); bare
+    paths stay on the local FS with None filesystem (plain open())."""
+    if "://" not in path:
+        return None, path
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
 def _expand(path: str) -> List[str]:
     import os
 
+    fs, local = resolve_filesystem(path)
+    if fs is not None:
+        from pyarrow import fs as pafs
+
+        info = fs.get_file_info(local)
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(local, recursive=True)
+            return sorted(
+                f.path for f in fs.get_file_info(sel)
+                if f.is_file and f.path.endswith(".parquet")
+                and "/_" not in f.path[len(local):]
+            )
+        return [local]
     if os.path.isdir(path):
         out = []
         for dirpath, dirnames, files in os.walk(path):
