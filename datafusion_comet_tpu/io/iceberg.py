@@ -81,6 +81,7 @@ def iceberg_plan_files(table_path: str, snapshot_id: Optional[int] = None):
     manifests, _ = read_avro(manifest_list)
     data_files: List[Dict[str, Any]] = []
     delete_files: List[Dict[str, Any]] = []
+    eq_delete_files: List[Dict[str, Any]] = []
     for m in manifests:
         mpath = _resolve_path(table_path, m["manifest_path"])
         entries, _ = read_avro(mpath)
@@ -90,15 +91,15 @@ def iceberg_plan_files(table_path: str, snapshot_id: Optional[int] = None):
             df = e["data_file"]
             df = dict(df)
             df["file_path"] = _resolve_path(table_path, df["file_path"])
+            df["_sequence_number"] = e.get("sequence_number")
             content = df.get("content", 0) or 0
             if content == 0:
                 data_files.append(df)
             elif content == 1:  # position deletes
                 delete_files.append(df)
-            # content == 2 (equality deletes): unsupported, surface loudly
-            else:
-                raise NotImplementedError("equality deletes not supported yet")
-    return data_files, delete_files
+            else:  # content == 2: equality deletes (v2 MOR)
+                eq_delete_files.append(df)
+    return data_files, delete_files, eq_delete_files
 
 
 def read_iceberg(
@@ -116,7 +117,7 @@ def read_iceberg(
 
     from datafusion_comet_tpu.io.parquet import arrow_table_to_batch, arrow_to_engine_schema
 
-    data_files, delete_files = iceberg_plan_files(table_path, snapshot_id)
+    data_files, delete_files, eq_delete_files = iceberg_plan_files(table_path, snapshot_id)
     # position deletes: map file_path → sorted row positions to drop
     deletes: Dict[str, List[int]] = {}
     for dfile in delete_files:
@@ -128,16 +129,40 @@ def read_iceberg(
                 p = p[len("file://"):]
             deletes.setdefault(os.path.basename(p), []).append(int(pos))
 
+    # equality deletes (v2 MOR): each delete file's columns name the
+    # equality fields; a delete row removes every data row with the same
+    # tuple from files with a strictly smaller data sequence number
+    # (reference: iceberg_scan.rs MOR equality path; spec "Scan Planning").
+    # Files without sequence metadata (older writers) apply everywhere.
+    eq_deletes = []  # (cols, set-of-tuples, seq)
+    for dfile in eq_delete_files:
+        tbl = pq.read_table(dfile["file_path"])
+        cols = list(tbl.schema.names)
+        keys = set(zip(*[tbl.column(c).to_pylist() for c in cols])) if cols else set()
+        eq_deletes.append((cols, keys, dfile.get("_sequence_number")))
+
     tables = []
     for df in data_files:
         fmt = (df.get("file_format") or "PARQUET").upper()
         if fmt != "PARQUET":
             raise NotImplementedError(f"iceberg data file format {fmt}")
         tbl = pq.read_table(df["file_path"], columns=list(projection) if projection else None)
+        mask = np.ones(len(tbl), bool)  # over the FULL file row order
         dels = deletes.get(os.path.basename(df["file_path"]))
         if dels:
-            mask = np.ones(len(tbl), bool)
             mask[np.asarray(dels, np.int64)] = False
+        fseq = df.get("_sequence_number")
+        for cols, keys, dseq in eq_deletes:
+            if not keys:
+                continue
+            if dseq is not None and fseq is not None and not (fseq < dseq):
+                continue
+            need = tbl  # equality columns may be projected out: re-read them
+            if any(c not in tbl.schema.names for c in cols):
+                need = pq.read_table(df["file_path"], columns=cols)
+            rows = zip(*[need.column(c).to_pylist() for c in cols])
+            mask &= np.array([r not in keys for r in rows], bool)
+        if not mask.all():
             tbl = tbl.filter(pa.array(mask))
         tables.append(tbl)
     if not tables:

@@ -69,7 +69,8 @@ MANIFEST_LIST_SCHEMA = {
 }
 
 
-def build_table(root, with_deletes=False, second_snapshot=False):
+def build_table(root, with_deletes=False, second_snapshot=False,
+                with_eq_deletes=False, eq_seq=None):
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
     os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
 
@@ -101,8 +102,19 @@ def build_table(root, with_deletes=False, second_snapshot=False):
     snapshots.append({"snapshot-id": 10, "manifest-list": ml1})
     current = 10
 
-    if with_deletes or second_snapshot:
+    if with_deletes or second_snapshot or with_eq_deletes:
         mans = [m1]
+        if with_eq_deletes:
+            epath = os.path.join(root, "data", "eqdel1.parquet")
+            # delete every row whose v is 'b' or 'e' (equality columns = [v])
+            pq.write_table(pa.table({"v": pa.array(["b", "e"], pa.string())}), epath)
+            entries = [{"status": 1, "snapshot_id": 11,
+                        "data_file": {"content": 2, "file_path": epath,
+                                      "file_format": "PARQUET", "record_count": 2,
+                                      "file_size_in_bytes": os.path.getsize(epath)}}]
+            mp = os.path.join(root, "metadata", "meq.avro")
+            write_avro(mp, MANIFEST_ENTRY_SCHEMA, entries)
+            mans.append(mp)
         if with_deletes:
             dpath = os.path.join(root, "data", "del1.parquet")
             pq.write_table(pa.table({
@@ -137,8 +149,8 @@ def build_table(root, with_deletes=False, second_snapshot=False):
 class TestIceberg:
     def test_plan_files(self, tmp_path):
         root = build_table(str(tmp_path / "t"))
-        data, dels = iceberg_plan_files(root)
-        assert len(data) == 2 and dels == []
+        data, dels, eq_dels = iceberg_plan_files(root)
+        assert len(data) == 2 and dels == [] and eq_dels == []
 
     def test_read_basic(self, tmp_path):
         root = build_table(str(tmp_path / "t"))
@@ -175,3 +187,21 @@ class TestIceberg:
         schema = s.table_schema("ice")
         out = s.collect(P.Scan("ice", schema).filter(E.col("id") > E.lit(1)).project([E.col("v")]))
         assert sorted(out["v"]) == ["c", "e"]
+
+
+    def test_equality_deletes(self, tmp_path):
+        root = build_table(str(tmp_path / "t"), with_eq_deletes=True)
+        out = to_numpy(read_iceberg(root))
+        assert sorted(out["v"]) == ["a", "c", "d"]  # 'b' and 'e' equality-deleted
+
+    def test_equality_and_position_deletes(self, tmp_path):
+        root = build_table(str(tmp_path / "t"), with_deletes=True, with_eq_deletes=True)
+        out = to_numpy(read_iceberg(root))
+        # position deletes drop 'b','d'; equality deletes drop 'b','e'
+        assert sorted(out["v"]) == ["a", "c"]
+
+    def test_equality_deletes_with_projection(self, tmp_path):
+        # equality column 'v' projected out: reader must re-read it
+        root = build_table(str(tmp_path / "t"), with_eq_deletes=True)
+        out = to_numpy(read_iceberg(root, projection=["id"]))
+        assert sorted(out["id"]) == [1, 3, 4]  # ids of 'b'(2) and 'e'(5) dropped
