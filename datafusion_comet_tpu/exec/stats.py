@@ -78,32 +78,69 @@ def _null_mask(arr: np.ndarray) -> np.ndarray:
     return np.zeros(len(arr), bool)
 
 
+_RANGE_SELECTIVITY = 0.4
 _FILTER_SELECTIVITY = 0.5
 
 
 def derive_capacities(plan: P.PlanNode, stats: Dict[str, TableStats]) -> None:
     """Fill every ``HashAggregate.max_groups is None`` in-place with a
     power-of-two estimate: min(Π ndv(group cols), input row estimate) × 2
-    safety, floored at 1024."""
+    safety, floored at 1024. NDV entries are BASE sketches (never shrunk by
+    filters — they remain upper bounds); use sites cap them by the row
+    estimate."""
     _walk(plan, stats)
 
 
+def _pred_selectivity(pred: E.Expr, ndv: Dict[str, int]) -> float:
+    """Per-conjunct selectivity: equality → 1/ndv, IN-list → k/ndv,
+    ranges → 0.4, everything else → 0.5 (the classic System-R defaults;
+    the reference leans on Spark's CBO for the same numbers)."""
+    sel = 1.0
+    for c in _conjuncts(pred):
+        if isinstance(c, E.BinaryOp) and c.op == "or":
+            a = _pred_selectivity(c.left, ndv)
+            b = _pred_selectivity(c.right, ndv)
+            sel *= min(a + b, 1.0)
+            continue
+        col = None
+        if isinstance(c, E.BinaryOp):
+            col = _source_column(c.left) or _source_column(c.right)
+            if c.op == "eq" and col and col in ndv:
+                sel *= 1.0 / max(ndv[col], 1)
+            elif c.op in ("lt", "le", "gt", "ge"):
+                sel *= _RANGE_SELECTIVITY
+            else:
+                sel *= _FILTER_SELECTIVITY
+        elif isinstance(c, E.InList):
+            col = _source_column(c.child)
+            k = len(c.values)
+            sel *= min(k / max(ndv.get(col, 10), 1), 1.0) if col else _FILTER_SELECTIVITY
+        else:
+            sel *= _FILTER_SELECTIVITY
+    return max(sel, 1e-6)
+
+
+def _conjuncts(e: E.Expr):
+    if isinstance(e, E.BinaryOp) and e.op == "and":
+        return _conjuncts(e.left) + _conjuncts(e.right)
+    return [e]
+
+
 def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str, int]]:
-    """Returns (row_estimate, {output column name: ndv estimate})."""
+    """Returns (row_estimate, {output column name: base ndv estimate})."""
     if isinstance(plan, P.Scan):
         st = stats.get(plan.table)
         if st is None:
             return DEFAULT_MAX_GROUPS, {}
-        names = plan.out_schema().field_names() if hasattr(plan.out_schema(), "field_names") \
-            else [f.name for f in plan.out_schema().fields]
+        names = [f.name for f in plan.out_schema().fields]
         return max(st.rows, 1), {k: v for k, v in st.ndv.items() if k in names}
 
     kids = [_walk(c, stats) for c in plan.children()]
 
     if isinstance(plan, P.Filter):
         rows, ndv = kids[0]
-        rows = max(int(rows * _FILTER_SELECTIVITY), 1)
-        return rows, {k: min(v, rows) for k, v in ndv.items()}
+        rows = max(int(rows * _pred_selectivity(plan.predicate, ndv)), 1)
+        return rows, ndv
 
     if isinstance(plan, P.Projection):
         rows, ndv = kids[0]
@@ -120,10 +157,25 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
         if jt in (P.JoinType.LEFT_SEMI, P.JoinType.LEFT_ANTI,
                   P.JoinType.LEFT_ANTI_NULL_AWARE, P.JoinType.EXISTENCE):
             return lr, ln
-        # FK→PK star join heuristic: output ≈ the larger (fact) side
+        lk = [_source_column(k) for k in plan.left_keys]
+        rk = [_source_column(k) for k in plan.right_keys]
+        # FK→PK star join: the filtered dimension side thins the fact side by
+        # rr / ndv(dim key); the fact FK column's distinctness is then capped
+        # by the surviving dimension rows (this is what makes a downstream
+        # GROUP BY fk_col capacity track the dimension filter)
         rows = max(lr, rr)
         ndv = {**rn, **ln}
-        return rows, {k: min(v, rows) for k, v in ndv.items()}
+        if rr <= lr and rk and rk[0] in rn:
+            ratio = min(1.0, rr / max(rn[rk[0]], 1))
+            rows = max(int(lr * ratio), 1)
+            if lk and lk[0]:
+                ndv[lk[0]] = min(ndv.get(lk[0], rr), rr)
+        elif lr < rr and lk and lk[0] in ln:
+            ratio = min(1.0, lr / max(ln[lk[0]], 1))
+            rows = max(int(rr * ratio), 1)
+            if rk and rk[0]:
+                ndv[rk[0]] = min(ndv.get(rk[0], lr), lr)
+        return rows, ndv
 
     if isinstance(plan, P.BroadcastNestedLoopJoin):
         (lr, ln), (rr, rn) = kids
@@ -156,7 +208,7 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
         for g in plan.group_exprs:
             src = _source_column(g)
             if src is not None and src in ndv:
-                est *= max(ndv[src], 1)
+                est *= max(min(ndv[src], rows), 1)
             else:
                 known = False
         if not plan.group_exprs:
