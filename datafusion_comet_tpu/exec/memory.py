@@ -43,7 +43,7 @@ def plan_peak_bytes(plan: P.PlanNode, capacity: int) -> int:
     for node in _walk(plan):
         cap = capacity
         if isinstance(node, P.HashAggregate):
-            cap = min(node.max_groups, capacity)
+            cap = min(node.max_groups or (1 << 16), capacity)
         if isinstance(node, P.Expand):
             cap = capacity * len(node.projections)
         if isinstance(node, (P.HashJoin, P.SortMergeJoin)):
