@@ -176,7 +176,8 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
     if isinstance(e, E.UnaryOp):
         return _unary(e, b, ctx)
     if isinstance(e, E.Cast):
-        return _cast(_ev(e.child, b, ctx), e.child.dtype, e.to, e.eval_mode, ctx)
+        return _cast(_ev(e.child, b, ctx), e.child.dtype, e.to, e.eval_mode, ctx,
+                     tz=getattr(e, 'timezone', None))
     if isinstance(e, E.CaseWhen):
         return _case_when(e, b, ctx)
     if isinstance(e, E.InList):
@@ -758,7 +759,8 @@ def _unary(e: E.UnaryOp, b: Batch, ctx: EvalContext) -> ColumnVector:
 # -------------------------------------------------------------------------------------
 
 
-def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: EvalContext) -> ColumnVector:
+def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: EvalContext,
+          tz: Optional[str] = None) -> ColumnVector:
     """Numeric/temporal/string cast subset of the Spark cast matrix
     (reference: spark-expr/src/conversion_funcs/cast.rs — 1,282 LoC full
     matrix; CometCast.scala:175 support levels)."""
@@ -766,7 +768,7 @@ def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: Eva
         return cv
     if cv.is_dict:
         # parse/format the K dictionary entries, map back by code
-        return _eval_on_dict(cv, lambda s: _cast(s, frm, to, mode, ctx), ctx)
+        return _eval_on_dict(cv, lambda s: _cast(s, frm, to, mode, ctx, tz), ctx)
     if frm.type_id == "NULL":
         lit = E.Literal(None, to)
         object.__setattr__(lit, "dtype", to)
@@ -780,10 +782,16 @@ def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: Eva
         if frm.is_integer or frm.is_decimal or frm.type_id == "DATE" or frm.is_boolean:
             return _cast_to_string(cv, frm, to)
         if frm.type_id in ("TIMESTAMP", "TIMESTAMP_NTZ"):
+            if tz and frm.type_id == "TIMESTAMP":
+                # session-tz rendering: shift the instant to wall clock
+                # (reference: cast.rs timestamp formatter w/ timezone)
+                micros = cv.data.astype(jnp.int64)
+                local = micros + _tz_offset_micros(micros, tz, local=False)
+                cv = ColumnVector(local, cv.validity, None, frm)
             return _timestamp_to_string(cv, to)
         raise NotImplementedError(f"cast {frm!r} -> string")
     if frm.is_binary:
-        return _cast_string_to(cv, frm, to, mode, ctx)
+        return _cast_string_to(cv, frm, to, mode, ctx, tz)
     if to.is_decimal:
         nb = _cast_bound(cv, frm, to)
         if cv.is_wide_storage or nb is None or nb >= _NARROW_LIMIT:
@@ -845,10 +853,17 @@ def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: Eva
     if to.is_boolean:
         return ColumnVector(cv.data != 0, validity, None, to)
     if to.type_id == "DATE" and frm.type_id in ("TIMESTAMP", "TIMESTAMP_NTZ"):
-        days = jnp.floor_divide(cv.data, np.int64(86_400_000_000))
+        micros = cv.data.astype(jnp.int64)
+        if tz and frm.type_id == "TIMESTAMP":
+            micros = micros + _tz_offset_micros(micros, tz, local=False)
+        days = jnp.floor_divide(micros, np.int64(86_400_000_000))
         return ColumnVector(days.astype(jnp.int32), validity, None, to)
     if to.type_id in ("TIMESTAMP", "TIMESTAMP_NTZ") and frm.type_id == "DATE":
         micros = cv.data.astype(jnp.int64) * np.int64(86_400_000_000)
+        if tz and to.type_id == "TIMESTAMP":
+            # local midnight -> instant (DST gaps resolve to the pre-gap
+            # offset; docs/compatibility.md)
+            micros = micros - _tz_offset_micros(micros, tz, local=True)
         return ColumnVector(micros, validity, None, to)
     raise NotImplementedError(f"cast {frm!r} -> {to!r}")
 
@@ -1122,7 +1137,8 @@ def _string_to_timestamp(cv: ColumnVector, to: T.DataType, mode: str, ctx) -> Co
     return ColumnVector(micros, cv.validity & ok, None, to)
 
 
-def _cast_string_to(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx) -> ColumnVector:
+def _cast_string_to(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx,
+                    tz=None) -> ColumnVector:
     """string → int/float/date/bool/decimal, vectorized parse with Spark
     trim-then-parse semantics (subset: no scientific notation for ints)."""
     mat = cv.data.astype(jnp.int32)
@@ -1136,7 +1152,13 @@ def _cast_string_to(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str
     last = w - 1 - jnp.argmax(jnp.flip(nonspace, axis=1), axis=1)
     has_content = jnp.any(nonspace, axis=1)
     if to.type_id in ("TIMESTAMP", "TIMESTAMP_NTZ"):
-        return _string_to_timestamp(cv, to, mode, ctx)
+        out = _string_to_timestamp(cv, to, mode, ctx)
+        if tz and to.type_id == "TIMESTAMP":
+            # parsed wall clock in the session tz -> instant
+            micros = out.data.astype(jnp.int64)
+            micros = micros - _tz_offset_micros(micros, tz, local=True)
+            out = ColumnVector(micros, out.validity, None, to)
+        return out
     if to.type_id == "DATE":
         # expect yyyy-mm-dd (Spark accepts more; subset)
         def dig(i):

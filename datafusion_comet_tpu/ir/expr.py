@@ -249,6 +249,9 @@ class Cast(Expr):
     child: Expr
     to: T.DataType
     eval_mode: str = EvalMode.LEGACY
+    # session timezone for timestamp<->string/date casts (Spark's Cast
+    # carries timeZoneId); None = UTC rendering/parsing
+    timezone: Optional[str] = None
 
     def children(self):
         return (self.child,)
@@ -752,7 +755,7 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         return out
     if isinstance(e, Cast):
         c = _bind(e.child, schema)
-        out = Cast(c, e.to, e.eval_mode)
+        out = Cast(c, e.to, e.eval_mode, e.timezone)
         object.__setattr__(out, "dtype", e.to)
         return out
     if isinstance(e, CaseWhen):

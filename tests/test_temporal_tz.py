@@ -159,3 +159,86 @@ class TestDateArithmetic:
         c = E.TemporalFunc("timestamp_seconds", (E.lit(int(datetime(2022, 1, 15).timestamp())),))
         got = run(E.TemporalFunc("months_between", (a, c)))
         assert got[0] == pytest.approx(2.0 + 16.0 / 31.0)
+
+
+class TestTzAwareCast:
+    """Session-timezone Cast (Cast.timezone): timestamp→string/date rendering
+    and string→timestamp parsing in a named zone, DST-transition exact
+    (reference: cast.rs timestamp casts with timeZoneId)."""
+
+    TZ = "America/Los_Angeles"
+
+    def _render(self, times):
+        import numpy as np
+
+        from datafusion_comet_tpu.exec import batch as B
+        from datafusion_comet_tpu.exec import evaluator as EV
+
+        micros = np.array([int(t.timestamp() * 1_000_000) for t in times], np.int64)
+        schema = T.Schema([T.Field("t", T.TIMESTAMP)])
+        b = B.from_numpy({"t": micros}, schema)
+        cv = EV.evaluate(E.bind(E.Cast(E.col("t"), T.string(30), timezone=self.TZ), schema), b)
+        d, ln = np.asarray(cv.data), np.asarray(cv.lengths)
+        return [bytes(d[i, : ln[i]]).decode() for i in range(len(times))]
+
+    def test_timestamp_to_string_session_tz(self):
+        from datetime import datetime, timezone
+        from zoneinfo import ZoneInfo
+
+        times = [
+            datetime(2024, 3, 10, 9, 59, 59, tzinfo=timezone.utc),  # PST second
+            datetime(2024, 3, 10, 10, 0, 1, tzinfo=timezone.utc),   # PDT second
+            datetime(2023, 7, 4, 12, 30, 45, 123456, tzinfo=timezone.utc),
+            datetime(1999, 12, 31, 23, 59, 59, tzinfo=timezone.utc),
+        ]
+        got = self._render(times)
+        for g, t in zip(got, times):
+            want = t.astimezone(ZoneInfo(self.TZ)).strftime("%Y-%m-%d %H:%M:%S")
+            if t.microsecond:
+                want += ("%.6f" % (t.microsecond / 1e6))[1:].rstrip("0")
+            assert g == want
+
+    def test_string_to_timestamp_session_tz(self):
+        import numpy as np
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        from datafusion_comet_tpu.exec import batch as B
+        from datafusion_comet_tpu.exec import evaluator as EV
+
+        svals = ["2024-03-10 01:59:59", "2024-07-01 12:00:00", "2024-11-03 00:30:00"]
+        schema = T.Schema([T.Field("s", T.string(20))])
+        b = B.from_numpy({"s": np.array(svals, object)}, schema)
+        cv = EV.evaluate(E.bind(E.Cast(E.col("s"), T.TIMESTAMP, timezone=self.TZ), schema), b)
+        for s, g in zip(svals, np.asarray(cv.data)):
+            want = int(datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+                       .replace(tzinfo=ZoneInfo(self.TZ)).timestamp() * 1e6)
+            assert int(g) == want, s
+
+    def test_timestamp_to_date_session_tz(self):
+        import numpy as np
+        from datetime import datetime, timezone
+
+        from datafusion_comet_tpu.exec import batch as B
+        from datafusion_comet_tpu.exec import evaluator as EV
+
+        t0 = datetime(2024, 1, 1, 5, 0, 0, tzinfo=timezone.utc)  # Dec 31 21:00 PST
+        schema = T.Schema([T.Field("t", T.TIMESTAMP)])
+        b = B.from_numpy({"t": np.array([int(t0.timestamp() * 1e6)], np.int64)}, schema)
+        cv = EV.evaluate(E.bind(E.Cast(E.col("t"), T.DATE, timezone=self.TZ), schema), b)
+        assert int(np.asarray(cv.data)[0]) == (datetime(2023, 12, 31) - datetime(1970, 1, 1)).days
+
+    def test_date_to_timestamp_session_tz(self):
+        import numpy as np
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        from datafusion_comet_tpu.exec import batch as B
+        from datafusion_comet_tpu.exec import evaluator as EV
+
+        days = (datetime(2024, 7, 1) - datetime(1970, 1, 1)).days
+        schema = T.Schema([T.Field("d", T.DATE)])
+        b = B.from_numpy({"d": np.array([days], np.int32)}, schema)
+        cv = EV.evaluate(E.bind(E.Cast(E.col("d"), T.TIMESTAMP, timezone=self.TZ), schema), b)
+        want = int(datetime(2024, 7, 1, tzinfo=ZoneInfo(self.TZ)).timestamp() * 1e6)
+        assert int(np.asarray(cv.data)[0]) == want
