@@ -669,11 +669,18 @@ def _decimal_arith(e: E.BinaryOp, l: ColumnVector, r: ColumnVector, validity, ct
         data = a + c if op == "add" else a - c
     elif op == "mul":
         raw_scale = s1 + s2
-        prod = int128.mul_i64(ld, rd)
-        if raw_scale == so:
-            data = int128.to_i64(prod)
+        if lb * rb < _NARROW_LIMIT and raw_scale >= so:
+            # bounds prove the RAW product fits int64: plain multiply +
+            # int64 HALF_UP rescale — skips the emulated i128 partial
+            # products entirely (the Q1 disc_price/charge hot path)
+            raw = ld * rd
+            data = raw if raw_scale == so else _decimal_downscale_half_up_i64(raw, raw_scale - so)
         else:
-            data = int128.div_i128_i64_half_up(prod, jnp.asarray(np.int64(10 ** (raw_scale - so))))
+            prod = int128.mul_i64(ld, rd)
+            if raw_scale == so:
+                data = int128.to_i64(prod)
+            else:
+                data = int128.div_i128_i64_half_up(prod, jnp.asarray(np.int64(10 ** (raw_scale - so))))
     elif op in ("div",):
         k = so - s1 + s2
         is_zero = rd == 0

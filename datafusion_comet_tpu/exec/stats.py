@@ -48,7 +48,14 @@ def collect_stats(data: Dict[str, np.ndarray], schema: T.Schema) -> TableStats:
         col = data.get(f.name)
         if col is None or n == 0:
             continue
-        arr = np.asarray(col)
+        if getattr(f.dtype, "is_nested", False) or f.dtype.type_id in ("LIST", "MAP", "STRUCT"):
+            continue  # no scalar NDV for nested columns
+        try:
+            arr = np.asarray(col)
+        except (ValueError, TypeError):
+            continue
+        if arr.ndim != 1:
+            continue
         if n <= _SAMPLE:
             try:
                 u = len(np.unique(arr[~_null_mask(arr)])) or 1
