@@ -61,13 +61,39 @@ def main() -> None:
     # scalar checksum INSIDE the jitted step and pulling only those bytes —
     # measuring compute, not tunnel/PCIe egress of the full result (the
     # result itself stays device-resident, as it would between operators).
-    def step(tables):
+    # The tunnel adds ~50-100 ms of per-call latency, so the pipeline runs
+    # BENCH_INNER times inside one jitted call: each iteration's input is
+    # perturbed by a value data-dependent on the previous checksums (always
+    # zero at runtime, but XLA cannot prove it → no hoisting/CSE), and the
+    # per-iteration time is total/inner — sustained throughput, the number
+    # that matters for a resident serving pipeline.
+    inner = int(os.environ.get("BENCH_INNER", "8"))
+
+    def one(tables):
         out, ovf = fn(tables)
         sums = [ovf.astype(jnp.int64), jnp.sum(out.row_mask.astype(jnp.int64))]
         for c in out.columns:
             sums.append(jnp.sum(jnp.where(out.row_mask, c.data.astype(jnp.float64)
                                           if c.data.ndim == 1 else c.data.sum(-1).astype(jnp.float64), 0.0)))
         return jnp.stack([s.astype(jnp.float64) for s in sums])
+
+    def step(tables):
+        first = one(tables)
+
+        def body(_, carry):
+            # bump is 0 at runtime but depends on the previous result
+            bump = jnp.where(jnp.isinf(carry[1]), 1, 0).astype(jnp.int64)
+            li = tables["lineitem"]
+            col = li.columns[0]
+            import dataclasses as _dc
+
+            perturbed = dict(tables)
+            perturbed["lineitem"] = _dc.replace(
+                li, columns=(_dc.replace(col, data=col.data + bump),) + li.columns[1:]
+            )
+            return one(perturbed)
+
+        return jax.lax.fori_loop(0, inner - 1, body, first) if inner > 1 else first
 
     step_j = jax.jit(step)
 
@@ -84,7 +110,7 @@ def main() -> None:
     for _ in range(reps):
         t0 = time.time()
         sync()
-        times.append(time.time() - t0)
+        times.append((time.time() - t0) / inner)
     best = min(times)
     rows_per_s = n_rows / best
     del checksum
@@ -100,6 +126,7 @@ def main() -> None:
                 "detail": {
                     "rows": n_rows,
                     "best_s": round(best, 4),
+                    "inner_iters": inner,
                     "times_s": [round(t, 4) for t in times],
                     "compile_s": round(compile_s, 1),
                     "datagen_s": round(gen_s, 1),
