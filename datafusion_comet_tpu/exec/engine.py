@@ -123,6 +123,8 @@ def _exec_inner(plan, tables, ctx, flags, fanout, metrics=None) -> Batch:
             plan.schema,
             plan.condition,
             max_build_matches=fanout,
+            unique_build=bool(getattr(plan, "unique_build_hint", False))
+            and ctx.unique_join_ok,
             ctx=ctx,
         )
         flags.append(ovf)
@@ -285,7 +287,7 @@ class Session:
 
     # -- execution ---------------------------------------------------------------
     def compile(self, plan: P.PlanNode, join_fanout: Optional[int] = None,
-                agg_scale: int = 1):
+                agg_scale: int = 1, unique_join_ok: bool = True):
         """Bind + jit a plan; returns (bound_plan, jitted fn(tables)->(batch, flags))."""
         if _needs_bind(plan):
             from datafusion_comet_tpu.ir.pruning import prune_columns
@@ -302,7 +304,7 @@ class Session:
             flags: List[jax.Array] = []
             errs: List[Tuple[jax.Array, str]] = []
             ctx = EvalContext(subquery_values=sub_values, errors=errs,
-                              agg_scale=agg_scale)
+                              agg_scale=agg_scale, unique_join_ok=unique_join_ok)
             out = run_plan(bound, tables, ctx, flags, fanout)
             msg_box.clear()
             msg_box.extend(m for _, m in errs)
@@ -494,7 +496,8 @@ class Session:
         fanout = self.join_fanout
         scale = 1
         for attempt in range(self.max_join_retries):
-            bound, fn = self.compile(plan, join_fanout=fanout, agg_scale=scale)
+            bound, fn = self.compile(plan, join_fanout=fanout, agg_scale=scale,
+                                     unique_join_ok=(attempt == 0))
             out, overflowed = fn(self.tables)
             if not bool(overflowed):
                 return (out, fn) if return_fn else out

@@ -53,6 +53,9 @@ class EvalContext:
     overflow_flags: Optional[List] = None
     # multiplier applied to static capacities on re-plan attempts
     agg_scale: int = 1
+    # allow the unique-build-key join fast path (disabled on re-plan
+    # retries: a duplicate-key flag means the hint was wrong)
+    unique_join_ok: bool = True
 
     def record_error(self, flags: jax.Array, message: str) -> None:
         if self.errors is not None:

@@ -166,6 +166,16 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
             return lr, ln
         lk = [_source_column(k) for k in plan.left_keys]
         rk = [_source_column(k) for k in plan.right_keys]
+        # PK-like build side (single key, NDV ≈ rows): hint the gather-free
+        # unique-build join; a wrong hint is caught by the in-graph
+        # duplicate-key flag and re-planned with the general path
+        build = getattr(plan, "build_side", "right")
+        if len(plan.right_keys) == 1 and build == "right" and rk[0] in rn:
+            if rn[rk[0]] >= int(0.8 * rr):
+                plan.unique_build_hint = True
+        elif len(plan.left_keys) == 1 and build == "left" and lk and lk[0] in ln:
+            if ln[lk[0]] >= int(0.8 * lr):
+                plan.unique_build_hint = True
         # FK→PK star join: the filtered dimension side thins the fact side by
         # rr / ndv(dim key); the fact FK column's distinctness is then capped
         # by the surviving dimension rows (this is what makes a downstream
