@@ -229,6 +229,32 @@ def _bucketize(
     return planes, valid_slot, overflow
 
 
+def capture_shuffle_overflow(
+    batch: Batch, part_ids: jax.Array, num_partitions: int, slot_cap: int
+) -> Tuple[Batch, jax.Array]:
+    """The rows _bucketize would DROP (per-destination rank ≥ slot_cap),
+    as a local batch + their destination partition ids.
+
+    This is the spill-on-pressure capture half (reference:
+    shuffle_writer.rs max_buffer_bytes → writers/local/spill.rs): the
+    driver persists these rows via io/spill.SpillWriter and re-exchanges
+    them in a follow-up pass instead of re-running the whole query."""
+    cap = batch.capacity
+    P = num_partitions
+    pid = jnp.where(batch.row_mask, part_ids.astype(jnp.int32), P)
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    out = jax.lax.sort((pid, iota), num_keys=1, is_stable=True)
+    sorted_pid, perm = out
+    gids = jnp.arange(P, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_pid, gids, side="left").astype(jnp.int32)
+    # rank within destination = sorted position - destination start
+    rank = jnp.arange(cap, dtype=jnp.int32) - jnp.take(
+        starts, jnp.clip(sorted_pid, 0, P - 1))
+    dropped_sorted = (sorted_pid < P) & (rank >= slot_cap)
+    spilled = batch.take(perm, dropped_sorted & batch.row_mask[perm])
+    return spilled, jnp.where(dropped_sorted, sorted_pid, P)
+
+
 def shuffle_batch(
     batch: Batch,
     part_ids: jax.Array,
