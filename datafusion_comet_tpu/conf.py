@@ -67,6 +67,12 @@ STAGE_MAX_JOINS = _entry(
     "per-stage compiles hit the persistent cache independently. 0 disables "
     "staging (always compile one program).",
 )
+BNLJ_MAX_PRODUCT = _entry(
+    "comet.exec.bnlj.maxProductRows", 1 << 26, "exec",
+    "Refuse a broadcast nested-loop join whose cap_left x cap_right cross "
+    "product exceeds this many rows (O(N*M) HBM): add join keys or filter "
+    "the broadcast side instead of letting the device OOM.",
+)
 AGG_MAX_GROUPS = _entry(
     "comet.exec.agg.maxGroups", 1 << 16, "exec",
     "Default static group capacity for hash aggregates.",

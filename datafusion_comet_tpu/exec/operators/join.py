@@ -373,6 +373,15 @@ def nested_loop_join(
     """Broadcast nested-loop join: full cross product (cap_l × cap_r) with a
     condition mask (reference: planner.rs:1377 BNLJ). Use only when one side
     is small (the planner broadcasts the small side)."""
+    from datafusion_comet_tpu.conf import BNLJ_MAX_PRODUCT, CONF
+
+    limit = CONF.get(BNLJ_MAX_PRODUCT)
+    if limit and left.capacity * right.capacity > limit:
+        raise MemoryError(
+            f"BNLJ cross product {left.capacity} x {right.capacity} rows exceeds "
+            f"comet.exec.bnlj.maxProductRows={limit}; add equi-join keys or "
+            f"filter the broadcast side"
+        )
     lcap, rcap = left.capacity, right.capacity
     li = jnp.repeat(jnp.arange(lcap, dtype=jnp.int32), rcap)
     ri = jnp.tile(jnp.arange(rcap, dtype=jnp.int32), lcap)
