@@ -13,7 +13,7 @@ import dataclasses
 import os
 from typing import Any, Callable, Dict, List, Optional
 
-__all__ = ["ConfigEntry", "Config", "CONF", "generate_docs"]
+__all__ = ["ConfigEntry", "Config", "CONF", "generate_docs", "register_entry"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +41,16 @@ def _entry(key, default, category, doc, env_var=None) -> ConfigEntry:
     e = ConfigEntry(key, default, type(default), category, doc, env_var)
     _REGISTRY[key] = e
     return e
+
+
+def register_entry(key, default, category, doc, env_var=None) -> ConfigEntry:
+    """Public registration for keys created outside this module (the
+    per-operator / per-expression gates the exec registry generates, and
+    any extension-defined keys). Idempotent: re-registering an existing
+    key returns the existing entry."""
+    if key in _REGISTRY:
+        return _REGISTRY[key]
+    return _entry(key, default, category, doc, env_var)
 
 
 # ---- exec ---------------------------------------------------------------------------
@@ -178,6 +188,8 @@ class Config:
                 self.set(k, v)
 
     def get(self, entry: ConfigEntry):
+        if entry.key not in self._values:  # registered after this Config
+            self._values[entry.key] = entry.resolve_default()
         return self._values[entry.key]
 
     def set(self, key, value) -> None:

@@ -32,10 +32,13 @@ from datafusion_comet_tpu.exec.operators import aggregate as AGG
 from datafusion_comet_tpu.exec.operators import basic as B
 from datafusion_comet_tpu.exec.operators import join as J
 from datafusion_comet_tpu.exec.operators import window as W
+from datafusion_comet_tpu.exec import registry as REG
+from datafusion_comet_tpu.exec.registry import UnsupportedPlanError
 from datafusion_comet_tpu.ir import expr as E
 from datafusion_comet_tpu.ir import plan as P
 
-__all__ = ["Session", "run_plan", "JoinOverflowError", "QueryExecutionError"]
+__all__ = ["Session", "run_plan", "JoinOverflowError", "QueryExecutionError",
+           "UnsupportedPlanError"]
 
 
 class JoinOverflowError(RuntimeError):
@@ -73,86 +76,134 @@ def _exec(plan, tables, ctx, flags, fanout, metrics=None) -> Batch:
 
 
 def _exec_inner(plan, tables, ctx, flags, fanout, metrics=None) -> Batch:
-    if isinstance(plan, P.Scan):
-        b = tables[plan.table]
-        if plan.projection is not None:
-            idx = [b.schema.index_of(n) for n in plan.projection]
-            b = b.select(idx, plan.schema)
-        return b
-    if isinstance(plan, P.Filter):
-        return B.filter_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.predicate, ctx)
-    if isinstance(plan, P.Projection):
-        return B.project_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.exprs, plan.schema, ctx)
-    if isinstance(plan, P.HashAggregate):
-        child = _exec(plan.child, tables, ctx, flags, fanout, metrics)
-        return AGG.hash_aggregate(
-            child, plan.group_exprs, plan.agg_exprs, plan.mode,
-            plan.max_groups or (1 << 16), plan.schema, ctx
-        )
-    if isinstance(plan, P.Sort):
-        return B.sort_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.orders, plan.fetch, plan.skip, ctx)
-    if isinstance(plan, P.Limit):
-        return B.limit_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.limit, plan.offset)
-    if isinstance(plan, P.Expand):
-        return B.expand_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.projections, plan.schema, ctx)
-    if isinstance(plan, P.Explode):
-        return B.explode_op(
-            _exec(plan.child, tables, ctx, flags, fanout, metrics),
-            plan.expr, plan.schema, plan.outer, plan.pos, ctx,
-        )
-    if isinstance(plan, P.Sample):
-        return B.sample_op(
-            _exec(plan.child, tables, ctx, flags, fanout, metrics),
-            plan.lower_bound,
-            plan.upper_bound,
-            plan.with_replacement,
-            plan.seed,
-            ctx.partition_id,
-        )
-    if isinstance(plan, (P.HashJoin, P.SortMergeJoin)):
-        left = _exec(plan.left, tables, ctx, flags, fanout, metrics)
-        right = _exec(plan.right, tables, ctx, flags, fanout, metrics)
-        build_side = plan.build_side if isinstance(plan, P.HashJoin) else _smj_build_side(plan)
-        out, ovf = J.hash_join(
-            left,
-            right,
-            plan.left_keys,
-            plan.right_keys,
-            plan.join_type,
-            build_side,
-            plan.schema,
-            plan.condition,
-            max_build_matches=fanout,
-            unique_build=bool(getattr(plan, "unique_build_hint", False))
-            and ctx.unique_join_ok,
-            ctx=ctx,
-        )
-        flags.append(ovf)
-        # Compact the (probe × K) pair block: without this, chained joins
-        # multiply their K factors (a 5-join chain would carry 4^5 = 1024×
-        # mostly-dead capacity). Target grows with the re-plan loop.
-        from datafusion_comet_tpu.exec.batch import pad_capacity
+    return REG.OPERATORS.resolve(type(plan))(plan, tables, ctx, flags, fanout, metrics)
 
-        grow = max(2, fanout // 2) * max(ctx.agg_scale, 1)
-        target = pad_capacity(max(left.capacity, right.capacity) * grow)
-        if target < out.capacity:
-            out, covf = B.compact_batch(out, target)
-            flags.append(covf)
-        return out
-    if isinstance(plan, P.BroadcastNestedLoopJoin):
-        left = _exec(plan.left, tables, ctx, flags, fanout, metrics)
-        right = _exec(plan.right, tables, ctx, flags, fanout, metrics)
-        return J.nested_loop_join(left, right, plan.join_type, plan.schema, plan.condition, ctx)
-    if isinstance(plan, P.Window):
-        return W.window_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.window_exprs, plan.schema, ctx)
-    if isinstance(plan, P.ShuffleExchange):
-        # single-partition engine: exchange is identity (multi-device path in
-        # parallel/shuffle.py re-lowers this node to an all-to-all)
-        return _exec(plan.child, tables, ctx, flags, fanout, metrics)
-    if isinstance(plan, P.Union):
-        kids = [_exec(c, tables, ctx, flags, fanout, metrics) for c in plan.inputs]
-        return _union(kids, plan.schema)
-    raise NotImplementedError(f"exec: {type(plan).__name__}")
+
+# ---- registered operator executors (reference: operator_registry.rs:32 —
+# every operator resolves through the registry; extensions add theirs with
+# OPERATORS.register without touching this module) --------------------------------
+
+
+@REG.OPERATORS.register(P.Scan)
+def _exec_scan(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    b = tables[plan.table]
+    if plan.projection is not None:
+        idx = [b.schema.index_of(n) for n in plan.projection]
+        b = b.select(idx, plan.schema)
+    return b
+
+
+@REG.OPERATORS.register(P.Filter)
+def _exec_filter(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    return B.filter_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.predicate, ctx)
+
+
+@REG.OPERATORS.register(P.Projection)
+def _exec_projection(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    return B.project_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.exprs, plan.schema, ctx)
+
+
+@REG.OPERATORS.register(P.HashAggregate)
+def _exec_hash_aggregate(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    child = _exec(plan.child, tables, ctx, flags, fanout, metrics)
+    return AGG.hash_aggregate(
+        child, plan.group_exprs, plan.agg_exprs, plan.mode,
+        plan.max_groups or (1 << 16), plan.schema, ctx
+    )
+
+
+@REG.OPERATORS.register(P.Sort)
+def _exec_sort(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    return B.sort_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.orders, plan.fetch, plan.skip, ctx)
+
+
+@REG.OPERATORS.register(P.Limit)
+def _exec_limit(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    return B.limit_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.limit, plan.offset)
+
+
+@REG.OPERATORS.register(P.Expand)
+def _exec_expand(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    return B.expand_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.projections, plan.schema, ctx)
+
+
+@REG.OPERATORS.register(P.Explode)
+def _exec_explode(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    return B.explode_op(
+        _exec(plan.child, tables, ctx, flags, fanout, metrics),
+        plan.expr, plan.schema, plan.outer, plan.pos, ctx,
+    )
+
+
+@REG.OPERATORS.register(P.Sample)
+def _exec_sample(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    return B.sample_op(
+        _exec(plan.child, tables, ctx, flags, fanout, metrics),
+        plan.lower_bound,
+        plan.upper_bound,
+        plan.with_replacement,
+        plan.seed,
+        ctx.partition_id,
+    )
+
+
+@REG.OPERATORS.register(P.HashJoin)
+@REG.OPERATORS.register(P.SortMergeJoin)
+def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    left = _exec(plan.left, tables, ctx, flags, fanout, metrics)
+    right = _exec(plan.right, tables, ctx, flags, fanout, metrics)
+    build_side = plan.build_side if isinstance(plan, P.HashJoin) else _smj_build_side(plan)
+    out, ovf = J.hash_join(
+        left,
+        right,
+        plan.left_keys,
+        plan.right_keys,
+        plan.join_type,
+        build_side,
+        plan.schema,
+        plan.condition,
+        max_build_matches=fanout,
+        unique_build=bool(getattr(plan, "unique_build_hint", False))
+        and ctx.unique_join_ok,
+        ctx=ctx,
+    )
+    flags.append(ovf)
+    # Compact the (probe × K) pair block: without this, chained joins
+    # multiply their K factors (a 5-join chain would carry 4^5 = 1024×
+    # mostly-dead capacity). Target grows with the re-plan loop.
+    from datafusion_comet_tpu.exec.batch import pad_capacity
+
+    grow = max(2, fanout // 2) * max(ctx.agg_scale, 1)
+    target = pad_capacity(max(left.capacity, right.capacity) * grow)
+    if target < out.capacity:
+        out, covf = B.compact_batch(out, target)
+        flags.append(covf)
+    return out
+
+
+@REG.OPERATORS.register(P.BroadcastNestedLoopJoin)
+def _exec_bnlj(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    left = _exec(plan.left, tables, ctx, flags, fanout, metrics)
+    right = _exec(plan.right, tables, ctx, flags, fanout, metrics)
+    return J.nested_loop_join(left, right, plan.join_type, plan.schema, plan.condition, ctx)
+
+
+@REG.OPERATORS.register(P.Window)
+def _exec_window(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    return W.window_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.window_exprs, plan.schema, ctx)
+
+
+@REG.OPERATORS.register(P.ShuffleExchange, gated=False)
+def _exec_exchange(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    # single-partition engine: exchange is identity (multi-device path in
+    # parallel/shuffle.py re-lowers this node to an all-to-all)
+    return _exec(plan.child, tables, ctx, flags, fanout, metrics)
+
+
+@REG.OPERATORS.register(P.Union)
+def _exec_union(plan, tables, ctx, flags, fanout, metrics) -> Batch:
+    kids = [_exec(c, tables, ctx, flags, fanout, metrics) for c in plan.inputs]
+    return _union(kids, plan.schema)
 
 
 def _smj_build_side(plan: P.SortMergeJoin) -> str:
@@ -177,6 +228,12 @@ def _union(kids: List[Batch], schema: T.Schema) -> Batch:
                 jnp.concatenate([c.validity for c in cvs]),
                 None, dtype, dictionary=cvs[0].dictionary,
             )
+        if dtype.is_decimal and any(c.is_wide_storage for c in cvs) and not all(
+                c.is_wide_storage for c in cvs):
+            # mixed narrow/two-limb storage across union branches: widen all
+            from datafusion_comet_tpu.exec import decimal_wide as DW
+
+            cvs = [DW.widen_cv(c) for c in cvs]
         datas = [c.data for c in cvs]
         if dtype.is_binary:  # unify string widths
             w = max(d.shape[-1] for d in datas)
@@ -425,7 +482,17 @@ class Session:
         out: Optional[Batch] = None
         try:
             for name, sub in stage_list:
-                out = self._execute_retry(sub)
+                reasons = REG.gate_reasons(sub)
+                if reasons:
+                    raise UnsupportedPlanError(reasons)
+                try:
+                    out = self._execute_retry(sub)
+                except NotImplementedError as e:
+                    # route the deep evaluator/operator guard through the
+                    # same reason surface validate() reports (the reference
+                    # tags the node withFallbackReason and falls back;
+                    # with no host fallback the reason IS the failure)
+                    raise UnsupportedPlanError([f"unsupported: {e}"]) from e
                 if name:
                     self.tables[name] = out
             return out
@@ -554,6 +621,9 @@ class Session:
             bound = P.bind_plan(plan) if _needs_bind(plan) else plan
         except (NotImplementedError, KeyError, TypeError, AssertionError) as e:
             return [f"planning: {type(e).__name__}: {e}"]
+        gate = REG.gate_reasons(bound)
+        if gate:
+            return gate
         sub_values = {
             sid: (None, False) for sid in self._subqueries
         }  # placeholders: validation must not execute subqueries

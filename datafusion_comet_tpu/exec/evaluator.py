@@ -1275,6 +1275,12 @@ def _case_when(e: E.CaseWhen, b: Batch, ctx: EvalContext) -> ColumnVector:
     for cond, value in reversed(e.branches):
         c = _ev(cond, b, ctx)
         v = _dedict(_coerce(_ev(value, b, ctx), out_t, ctx))
+        if out_t.is_decimal and (v.is_wide_storage != result.is_wide_storage):
+            # same wide dtype, mixed storage (one branch proved narrow by
+            # bounds, the other not): unify on two-limb before the select
+            from datafusion_comet_tpu.exec import decimal_wide as DW
+
+            v, result = DW.widen_cv(v), DW.widen_cv(result)
         take = c.validity & c.data.astype(bool)
         data = _select_cv(take, v, result)
         validity = jnp.where(take, v.validity, result.validity)

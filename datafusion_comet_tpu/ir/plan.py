@@ -471,6 +471,12 @@ def bind_plan(plan: PlanNode) -> PlanNode:
         out = Union(tuple(kids))
         out.schema = kids[0].schema
         return out
+    if getattr(plan, "schema", None) is not None and hasattr(plan, "with_children"):
+        # extension node (registered via exec.registry.OPERATORS): the node
+        # declares its own output schema and rebuilds itself over bound kids
+        out = plan.with_children(tuple(kids))
+        out.schema = plan.schema
+        return out
     raise NotImplementedError(f"bind_plan: {type(plan).__name__}")
 
 
