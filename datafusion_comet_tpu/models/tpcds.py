@@ -3587,6 +3587,547 @@ def q64(max_groups: int = 1 << 16) -> P.PlanNode:
     )
 
 
+# ---------------------------------------------------------------------------
+# Final-breadth family (q14/q23/q24/q41/q46/q49/q54/q58/q77/q78/q83/q90):
+# cross-channel item intersections with an average-sales benchmark, frequent-
+# item + best-customer scalar thresholds, returns-ratio rankings, channel
+# profit rollups, and morning/evening traffic ratios. Reference parity:
+# spark/src/test CometTPCDSQuerySuite runs all 99; literals here are adapted
+# to the skewed generator domains above like the rest of this module.
+# ---------------------------------------------------------------------------
+
+
+def q41(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Distinct product names of manufacturers that make color-themed items
+    (EXISTS over an item self-join)."""
+    inner = _scan("item").filter(
+        ((E.col("i_category") == E.lit("Women"))
+         & E.col("i_color").isin("red", "blue", "navy", "plum"))
+        | ((E.col("i_category") == E.lit("Men"))
+           & E.col("i_color").isin("black", "white", "olive", "salmon"))
+    ).aggregate([E.col("i_manufact")], [E.AggExpr("count", None, "item_cnt")])
+    inner.max_groups = 1 << 10
+    them = inner.filter(E.col("item_cnt") > E.lit(0)).project(
+        [E.col("i_manufact").alias("m2")])
+    it = _scan("item").filter(E.col("i_manufact_id").between(100, 600))
+    j = P.HashJoin(it, them, (E.col("i_manufact"),), (E.col("m2"),),
+                   P.JoinType.LEFT_SEMI, "right")
+    agg = j.aggregate([E.col("i_product_name")], [E.AggExpr("count", None, "n")])
+    agg.max_groups = max_groups
+    return agg.project([E.col("i_product_name")]).sort(
+        [E.SortOrder(E.col("i_product_name"))], fetch=100)
+
+
+def q90() -> P.PlanNode:
+    """Morning-vs-evening web order ratio for mid-size web pages."""
+    wp = _scan("web_page").filter(E.col("wp_char_count").between(2500, 5000))
+
+    def half(lo: int, hi: int, name: str) -> P.PlanNode:
+        td = _scan("time_dim").filter(E.col("t_hour").between(lo, hi))
+        j = _j(_scan("web_sales"), td, ["ws_sold_time_sk"], ["t_time_sk"])
+        j = _j(j, wp, ["ws_web_page_sk"], ["wp_web_page_sk"])
+        return j.aggregate([], [E.AggExpr("count", None, name)])
+
+    j = _cross(half(6, 7, "amc"), half(14, 15, "pmc"))
+    return j.project([
+        (E.col("amc").cast(T.FLOAT64) / E.col("pmc").cast(T.FLOAT64)).alias("am_pm_ratio")
+    ])
+
+
+def q46(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Weekend ticket totals for dep-4/vehicle-3 households where the
+    customer's current city differs from the city bought in."""
+    dn = _scan("household_demographics").filter(
+        (E.col("hd_dep_count") == E.lit(4)) | (E.col("hd_vehicle_count") == E.lit(3)))
+    dt = _scan("date_dim").filter(
+        E.col("d_dow").isin(0, 6) & E.col("d_year").isin(1999, 2000, 2001))
+    st = _scan("store").filter(E.col("s_city").isin("city0", "city2"))
+    j = _j(_scan("store_sales"), dt, ["ss_sold_date_sk"], ["d_date_sk"])
+    j = _j(j, st, ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, dn, ["ss_hdemo_sk"], ["hd_demo_sk"])
+    j = _j(j, _scan("customer_address"), ["ss_addr_sk"], ["ca_address_sk"])
+    per_ticket = j.aggregate(
+        [E.col("ss_ticket_number"), E.col("ss_customer_sk"), E.col("ca_city")],
+        [E.AggExpr("sum", E.col("ss_coupon_amt"), "amt"),
+         E.AggExpr("sum", E.col("ss_net_profit"), "profit")])
+    per_ticket.max_groups = max_groups
+    j2 = _j(per_ticket, _scan("customer"), ["ss_customer_sk"], ["c_customer_sk"])
+    cur = _scan("customer_address").project(
+        [E.col("ca_address_sk").alias("cur_addr_sk"),
+         E.col("ca_city").alias("current_city")])
+    j2 = _j(j2, cur, ["c_current_addr_sk"], ["cur_addr_sk"])
+    j2 = j2.filter(E.col("ca_city") != E.col("current_city"))
+    return j2.project(
+        [E.col("c_last_name"), E.col("c_first_name"),
+         E.col("ca_city").alias("bought_city"), E.col("ss_ticket_number"),
+         E.col("amt"), E.col("profit")]
+    ).sort(
+        [E.SortOrder(E.col("c_last_name")), E.SortOrder(E.col("c_first_name")),
+         E.SortOrder(E.col("bought_city")), E.SortOrder(E.col("ss_ticket_number"))],
+        fetch=100)
+
+
+def q58(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Items whose per-sale quantity profile agrees across all three
+    channels over a window (the revenue-parity query reshaped onto average
+    quantities — the generator's channel volumes differ by design, so raw
+    revenue parity would be vacuous)."""
+    dt = _scan("date_dim").filter(E.col("d_week_seq").between(1, 40))
+
+    def chan(fact: str, date_col: str, item_col: str, qty_col: str, out: str) -> P.PlanNode:
+        j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+        j = _j(j, _scan("item"), [item_col], ["i_item_sk"])
+        a = j.aggregate(
+            [E.col("i_item_id")],
+            [E.AggExpr("avg", E.col(qty_col).cast(T.FLOAT64), out)])
+        a.max_groups = max_groups
+        return a
+
+    ss = chan("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_quantity", "ss_item_rev")
+    cs = chan("catalog_sales", "cs_sold_date_sk", "cs_item_sk", "cs_quantity", "cs_item_rev"
+              ).project([E.col("i_item_id").alias("cs_item_id"), E.col("cs_item_rev")])
+    ws = chan("web_sales", "ws_sold_date_sk", "ws_item_sk", "ws_quantity", "ws_item_rev"
+              ).project([E.col("i_item_id").alias("ws_item_id"), E.col("ws_item_rev")])
+    j = P.HashJoin(ss, cs, (E.col("i_item_id"),), (E.col("cs_item_id"),),
+                   P.JoinType.INNER, "right")
+    j = P.HashJoin(j, ws, (E.col("i_item_id"),), (E.col("ws_item_id"),),
+                   P.JoinType.INNER, "right")
+    lo, hi = E.lit(0.8), E.lit(1.25)
+    sr, cr, wr = E.col("ss_item_rev"), E.col("cs_item_rev"), E.col("ws_item_rev")
+    f = j.filter(
+        sr.between(lo * cr, hi * cr) & sr.between(lo * wr, hi * wr)
+        & cr.between(lo * sr, hi * sr) & cr.between(lo * wr, hi * wr)
+        & wr.between(lo * sr, hi * sr) & wr.between(lo * cr, hi * cr))
+    third = E.lit(3.0)
+    return f.project(
+        [E.col("i_item_id"), sr, cr, wr,
+         ((sr + cr + wr) / third).alias("average")]
+    ).sort([E.SortOrder(E.col("i_item_id"))], fetch=100)
+
+
+def q83(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Per-item returned quantities across the three return channels for a
+    set of weeks, each as a share of the cross-channel average."""
+    dt = _scan("date_dim").filter(E.col("d_week_seq").between(1, 50))
+
+    def chan(fact: str, date_col: str, item_col: str, qty_col: str, out: str) -> P.PlanNode:
+        j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+        j = _j(j, _scan("item"), [item_col], ["i_item_sk"])
+        a = j.aggregate(
+            [E.col("i_item_id")],
+            [E.AggExpr("sum", E.col(qty_col).cast(T.INT64), out)])
+        a.max_groups = max_groups
+        return a
+
+    sr = chan("store_returns", "sr_returned_date_sk", "sr_item_sk", "sr_return_quantity", "sr_items")
+    cr = chan("catalog_returns", "cr_returned_date_sk", "cr_item_sk", "cr_return_quantity", "cr_items"
+              ).project([E.col("i_item_id").alias("cr_item_id"), E.col("cr_items")])
+    wr = chan("web_returns", "wr_returned_date_sk", "wr_item_sk", "wr_return_quantity", "wr_items"
+              ).project([E.col("i_item_id").alias("wr_item_id"), E.col("wr_items")])
+    j = P.HashJoin(sr, cr, (E.col("i_item_id"),), (E.col("cr_item_id"),),
+                   P.JoinType.INNER, "right")
+    j = P.HashJoin(j, wr, (E.col("i_item_id"),), (E.col("wr_item_id"),),
+                   P.JoinType.INNER, "right")
+    total = (E.col("sr_items") + E.col("cr_items") + E.col("wr_items")).cast(T.FLOAT64)
+    hundred_thirds = E.lit(300.0)
+
+    def share(col: str, name: str) -> E.Expr:
+        return (E.col(col).cast(T.FLOAT64) / total * hundred_thirds).alias(name)
+
+    return j.project(
+        [E.col("i_item_id"), E.col("sr_items"), share("sr_items", "sr_dev"),
+         E.col("cr_items"), share("cr_items", "cr_dev"),
+         E.col("wr_items"), share("wr_items", "wr_dev"),
+         (total / E.lit(3.0)).alias("average")]
+    ).sort([E.SortOrder(E.col("i_item_id")), E.SortOrder(E.col("sr_items"))],
+           fetch=100)
+
+
+def q77(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Channel sales/returns/profit rollup over a 60-day window; returns
+    arrive through per-channel LEFT joins (web/store) and a scalar cross
+    join (catalog, whose returns are not page-attributed)."""
+    dt = _scan("date_dim").filter(E.col("d_date_sk").between(700, 760))
+
+    def part(fact, date_col, key, sums):
+        j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+        a = j.aggregate([E.col(key)] if key else [],
+                        [E.AggExpr("sum", E.col(c).cast(T.decimal(17, 2)), o)
+                         for c, o in sums])
+        a.max_groups = 1 << 8
+        return a
+
+    zero = E.lit(0).cast(T.decimal(17, 2))
+
+    ss = part("store_sales", "ss_sold_date_sk", "ss_store_sk",
+              [("ss_ext_sales_price", "sales"), ("ss_net_profit", "profit")])
+    sr = part("store_returns", "sr_returned_date_sk", "sr_store_sk",
+              [("sr_return_amt", "returns_amt"), ("sr_net_loss", "profit_loss")])
+    store = P.HashJoin(ss, sr, (E.col("ss_store_sk"),), (E.col("sr_store_sk"),),
+                       P.JoinType.LEFT, "right").project([
+        E.lit("store channel").alias("channel"), E.col("ss_store_sk").alias("id"),
+        E.col("sales"), E.coalesce(E.col("returns_amt"), zero).alias("returns_amt"),
+        (E.col("profit") - E.coalesce(E.col("profit_loss"), zero)).alias("profit"),
+    ])
+
+    cs = part("catalog_sales", "cs_sold_date_sk", "cs_call_center_sk",
+              [("cs_ext_sales_price", "sales"), ("cs_net_profit", "profit")])
+    cr = part("catalog_returns", "cr_returned_date_sk", None,
+              [("cr_return_amount", "returns_amt"), ("cr_net_loss", "profit_loss")])
+    catalog = _cross(cs, cr).project([
+        E.lit("catalog channel").alias("channel"),
+        E.col("cs_call_center_sk").alias("id"), E.col("sales"),
+        E.coalesce(E.col("returns_amt"), zero).alias("returns_amt"),
+        (E.col("profit") - E.coalesce(E.col("profit_loss"), zero)).alias("profit"),
+    ])
+
+    ws = part("web_sales", "ws_sold_date_sk", "ws_web_page_sk",
+              [("ws_ext_sales_price", "sales"), ("ws_net_profit", "profit")])
+    wr = part("web_returns", "wr_returned_date_sk", "wr_web_page_sk",
+              [("wr_return_amt", "returns_amt"), ("wr_net_loss", "profit_loss")])
+    web = P.HashJoin(ws, wr, (E.col("ws_web_page_sk"),), (E.col("wr_web_page_sk"),),
+                     P.JoinType.LEFT, "right").project([
+        E.lit("web channel").alias("channel"), E.col("ws_web_page_sk").alias("id"),
+        E.col("sales"), E.coalesce(E.col("returns_amt"), zero).alias("returns_amt"),
+        (E.col("profit") - E.coalesce(E.col("profit_loss"), zero)).alias("profit"),
+    ])
+
+    u = P.Union((store, catalog, web))
+    r = _rollup(u, [("channel", T.string(16)), ("id", T.INT64)],
+                ["sales", "returns_amt", "profit"])
+    agg = r.aggregate(
+        [E.col("channel"), E.col("id"), E.col("lochierarchy")],
+        [E.AggExpr("sum", E.col("sales"), "sales"),
+         E.AggExpr("sum", E.col("returns_amt"), "returns_amt"),
+         E.AggExpr("sum", E.col("profit"), "profit")])
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("lochierarchy"), ascending=False),
+         E.SortOrder(E.col("channel")), E.SortOrder(E.col("id"))],
+        fetch=100)
+
+
+def q54(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Revenue segments ($5000 buckets) of store revenue from customers who
+    bought Women's items from catalog/web in a given month."""
+    month = _scan("date_dim").filter(E.col("d_month_seq") == E.lit(20))
+    it = _scan("item").filter(E.col("i_category") == E.lit("Women"))
+    cs = _scan("catalog_sales").project(
+        [E.col("cs_sold_date_sk").alias("sold_date_sk"),
+         E.col("cs_bill_customer_sk").alias("customer_sk"),
+         E.col("cs_item_sk").alias("item_sk")])
+    ws = _scan("web_sales").project(
+        [E.col("ws_sold_date_sk").alias("sold_date_sk"),
+         E.col("ws_bill_customer_sk").alias("customer_sk"),
+         E.col("ws_item_sk").alias("item_sk")])
+    u = P.Union((cs, ws))
+    u = _j(u, it, ["item_sk"], ["i_item_sk"])
+    u = _j(u, month, ["sold_date_sk"], ["d_date_sk"])
+    my_customers = u.aggregate([E.col("customer_sk")], [E.AggExpr("count", None, "n")])
+    my_customers.max_groups = 1 << 12
+    follow = _scan("date_dim").filter(E.col("d_month_seq").between(21, 23))
+    ss = _j(_scan("store_sales"), follow, ["ss_sold_date_sk"], ["d_date_sk"])
+    ss = P.HashJoin(ss, my_customers.project([E.col("customer_sk")]),
+                    (E.col("ss_customer_sk"),), (E.col("customer_sk"),),
+                    P.JoinType.LEFT_SEMI, "right")
+    rev = ss.aggregate([E.col("ss_customer_sk")],
+                       [E.AggExpr("sum", E.col("ss_ext_sales_price").cast(T.INT64), "revenue")])
+    rev.max_groups = max_groups
+    seg = rev.project(
+        [(E.col("revenue").cast(T.FLOAT64) / E.lit(5000.0)).cast(T.INT32).alias("segment")])
+    agg = seg.aggregate([E.col("segment")], [E.AggExpr("count", None, "num_customers")])
+    agg.max_groups = 1 << 10
+    return agg.project(
+        [E.col("segment"), E.col("num_customers"),
+         (E.col("segment") * E.lit(5000)).alias("segment_base")]
+    ).sort([E.SortOrder(E.col("segment")), E.SortOrder(E.col("num_customers"))],
+           fetch=100)
+
+
+def q78(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Store-vs-other-channel quantity ratios per (year, item, customer)
+    for never-returned sales (LEFT ANTI against each returns table)."""
+    yr = _scan("date_dim").filter(E.col("d_year") == E.lit(2000))
+
+    def chan(fact, date_col, item_col, cust_col, ret, r_keys, s_keys, qty_col,
+             price_col, prefix):
+        f = P.HashJoin(_scan(fact), _scan(ret).project([E.col(k).alias(f"__r_{k}") for k in r_keys]),
+                       tuple(E.col(k) for k in s_keys),
+                       tuple(E.col(f"__r_{k}") for k in r_keys),
+                       P.JoinType.LEFT_ANTI, "right")
+        j = _j(f, yr, [date_col], ["d_date_sk"])
+        a = j.aggregate(
+            [E.col("d_year"), E.col(item_col), E.col(cust_col)],
+            [E.AggExpr("sum", E.col(qty_col).cast(T.INT64), f"{prefix}_qty"),
+             E.AggExpr("sum", E.col(price_col), f"{prefix}_sp")])
+        a.max_groups = max_groups
+        return a
+
+    ss = chan("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_customer_sk",
+              "store_returns", ["sr_ticket_number", "sr_item_sk"],
+              ["ss_ticket_number", "ss_item_sk"], "ss_quantity",
+              "ss_sales_price", "ss")
+    ws = chan("web_sales", "ws_sold_date_sk", "ws_item_sk", "ws_bill_customer_sk",
+              "web_returns", ["wr_order_number", "wr_item_sk"],
+              ["ws_order_number", "ws_item_sk"], "ws_quantity",
+              "ws_sales_price", "ws").project(
+        [E.col("d_year").alias("ws_year"), E.col("ws_item_sk"),
+         E.col("ws_bill_customer_sk"), E.col("ws_qty"), E.col("ws_sp")])
+    cs = chan("catalog_sales", "cs_sold_date_sk", "cs_item_sk", "cs_bill_customer_sk",
+              "catalog_returns", ["cr_order_number", "cr_item_sk"],
+              ["cs_order_number", "cs_item_sk"], "cs_quantity",
+              "cs_sales_price", "cs").project(
+        [E.col("d_year").alias("cs_year"), E.col("cs_item_sk"),
+         E.col("cs_bill_customer_sk"), E.col("cs_qty"), E.col("cs_sp")])
+    j = P.HashJoin(ss, ws,
+                   (E.col("d_year"), E.col("ss_item_sk"), E.col("ss_customer_sk")),
+                   (E.col("ws_year"), E.col("ws_item_sk"), E.col("ws_bill_customer_sk")),
+                   P.JoinType.LEFT, "right")
+    j = P.HashJoin(j, cs,
+                   (E.col("d_year"), E.col("ss_item_sk"), E.col("ss_customer_sk")),
+                   (E.col("cs_year"), E.col("cs_item_sk"), E.col("cs_bill_customer_sk")),
+                   P.JoinType.LEFT, "right")
+    zero = E.lit(0).cast(T.INT64)
+    dzero = E.lit(0).cast(T.decimal(17, 2))
+    other_qty = E.coalesce(E.col("ws_qty"), zero) + E.coalesce(E.col("cs_qty"), zero)
+    f = j.filter(other_qty > E.lit(0))
+    return f.project(
+        [E.col("d_year"), E.col("ss_item_sk"), E.col("ss_customer_sk"),
+         (E.col("ss_qty").cast(T.FLOAT64) / other_qty.cast(T.FLOAT64)).alias("ratio"),
+         E.col("ss_qty"), E.col("ss_sp"),
+         other_qty.alias("other_chan_qty"),
+         (E.coalesce(E.col("ws_sp"), dzero) + E.coalesce(E.col("cs_sp"), dzero)).alias("other_chan_sp")]
+    ).sort(
+        [E.SortOrder(E.col("ss_qty"), ascending=False),
+         E.SortOrder(E.col("ss_item_sk")), E.SortOrder(E.col("ss_customer_sk"))],
+        fetch=100)
+
+
+def q49(max_groups: int = 1 << 12) -> P.PlanNode:
+    """Worst return ratios per channel: items ranked by quantity- and
+    amount-return ratios, keeping the bottom 10 of either ranking."""
+    dt = _scan("date_dim").filter((E.col("d_year") == E.lit(2000)) & (E.col("d_moy") == E.lit(12)))
+
+    def chan(label, fact, ret, s_keys, r_keys, date_col, item_col, qty, paid,
+             r_qty, r_amt):
+        s = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+        r = _scan(ret).filter(E.col(r_amt) > E.lit(100, T.decimal(7, 2))).project(
+            [E.col(k).alias(f"__r_{k}") for k in r_keys]
+            + [E.col(r_qty).alias("ret_qty"), E.col(r_amt).alias("ret_amt")])
+        j = P.HashJoin(s, r, tuple(E.col(k) for k in s_keys),
+                       tuple(E.col(f"__r_{k}") for k in r_keys),
+                       P.JoinType.INNER, "right")
+        a = j.aggregate(
+            [E.col(item_col)],
+            [E.AggExpr("sum", E.col("ret_qty").cast(T.INT64), "rq"),
+             E.AggExpr("sum", E.col(qty).cast(T.INT64), "sq"),
+             E.AggExpr("sum", E.col("ret_amt").cast(T.INT64), "ra"),
+             E.AggExpr("sum", E.col(paid).cast(T.INT64), "sa")])
+        a.max_groups = max_groups
+        p = a.project(
+            [E.col(item_col).alias("item"),
+             (E.col("rq").cast(T.FLOAT64) / E.col("sq").cast(T.FLOAT64)).alias("return_ratio"),
+             (E.col("ra").cast(T.FLOAT64) / E.col("sa").cast(T.FLOAT64)).alias("currency_ratio")])
+        win = P.Window(p, (
+            E.WindowExpr("rank", None, "return_rank",
+                         order_by=(E.SortOrder(E.col("return_ratio")),)),
+            E.WindowExpr("rank", None, "currency_rank",
+                         order_by=(E.SortOrder(E.col("currency_ratio")),)),
+        ))
+        keep = win.filter((E.col("return_rank") <= E.lit(10))
+                          | (E.col("currency_rank") <= E.lit(10)))
+        return keep.project(
+            [E.lit(label).alias("channel"), E.col("item"), E.col("return_ratio"),
+             E.col("return_rank"), E.col("currency_rank")])
+
+    web = chan("web", "web_sales", "web_returns",
+               ["ws_order_number", "ws_item_sk"], ["wr_order_number", "wr_item_sk"],
+               "ws_sold_date_sk", "ws_item_sk", "ws_quantity", "ws_net_paid",
+               "wr_return_quantity", "wr_return_amt")
+    cat = chan("catalog", "catalog_sales", "catalog_returns",
+               ["cs_order_number", "cs_item_sk"], ["cr_order_number", "cr_item_sk"],
+               "cs_sold_date_sk", "cs_item_sk", "cs_quantity", "cs_ext_sales_price",
+               "cr_return_quantity", "cr_return_amount")
+    st = chan("store", "store_sales", "store_returns",
+              ["ss_ticket_number", "ss_item_sk"], ["sr_ticket_number", "sr_item_sk"],
+              "ss_sold_date_sk", "ss_item_sk", "ss_quantity", "ss_net_paid",
+              "sr_return_quantity", "sr_return_amt")
+    u = P.Union((web, cat, st))
+    return u.sort(
+        [E.SortOrder(E.col("channel")), E.SortOrder(E.col("return_rank")),
+         E.SortOrder(E.col("currency_rank")), E.SortOrder(E.col("item"))],
+        fetch=100)
+
+
+def _q14_channel_item_keys(fact: str, date_col: str, item_col: str) -> P.PlanNode:
+    dt = _scan("date_dim").filter(E.col("d_year").between(1999, 2001))
+    j = _j(_scan(fact), dt, [date_col], ["d_date_sk"])
+    j = _j(j, _scan("item"), [item_col], ["i_item_sk"])
+    a = j.aggregate(
+        [E.col("i_brand_id"), E.col("i_class"), E.col("i_category")],
+        [E.AggExpr("count", None, "n")])
+    a.max_groups = 1 << 14
+    return a
+
+
+def q14(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Cross-channel items (brand/class/category sold via all three
+    channels), kept only where November sales beat the all-channel average
+    (scalar benchmark), rolled up by channel/brand/class/category."""
+    ss_keys = _q14_channel_item_keys("store_sales", "ss_sold_date_sk", "ss_item_sk")
+    cs_keys = _q14_channel_item_keys("catalog_sales", "cs_sold_date_sk", "cs_item_sk"
+                                     ).project([E.col("i_brand_id").alias("cb"),
+                                                E.col("i_class").alias("cc"),
+                                                E.col("i_category").alias("cg")])
+    ws_keys = _q14_channel_item_keys("web_sales", "ws_sold_date_sk", "ws_item_sk"
+                                     ).project([E.col("i_brand_id").alias("wb"),
+                                                E.col("i_class").alias("wc"),
+                                                E.col("i_category").alias("wg")])
+    on = (E.col("i_brand_id"), E.col("i_class"), E.col("i_category"))
+    both = P.HashJoin(ss_keys, cs_keys, on, (E.col("cb"), E.col("cc"), E.col("cg")),
+                      P.JoinType.LEFT_SEMI, "right")
+    both = P.HashJoin(both, ws_keys, on, (E.col("wb"), E.col("wc"), E.col("wg")),
+                      P.JoinType.LEFT_SEMI, "right")
+    cross_items = P.HashJoin(
+        _scan("item"), both.project([E.col("i_brand_id").alias("xb"),
+                                     E.col("i_class").alias("xc"),
+                                     E.col("i_category").alias("xg")]),
+        on, (E.col("xb"), E.col("xc"), E.col("xg")),
+        P.JoinType.LEFT_SEMI, "right").project([E.col("i_item_sk").alias("xi")])
+
+    years = _scan("date_dim").filter(E.col("d_year").between(1999, 2001))
+
+    def sales_rows(fact, date_col, qty, price):
+        j = _j(_scan(fact), years, [date_col], ["d_date_sk"])
+        return j.project(
+            [(E.col(qty).cast(T.INT64) * E.col(price).cast(T.INT64)).alias("sales")])
+
+    avg_sales = P.Union((
+        sales_rows("store_sales", "ss_sold_date_sk", "ss_quantity", "ss_list_price"),
+        sales_rows("catalog_sales", "cs_sold_date_sk", "cs_quantity", "cs_list_price"),
+        sales_rows("web_sales", "ws_sold_date_sk", "ws_quantity", "ws_sales_price"),
+    )).aggregate([], [E.AggExpr("avg", E.col("sales").cast(T.FLOAT64), "average_sales")])
+
+    nov = _scan("date_dim").filter(
+        (E.col("d_year") == E.lit(2001)) & (E.col("d_moy") == E.lit(11)))
+
+    def channel_sales(label, fact, date_col, item_col, qty, price):
+        j = _j(_scan(fact), nov, [date_col], ["d_date_sk"])
+        j = P.HashJoin(j, cross_items, (E.col(item_col),), (E.col("xi"),),
+                       P.JoinType.LEFT_SEMI, "right")
+        j = _j(j, _scan("item"), [item_col], ["i_item_sk"])
+        a = j.aggregate(
+            [E.col("i_brand_id"), E.col("i_class"), E.col("i_category")],
+            [E.AggExpr("sum", (E.col(qty).cast(T.INT64) * E.col(price).cast(T.INT64)),
+                       "sales"),
+             E.AggExpr("count", None, "number_sales")])
+        a.max_groups = max_groups
+        f = _cross(a, avg_sales).filter(
+            E.col("sales").cast(T.FLOAT64) > E.col("average_sales"))
+        return f.project(
+            [E.lit(label).alias("channel"), E.col("i_brand_id"), E.col("i_class"),
+             E.col("i_category"), E.col("sales"), E.col("number_sales")])
+
+    u = P.Union((
+        channel_sales("store", "store_sales", "ss_sold_date_sk", "ss_item_sk",
+                      "ss_quantity", "ss_list_price"),
+        channel_sales("catalog", "catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+                      "cs_quantity", "cs_list_price"),
+        channel_sales("web", "web_sales", "ws_sold_date_sk", "ws_item_sk",
+                      "ws_quantity", "ws_sales_price"),
+    ))
+    r = _rollup(u, [("channel", T.string(8)), ("i_brand_id", T.INT32),
+                    ("i_class", T.string(12)), ("i_category", T.string(12))],
+                ["sales", "number_sales"])
+    agg = r.aggregate(
+        [E.col("channel"), E.col("i_brand_id"), E.col("i_class"),
+         E.col("i_category"), E.col("lochierarchy")],
+        [E.AggExpr("sum", E.col("sales"), "sum_sales"),
+         E.AggExpr("sum", E.col("number_sales"), "sum_number_sales")])
+    agg.max_groups = max_groups
+    return agg.sort(
+        [E.SortOrder(E.col("lochierarchy"), ascending=False),
+         E.SortOrder(E.col("channel")), E.SortOrder(E.col("i_brand_id")),
+         E.SortOrder(E.col("i_class")), E.SortOrder(E.col("i_category"))],
+        fetch=100)
+
+
+def q23(max_groups: int = 1 << 16) -> P.PlanNode:
+    """Catalog+web March sales restricted to frequently-sold items and
+    best store customers (both scalar-thresholded subqueries)."""
+    yrs = _scan("date_dim").filter(E.col("d_year").between(1999, 2001))
+    freq = _j(_scan("store_sales"), yrs, ["ss_sold_date_sk"], ["d_date_sk"]).aggregate(
+        [E.col("ss_item_sk"), E.col("ss_sold_date_sk")],
+        [E.AggExpr("count", None, "cnt")])
+    freq.max_groups = max_groups
+    freq_items = freq.filter(E.col("cnt") > E.lit(1)).aggregate(
+        [E.col("ss_item_sk")], [E.AggExpr("count", None, "nd")])
+    freq_items.max_groups = 1 << 12
+    freq_items = freq_items.project([E.col("ss_item_sk").alias("freq_item")])
+
+    per_cust = _scan("store_sales").aggregate(
+        [E.col("ss_customer_sk")],
+        [E.AggExpr("sum", (E.col("ss_quantity").cast(T.INT64)
+                           * E.col("ss_sales_price").cast(T.INT64)), "csales")])
+    per_cust.max_groups = 1 << 14
+    cmax = per_cust.aggregate([], [E.AggExpr("max", E.col("csales"), "tpcds_cmax")])
+    best = _cross(per_cust, cmax).filter(
+        (E.col("csales") * E.lit(20)) > E.col("tpcds_cmax")).project(
+        [E.col("ss_customer_sk").alias("best_cust")])
+
+    march = _scan("date_dim").filter(
+        (E.col("d_year") == E.lit(2001)) & (E.col("d_moy") == E.lit(3)))
+
+    def chan(fact, date_col, item_col, cust_col, qty, price):
+        j = _j(_scan(fact), march, [date_col], ["d_date_sk"])
+        j = P.HashJoin(j, freq_items, (E.col(item_col),), (E.col("freq_item"),),
+                       P.JoinType.LEFT_SEMI, "right")
+        j = P.HashJoin(j, best, (E.col(cust_col),), (E.col("best_cust"),),
+                       P.JoinType.LEFT_SEMI, "right")
+        return j.project(
+            [(E.col(qty).cast(T.INT64) * E.col(price).cast(T.INT64)).alias("sales")])
+
+    u = P.Union((
+        chan("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+             "cs_bill_customer_sk", "cs_quantity", "cs_list_price"),
+        chan("web_sales", "ws_sold_date_sk", "ws_item_sk",
+             "ws_bill_customer_sk", "ws_quantity", "ws_sales_price"),
+    ))
+    return u.aggregate([], [E.AggExpr("sum", E.col("sales"), "sum_sales")])
+
+
+def q24(max_groups: int = 1 << 14) -> P.PlanNode:
+    """Returned-sale net-paid by customer/store/color where the customer's
+    zip differs from the store's, kept above 5% of the overall average."""
+    sr = _scan("store_returns").project(
+        [E.col("sr_ticket_number").alias("rt"), E.col("sr_item_sk").alias("ri")])
+    j = P.HashJoin(_scan("store_sales"), sr,
+                   (E.col("ss_ticket_number"), E.col("ss_item_sk")),
+                   (E.col("rt"), E.col("ri")), P.JoinType.INNER, "right")
+    j = _j(j, _scan("store"), ["ss_store_sk"], ["s_store_sk"])
+    j = _j(j, _scan("item"), ["ss_item_sk"], ["i_item_sk"])
+    j = _j(j, _scan("customer"), ["ss_customer_sk"], ["c_customer_sk"])
+    j = _j(j, _scan("customer_address"), ["c_current_addr_sk"], ["ca_address_sk"])
+    j = j.filter(E.col("ca_zip") != E.col("s_zip"))
+    ssales = j.aggregate(
+        [E.col("c_last_name"), E.col("c_first_name"), E.col("s_store_name"),
+         E.col("i_color")],
+        [E.AggExpr("sum", E.col("ss_net_paid"), "netpaid")])
+    ssales.max_groups = max_groups
+    avg_all = ssales.aggregate([], [E.AggExpr("avg", E.col("netpaid").cast(T.FLOAT64),
+                                              "avg_netpaid")])
+    red = ssales.filter(E.col("i_color") == E.lit("red"))
+    out = _cross(red, avg_all).filter(
+        E.col("netpaid").cast(T.FLOAT64) > (E.lit(0.05) * E.col("avg_netpaid")))
+    return out.project(
+        [E.col("c_last_name"), E.col("c_first_name"), E.col("s_store_name"),
+         E.col("netpaid")]
+    ).sort(
+        [E.SortOrder(E.col("c_last_name")), E.SortOrder(E.col("c_first_name")),
+         E.SortOrder(E.col("s_store_name")), E.SortOrder(E.col("netpaid"))],
+        fetch=100)
+
+
 QUERIES = {
     "q1": q1, "q2": q2, "q3": q3, "q4": q4, "q9": q9, "q11": q11, "q17": q17,
     "q21": q21, "q28": q28, "q29": q29, "q31": q31, "q37": q37, "q38": q38,
@@ -3602,4 +4143,6 @@ QUERIES = {
     "q51": q51, "q52": q52, "q53": q53, "q55": q55, "q57": q57, "q60": q60, "q62": q62, "q63": q63,
     "q65": q65, "q68": q68, "q73": q73, "q79": q79, "q89": q89, "q95": q95, "q96": q96,
     "q88": q88, "q98": q98, "q99": q99,
+    "q14": q14, "q23": q23, "q24": q24, "q41": q41, "q46": q46, "q49": q49,
+    "q54": q54, "q58": q58, "q77": q77, "q78": q78, "q83": q83, "q90": q90,
 }
