@@ -175,6 +175,174 @@ def _register_unsafe_rows(L) -> None:
     L._unsafe_registered = True
 
 
+def _ru8(x):
+    """Round up to 8 (scalar or array)."""
+    return (x + 7) & ~7 if np.isscalar(x) or isinstance(x, int) else (x + 7) & ~np.int64(7)
+
+
+def _le_bytes(arr: np.ndarray) -> np.ndarray:
+    """(n,) numeric -> (n, itemsize) little-endian uint8."""
+    a = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
+    return a.view(np.uint8).reshape(arr.shape[0], arr.dtype.itemsize)
+
+
+def _pack_nullbits(invalid: np.ndarray, words: int) -> np.ndarray:
+    """(n, E) bool -> (n, words*8) uint8 little-endian bitset (Spark word layout)."""
+    n, e = invalid.shape
+    padded = np.zeros((n, words * 64), bool)
+    padded[:, :e] = invalid
+    return np.packbits(padded, axis=1, bitorder="little")
+
+
+def _render_flat_values(data: np.ndarray, valid: np.ndarray, counts: np.ndarray,
+                        dtype) -> Tuple[np.ndarray, int]:
+    """Pack an UnsafeArrayData values region for primitive elements:
+    (n, E) data + validity + per-row counts -> (n, E*w) bytes (nulls and
+    beyond-count slots zeroed). Returns (bytes, element width)."""
+    n, e = valid.shape
+    vals = np.ascontiguousarray(data).copy()
+    live = valid & (np.arange(e)[None, :] < counts[:, None])
+    vals[~live] = 0
+    w = vals.dtype.itemsize
+    return _le_bytes(vals.reshape(n * e)).reshape(n, e * w), w
+
+
+def _render_array_data(counts, valid_e, data_e, lens_e, elem_dtype):
+    """Spark UnsafeArrayData bytes per row (reference: columnar_to_row.rs
+    nested array writer / Spark UnsafeArrayWriter layout):
+    [numElements i64][null bitset][values region][var payloads].
+    Primitive elements pack at their width; var-len elements use 8-byte
+    (offset|len) slots relative to the array base."""
+    n, e = valid_e.shape
+    words = (e + 63) // 64 if e else 0
+    header = 8 + words * 8
+    counts = counts.astype(np.int64)
+    invalid = (~valid_e) & (np.arange(e)[None, :] < counts[:, None])
+    nulls = _pack_nullbits(invalid, max(words, 1))[:, : words * 8]
+    if elem_dtype.is_binary:
+        # 8-byte slots + 8-aligned payloads after the slot region
+        el = lens_e.astype(np.int64)
+        live = valid_e & (np.arange(e)[None, :] < counts[:, None])
+        pay = np.where(live, _ru8(el), 0)
+        starts = (header + counts * 8)[:, None] + np.concatenate(
+            [np.zeros((n, 1), np.int64), np.cumsum(pay, axis=1)[:, :-1]], axis=1)
+        slot = np.where(live, (starts.astype(np.uint64) << np.uint64(32))
+                        | el.astype(np.uint64), np.uint64(0))
+        total = header + counts * 8 + pay.sum(axis=1)
+        mat = np.zeros((n, int(total.max(initial=header))), np.uint8)
+        mat[:, 0:8] = _le_bytes(counts)
+        mat[:, 8:header] = nulls
+        slot_bytes = _le_bytes(slot.reshape(n * e)).reshape(n, e * 8)
+        cols = header + np.arange(e * 8)[None, :]
+        keep = np.arange(e)[None, :].repeat(8, 1).reshape(1, -1) < counts[:, None]
+        rr, cc = np.nonzero(keep)
+        mat[rr, cols[0][cc]] = slot_bytes[rr, cc]
+        w_pad = data_e.shape[-1]
+        src = np.ascontiguousarray(data_e).reshape(n, e, w_pad)
+        for j in range(e):  # few elements per row (static max_elems)
+            lj = el[:, j]
+            okj = live[:, j] & (lj > 0)
+            if not okj.any():
+                continue
+            ri = np.nonzero(okj)[0]
+            for r in ri:
+                o = int(starts[r, j])
+                mat[r, o:o + int(lj[r])] = src[r, j, : int(lj[r])]
+        return mat, total.astype(np.int32)
+    body, w = _render_flat_values(data_e, valid_e, counts, elem_dtype)
+    total = header + _ru8(counts * w)
+    mat = np.zeros((n, header + _ru8(e * w)), np.uint8)
+    mat[:, 0:8] = _le_bytes(counts)
+    if words:
+        mat[:, 8:header] = nulls
+    mat[:, header:header + e * w] = body
+    return mat, total.astype(np.int32)
+
+
+def _render_struct_rows(kids, valid_row, dtype):
+    """Nested-struct UnsafeRow bytes per row: [null words][8-byte slots]
+    [var payloads] with offsets relative to the struct base."""
+    f = len(kids)
+    n = valid_row.shape[0]
+    words = (f + 63) // 64
+    fixed = words * 8 + f * 8
+    sizes = np.zeros((n, f), np.int64)
+    for j, (cv, vj) in enumerate(kids):
+        if cv[0].ndim == 2:  # var-len field (padded byte matrix, lengths)
+            sizes[:, j] = np.where(vj, _ru8(cv[1].astype(np.int64)), 0)
+    starts = fixed + np.concatenate(
+        [np.zeros((n, 1), np.int64), np.cumsum(sizes, axis=1)[:, :-1]], axis=1)
+    total = fixed + sizes.sum(axis=1)
+    mat = np.zeros((n, int(total.max(initial=fixed))), np.uint8)
+    invalid = np.stack([~vj for _, vj in kids], axis=1)
+    mat[:, : words * 8] = _pack_nullbits(invalid, words)
+    for j, ((data, lens), vj) in enumerate(kids):
+        off = words * 8 + j * 8
+        if data.ndim == 2:
+            el = lens.astype(np.int64)
+            slot = np.where(vj, (starts[:, j].astype(np.uint64) << np.uint64(32))
+                            | el.astype(np.uint64), np.uint64(0))
+            mat[:, off:off + 8] = _le_bytes(slot)
+            for r in np.nonzero(vj & (el > 0))[0]:
+                o = int(starts[r, j])
+                mat[r, o:o + int(el[r])] = data[r, : int(el[r])]
+        else:
+            v = data.copy()
+            v[~vj] = 0
+            if v.dtype.kind == "i" and v.dtype.itemsize < 8:
+                v = v.astype(np.int64)  # sign-extended slot
+            elif v.dtype.itemsize < 8:
+                v = v.astype(np.uint64)
+            mat[:, off:off + 8] = _le_bytes(v.view(
+                np.uint64 if v.dtype.kind == "f" and v.dtype.itemsize == 8 else v.dtype))
+    return mat, total.astype(np.int32)
+
+
+def _render_nested_column(cv, mask) -> Tuple[np.ndarray, np.ndarray]:
+    """Render a LIST/STRUCT/MAP column's rows as Spark nested UnsafeRow
+    payload bytes (reference: columnar_to_row.rs:949 handles nested arrays/
+    structs/maps; Spark UnsafeArrayData/UnsafeMapData/UnsafeRow layouts).
+    One nesting level with primitive/string leaves — deeper nesting raises."""
+    dt = cv.dtype
+
+    def leaf(child, extra_axis):
+        d = np.asarray(child.data)[mask]
+        v = np.asarray(child.validity)[mask]
+        ln = None if child.lengths is None else np.asarray(child.lengths)[mask]
+        if child.dtype.is_nested or child.children:
+            raise NotImplementedError(
+                "UnsafeRow: nesting deeper than one level is not serialized")
+        return d, v, ln
+
+    if dt.is_list:
+        counts = np.asarray(cv.data)[mask]
+        d, v, ln = leaf(cv.children[0], True)
+        return _render_array_data(counts, v, d, ln, dt.element)
+    if dt.is_map:
+        counts = np.asarray(cv.data)[mask].astype(np.int64)
+        entry = cv.children[0]
+        kd, kv, kl = leaf(entry.children[0], True)
+        vd, vv, vl = leaf(entry.children[1], True)
+        kmat, klen = _render_array_data(counts, kv, kd, kl, dt.key_type)
+        vmat, vlen = _render_array_data(counts, vv, vd, vl, dt.value_type)
+        n = counts.shape[0]
+        total = 8 + klen.astype(np.int64) + vlen.astype(np.int64)
+        mat = np.zeros((n, int(total.max(initial=8))), np.uint8)
+        mat[:, 0:8] = _le_bytes(klen.astype(np.int64))
+        for r in range(n):
+            k = int(klen[r])
+            mat[r, 8:8 + k] = kmat[r, :k]
+            mat[r, 8 + k:8 + k + int(vlen[r])] = vmat[r, : int(vlen[r])]
+        return mat, total.astype(np.int32)
+    if dt.is_struct:
+        kids = []
+        for child in cv.children:
+            d, v, ln = leaf(child, False)
+            kids.append(((d, ln), v))
+        return _render_struct_rows(kids, np.asarray(cv.validity)[mask], dt)
+    raise NotImplementedError(f"UnsafeRow: nested type {dt.type_id}")
+
+
 def batch_to_unsafe_rows(batch) -> Tuple[np.ndarray, np.ndarray]:
     """Serialize a Batch's live rows into Spark UnsafeRow layout.
     Dictionary-encoded columns are decoded first (UnsafeRow stores raw
@@ -198,6 +366,16 @@ def batch_to_unsafe_rows(batch) -> Tuple[np.ndarray, np.ndarray]:
             widths.append(0)
             var_pad.append(data.shape[1] if data.ndim == 2 else 0)
             var_lens.append(lens)
+            sext.append(0)
+        elif cv.dtype.is_nested:
+            # render the Spark nested layout (UnsafeArrayData / nested
+            # UnsafeRow / UnsafeMapData) per row, then ride the var-len path
+            data, lens = _render_nested_column(cv, mask)
+            data = np.ascontiguousarray(data)
+            cols.append(data)
+            widths.append(0)
+            var_pad.append(data.shape[1])
+            var_lens.append(np.ascontiguousarray(lens.astype(np.int32)))
             sext.append(0)
         else:
             data = np.ascontiguousarray(np.asarray(cv.data)[mask])
