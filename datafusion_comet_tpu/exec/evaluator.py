@@ -1507,6 +1507,18 @@ def _string_func_impl(e: E.StringFunc, args: List[ColumnVector], ctx: EvalContex
     if f in ("hex", "unhex", "base64", "unbase64", "encode", "decode", "bin",
              "conv", "md5", "sha1", "sha2", "crc32"):
         return _bytes_func(e, args, ctx)
+    if f == "get_json_object":
+        from datafusion_comet_tpu.exec.json_path import (
+            device_get_json_object, parse_path)
+
+        path_lit = e.args[1]
+        assert isinstance(path_lit, E.Literal) and path_lit.value is not None
+        steps = parse_path(str(path_lit.value))
+        if steps is None:
+            raise NotImplementedError(
+                f"device JSON path: unsupported path {path_lit.value!r} "
+                "(use ir.functions.get_json_object host bridge)")
+        return device_get_json_object(cv, steps, e.dtype)
     if f in ("length", "char_length"):
         return ColumnVector(lens.astype(jnp.int32), cv.validity, None, T.INT32)
     if f in ("bit_length",):

@@ -1054,6 +1054,10 @@ def _string_func_type(func: str, args: Sequence[Expr]) -> T.DataType:
     if func == "decode":
         assert a0 is not None
         return T.string(a0.byte_width)
+    if func == "get_json_object":
+        # a matched value span cannot exceed the source document
+        assert a0 is not None and a0.is_binary
+        return T.string(a0.byte_width)
     if func == "bin":
         return T.string(64)
     if func == "conv":

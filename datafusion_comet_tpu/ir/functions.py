@@ -130,10 +130,26 @@ def _json_path_get(doc, path: str):
     return cur
 
 
-def get_json_object(child: E.Expr, path: str, out_len: int = 0) -> E.PythonUdf:
+def get_json_object(child: E.Expr, path: str, out_len: int = 0) -> E.Expr:
     """Spark get_json_object: returns the matched value as a string (objects
     and arrays re-serialized as JSON; scalars unquoted); null on bad JSON or
-    missing path."""
+    missing path.
+
+    Simple `.key`/`[i]` paths lower to the device JSON-path kernel
+    (exec/json_path.py — the json_funcs/ analog; gated by
+    comet.expr.json.deviceEnabled); everything else stays on the host
+    bridge below."""
+    from datafusion_comet_tpu.conf import CONF, register_entry
+    from datafusion_comet_tpu.exec.json_path import parse_path
+
+    gate = register_entry(
+        "comet.expr.json.deviceEnabled", True, "expr",
+        "Lower simple get_json_object paths to the device JSON-path kernel "
+        "(source-span semantics; see docs/compatibility.md). Off = host "
+        "json bridge for every path.",
+    )
+    if CONF.get(gate) and parse_path(path) is not None and not out_len:
+        return E.StringFunc("get_json_object", (E._e(child), E.lit(path)))
 
     def fn(s):
         if s is None:
