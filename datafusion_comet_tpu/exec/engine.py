@@ -153,6 +153,10 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
     left = _exec(plan.left, tables, ctx, flags, fanout, metrics)
     right = _exec(plan.right, tables, ctx, flags, fanout, metrics)
     build_side = plan.build_side if isinstance(plan, P.HashJoin) else _smj_build_side(plan)
+    # stats-derived per-join K (grown by the retry loop's agg_scale); joins
+    # without a hint use the session-level fanout
+    hint = getattr(plan, "fanout_hint", None)
+    k = min(hint * max(ctx.agg_scale, 1), 256) if hint else fanout
     out, ovf = J.hash_join(
         left,
         right,
@@ -162,7 +166,7 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
         build_side,
         plan.schema,
         plan.condition,
-        max_build_matches=fanout,
+        max_build_matches=k,
         unique_build=bool(getattr(plan, "unique_build_hint", False))
         and ctx.unique_join_ok,
         ctx=ctx,
@@ -173,7 +177,7 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
     # mostly-dead capacity). Target grows with the re-plan loop.
     from datafusion_comet_tpu.exec.batch import pad_capacity
 
-    grow = max(2, fanout // 2) * max(ctx.agg_scale, 1)
+    grow = max(2, k // 2) * (1 if hint else max(ctx.agg_scale, 1))
     target = pad_capacity(max(left.capacity, right.capacity) * grow)
     if target < out.capacity:
         out, covf = B.compact_batch(out, target)

@@ -176,6 +176,21 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
         elif len(plan.left_keys) == 1 and build == "left" and lk and lk[0] in ln:
             if ln[lk[0]] >= int(0.8 * lr):
                 plan.unique_build_hint = True
+        # Per-join fan-out hint: expected matches per probe row = build rows
+        # / NDV(build keys). Attempt-0 capacity overflows force a full
+        # recompile (minutes on the tunnel TPU), so size K from stats with a
+        # 2x margin instead of starting every join at the session default.
+        if jt in (P.JoinType.INNER, P.JoinType.LEFT, P.JoinType.RIGHT,
+                  P.JoinType.FULL) and getattr(plan, "fanout_hint", None) is None:
+            b_rows, b_ndv, b_keys = (
+                (rr, rn, rk) if build == "right" else (lr, ln, lk))
+            if b_keys and all(k in b_ndv for k in b_keys if k) and all(b_keys):
+                ndv_prod = 1
+                for k in b_keys:
+                    ndv_prod = min(ndv_prod * max(b_ndv[k], 1), max(b_rows, 1))
+                matches = max(b_rows / max(ndv_prod, 1), 1.0)
+                plan.fanout_hint = int(
+                    min(max(2, 1 << math.ceil(math.log2(2.0 * matches))), 256))
         # FK→PK star join: the filtered dimension side thins the fact side by
         # rr / ndv(dim key); the fact FK column's distinctness is then capped
         # by the surviving dimension rows (this is what makes a downstream

@@ -71,3 +71,50 @@ def test_plan_not_mutated_by_staging(sess):
     # same plan object re-executes fine (staging must not mutate the tree)
     second = _run(sess, plan, 1)
     assert_same(first, second)
+
+
+def test_fanout_hint_avoids_retries():
+    """Stats-derived per-join K sizes attempt 0 correctly for multi-match
+    joins (every overflow retry would recompile the stage — minutes on the
+    tunnel TPU)."""
+    import numpy as np
+
+    from datafusion_comet_tpu import types as T
+    from datafusion_comet_tpu.exec.engine import Session
+    from datafusion_comet_tpu.ir import expr as E
+    from datafusion_comet_tpu.ir import plan as P
+
+    s = Session()
+    n_fact = 4096
+    rng = np.random.default_rng(3)
+    s.register_numpy("dim", {
+        "k": np.arange(64, dtype=np.int64),
+        "name": np.array([f"d{i}" for i in range(64)], object),
+    }, T.Schema([T.Field("k", T.INT64, False), T.Field("name", T.string(4), False)]))
+    s.register_numpy("fact", {
+        "fk": rng.integers(0, 64, n_fact).astype(np.int64),
+        "v": rng.integers(0, 100, n_fact).astype(np.int64),
+    }, T.Schema([T.Field("fk", T.INT64, False), T.Field("v", T.INT64, False)]))
+    # probe = dim, build = fact: ~64 matches per probe row >> default K=4
+    plan = P.HashJoin(
+        P.Scan("dim", s.tables["dim"].schema), P.Scan("fact", s.tables["fact"].schema),
+        (E.col("k"),), (E.col("fk"),), P.JoinType.INNER, "right",
+    ).aggregate([], [E.AggExpr("sum", E.col("v"), "sv")])
+
+    compiles = []
+    orig = Session.compile
+
+    def counting(self, p, **kw):
+        compiles.append(kw.get("join_fanout"))
+        return orig(self, p, **kw)
+
+    Session.compile = counting
+    try:
+        out = s.collect(plan)
+    finally:
+        Session.compile = orig
+    assert len(compiles) == 1, f"expected attempt-0 success, compiles={compiles}"
+    import pandas as pd
+
+    fact_v = np.asarray(s.collect(P.Scan("fact", s.tables["fact"].schema))["v"])
+    assert int(out["sv"][0]) == int(fact_v.sum())
