@@ -489,6 +489,7 @@ class Session:
                 reasons = REG.gate_reasons(sub)
                 if reasons:
                     raise UnsupportedPlanError(reasons)
+                sub = self._budget_rewrite(sub, temp_names)
                 try:
                     out = self._execute_retry(sub)
                 except NotImplementedError as e:
@@ -562,6 +563,67 @@ class Session:
             root = self._split_stages(bound0, max_joins, stages)
         stages.append((None, root))
         return stages
+
+    # -- HBM budget enforcement ------------------------------------------------------
+    def _budget_rewrite(self, stage: P.PlanNode, temp_names: List[str]) -> P.PlanNode:
+        """Enforce the declared HBM budget (comet.memory.fraction): when a
+        stage's conservative peak estimate exceeds the device budget and it
+        contains a streamable aggregate subtree (HashAggregate(SINGLE) over
+        a row-preserving pipeline over ONE scan), run that subtree tiled
+        (exec/streaming.py) over device-resident slices and splice the
+        result back as a temp table. Non-streamable over-budget stages
+        proceed (the estimate sums every operator output; XLA frees
+        earlier) with a warning. Reference analog: memory_pools/mod.rs
+        reservations + spill — here the budget is enforced by planning
+        batch shapes, not by runtime accounting."""
+        from datafusion_comet_tpu.exec.memory import (
+            device_budget_bytes, plan_peak_bytes)
+
+        caps = [self.tables[t].capacity
+                for t in _scan_tables(stage) if t in self.tables]
+        if not caps:
+            return stage
+        peak = plan_peak_bytes(stage, max(caps))
+        budget = device_budget_bytes()
+        if peak <= budget:
+            return stage
+        target = _find_stream_agg(stage, self.tables)
+        if target is None:
+            import warnings
+
+            warnings.warn(
+                f"stage peak estimate {peak >> 20} MiB exceeds HBM budget "
+                f"{budget >> 20} MiB and has no streamable aggregate; "
+                "proceeding (estimate is conservative)")
+            return stage
+        agg, table = target
+        from datafusion_comet_tpu.exec.memory import plan_tiles
+        from datafusion_comet_tpu.exec.streaming import execute_tiled_aggregate
+
+        batch = self.tables[table]
+        tiles_n = max(plan_tiles(agg, batch.capacity), 1)
+        # capacities are powers of two: snap the tile count to a power of two
+        # no larger than capacity/8 so slices divide exactly
+        tiles_n = 1 << max(int(tiles_n - 1).bit_length(), 0)
+        tiles_n = min(tiles_n, max(batch.capacity // 8, 1))
+        tile_cap = max(batch.capacity // tiles_n, 8)
+        result = execute_tiled_aggregate(
+            agg, _slice_tiles(batch, tile_cap), table)
+        if agg is stage:
+            tmp = f"__budget{self._next_stage_id}"
+            self._next_stage_id += 1
+            temp_names.append(tmp)
+            self.tables[tmp] = result
+            scan = P.Scan(tmp, result.schema)
+            scan.schema = result.schema
+            return scan
+        tmp = f"__budget{self._next_stage_id}"
+        self._next_stage_id += 1
+        temp_names.append(tmp)
+        self.tables[tmp] = result
+        scan = P.Scan(tmp, result.schema)
+        scan.schema = result.schema
+        return _replace_child_pure_deep(stage, agg, scan)
 
     def _execute_retry(self, plan: P.PlanNode, return_fn: bool = False):
         fanout = self.join_fanout
@@ -778,6 +840,77 @@ def _replace_child_pure(plan: P.PlanNode, old: P.PlanNode, new: P.PlanNode) -> P
         elif isinstance(v, tuple) and any(x is old for x in v):
             setattr(cp, f.name, tuple(new if x is old else x for x in v))
     return cp
+
+
+def _replace_child_pure_deep(plan: P.PlanNode, old: P.PlanNode, new: P.PlanNode) -> P.PlanNode:
+    """Non-mutating replacement of ``old`` anywhere in the tree."""
+    if plan is old:
+        return new
+    kids = [(_replace_child_pure_deep(c, old, new), c) for c in plan.children()]
+    out = plan
+    for repl, orig in kids:
+        if repl is not orig:
+            out = _replace_child_pure(out, orig, repl)
+    return out
+
+
+def _scan_tables(plan: P.PlanNode) -> List[str]:
+    out: List[str] = []
+    if isinstance(plan, P.Scan):
+        out.append(plan.table)
+    for c in plan.children():
+        out.extend(_scan_tables(c))
+    return out
+
+
+_ROW_PRESERVING = (P.Filter, P.Projection, P.Expand, P.Sample)
+
+
+def _find_stream_agg(plan: P.PlanNode, tables) -> Optional[Tuple[P.PlanNode, str]]:
+    """Largest streamable aggregate subtree: HashAggregate(SINGLE) whose
+    input is a filter/project/expand/sample pipeline over exactly one Scan
+    of a resident table (the exec/streaming.py contract)."""
+    best: Optional[Tuple[P.PlanNode, str, int]] = None
+
+    def subtree_scan(p) -> Optional[str]:
+        if isinstance(p, P.Scan):
+            return p.table
+        if not isinstance(p, _ROW_PRESERVING):
+            return None
+        return subtree_scan(p.children()[0])
+
+    def walk(p):
+        nonlocal best
+        if (isinstance(p, P.HashAggregate) and p.mode == P.AggMode.SINGLE):
+            t = subtree_scan(p.child)
+            if t is not None and t in tables:
+                cap = tables[t].capacity
+                if best is None or cap > best[2]:
+                    best = (p, t, cap)
+                return  # don't descend into a chosen subtree
+        for c in p.children():
+            walk(c)
+
+    walk(plan)
+    return (best[0], best[1]) if best else None
+
+
+def _slice_cv(cv, lo: int, cap: int):
+    return dataclasses.replace(
+        cv,
+        data=cv.data[lo:lo + cap],
+        validity=cv.validity[lo:lo + cap],
+        lengths=None if cv.lengths is None else cv.lengths[lo:lo + cap],
+        children=tuple(_slice_cv(c, lo, cap) for c in cv.children),
+    )
+
+
+def _slice_tiles(batch: Batch, tile_cap: int):
+    """Device-side tile slices of a resident batch (shared dictionaries and
+    decimal bounds carry over, so tiles stay mutually comparable)."""
+    for lo in range(0, batch.capacity, tile_cap):
+        cols = tuple(_slice_cv(c, lo, tile_cap) for c in batch.columns)
+        yield Batch(cols, batch.row_mask[lo:lo + tile_cap], batch.schema)
 
 
 def _replace_child(plan: P.PlanNode, old: P.PlanNode, new: P.PlanNode) -> P.PlanNode:
