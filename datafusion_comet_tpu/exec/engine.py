@@ -289,6 +289,7 @@ class Session:
         self._next_subquery_id = 0
         self._next_stage_id = 0
         self._cache: Dict[Tuple[int, int], Callable] = {}
+        self._spill_streams: Dict[str, Tuple[object, T.Schema]] = {}
 
     # -- registration ------------------------------------------------------------
     def register_batch(self, name: str, batch: Batch) -> None:
@@ -299,6 +300,45 @@ class Session:
 
         self.stats[name] = collect_stats(data, schema)
         self.tables[name] = from_numpy(data, schema, **kw)
+
+    def register_spill(self, name: str, path: str, schema: T.Schema,
+                       stream: bool = False) -> None:
+        """Register previously spilled blocks (io/spill.py) as a queryable
+        table — the ShuffleScanExec analog (reference: shuffle blocks read
+        back through a block iterator into the next query's scan,
+        native/core ShuffleScanExec + ipc.rs). ``stream=False`` re-stages
+        every block into one resident batch; ``stream=True`` defers
+        re-staging and feeds blocks tile-by-tile through the same tiled
+        path the HBM budget rewrite uses (one block must fit the budget)."""
+        from datafusion_comet_tpu.io.spill import SpillReader
+
+        reader = SpillReader(path, schema)
+        if stream:
+            self._spill_streams[name] = (reader, schema)
+            # resident placeholder holds only the schema; budget rewrite
+            # swaps in the block iterator for streamable aggregates
+            first = reader.read_batch(0)
+            self.tables[name] = first
+            return
+        kids = [reader.read_batch(i) for i in range(reader.num_blocks())]
+        self.tables[name] = kids[0] if len(kids) == 1 else _union(kids, schema)
+        from datafusion_comet_tpu.exec.stats import TableStats
+
+        rows = int(sum(int(np.asarray(b.row_mask).sum()) for b in kids))
+        self.stats[name] = TableStats(rows=max(rows, 1), ndv={})
+
+    def spill_aggregate(self, plan: P.PlanNode, name: str) -> Batch:
+        """Run a streamable aggregate over a stream-registered spill table
+        block-by-block (blocks never co-resident in HBM)."""
+        from datafusion_comet_tpu.exec.streaming import execute_tiled_aggregate
+
+        reader, schema = self._spill_streams[name]
+
+        def tiles():
+            for i in range(reader.num_blocks()):
+                yield reader.read_batch(i)
+
+        return execute_tiled_aggregate(plan, tiles(), name)
 
     def register_parquet(self, name: str, path: str, schema: Optional[T.Schema] = None) -> None:
         from datafusion_comet_tpu.io.parquet import read_parquet

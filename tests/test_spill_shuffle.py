@@ -93,3 +93,51 @@ def test_captured_rows_are_exactly_the_dropped_ones():
     spilled, _ = capture_shuffle_overflow(b, pids, P, tight)
     all_rows = _rows(b)
     assert sorted(_rows(out1) + _rows(spilled)) == all_rows
+
+
+def test_register_spill_as_table(tmp_path):
+    """ShuffleScanExec analog: spilled blocks read back as a query input
+    (resident) and block-by-block (streamed aggregate)."""
+    import numpy as np
+
+    from datafusion_comet_tpu import types as T
+    from datafusion_comet_tpu.exec.batch import from_numpy
+    from datafusion_comet_tpu.exec.engine import Session
+    from datafusion_comet_tpu.io.spill import SpillWriter
+    from datafusion_comet_tpu.ir import expr as E
+    from datafusion_comet_tpu.ir import plan as P
+
+    sch = T.Schema([T.Field("g", T.INT64, False), T.Field("v", T.INT64, False)])
+    rng = np.random.default_rng(4)
+    parts = []
+    path = str(tmp_path / "blocks.spill")
+    w = SpillWriter(path)
+    for _ in range(3):
+        d = {"g": rng.integers(0, 8, 256).astype(np.int64),
+             "v": rng.integers(-50, 50, 256).astype(np.int64)}
+        parts.append(d)
+        w.write_batch(from_numpy(d, sch, dictionary=False))
+    w.close()
+
+    allg = np.concatenate([p["g"] for p in parts])
+    allv = np.concatenate([p["v"] for p in parts])
+    exp = {int(g): int(allv[allg == g].sum()) for g in range(8)}
+
+    s = Session()
+    s.register_spill("sp", path, sch)
+    agg = P.Scan("sp", sch).aggregate(
+        [E.col("g")], [E.AggExpr("sum", E.col("v"), "sv")])
+    agg.max_groups = 16
+    out = s.collect(agg.sort([E.SortOrder(E.col("g"))]))
+    assert {int(g): int(v) for g, v in zip(out["g"], out["sv"])} == exp
+
+    s2 = Session()
+    s2.register_spill("sp", path, sch, stream=True)
+    agg2 = P.Scan("sp", sch).aggregate(
+        [E.col("g")], [E.AggExpr("sum", E.col("v"), "sv")])
+    agg2.max_groups = 16
+    res = s2.spill_aggregate(agg2, "sp")
+    from datafusion_comet_tpu.exec.batch import to_numpy
+
+    got = to_numpy(res)
+    assert {int(g): int(v) for g, v in zip(got["g"], got["sv"])} == exp
