@@ -99,6 +99,12 @@ SHUFFLE_MODE = _entry(
     "(spark.comet.shuffle.mode analog).",
 )
 # ---- expressions --------------------------------------------------------------------
+JSON_DEVICE = _entry(
+    "comet.expr.json.deviceEnabled", True, "expr",
+    "Lower simple get_json_object paths to the device JSON-path kernel "
+    "(source-span semantics; see docs/compatibility.md). Off = host json "
+    "bridge for every path.",
+)
 REGEXP_ALLOW_INCOMPATIBLE = _entry(
     "comet.regexp.allowIncompatible", True, "expressions",
     "Allow regexp functions whose dialect differs from Java regex in corner "

@@ -169,6 +169,7 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
         max_build_matches=k,
         unique_build=bool(getattr(plan, "unique_build_hint", False))
         and ctx.unique_join_ok,
+        presorted_build=bool(getattr(plan, "presorted_build", False)),
         ctx=ctx,
     )
     flags.append(ovf)
@@ -590,6 +591,7 @@ class Session:
         from datafusion_comet_tpu.exec.stats import derive_capacities
 
         derive_capacities(bound0, self.stats)
+        bound0 = _apply_orderings(bound0)
         if _contains_map_in_batch(bound0):
             bound0 = self._stage_udfs(bound0)
         elif _plan_has_udf(bound0) and not _callbacks_supported():
@@ -880,6 +882,53 @@ def _replace_child_pure(plan: P.PlanNode, old: P.PlanNode, new: P.PlanNode) -> P
         elif isinstance(v, tuple) and any(x is old for x in v):
             setattr(cp, f.name, tuple(new if x is old else x for x in v))
     return cp
+
+
+def _apply_orderings(plan: P.PlanNode) -> P.PlanNode:
+    """Order-propagation consumers (reference: DataFusion output_ordering /
+    EquivalenceProperties): delete Sort nodes whose child already delivers
+    the requested ordering (a Sort with fetch becomes a Limit), and flag
+    SortMergeJoins whose build child is pre-sorted on the join keys so the
+    executor takes the merge path (skips its build-side key sort)."""
+    from datafusion_comet_tpu.ir.ordering import (
+        order_key_name, ordering_satisfies, out_ordering)
+
+    kids = [(_apply_orderings(c), c) for c in plan.children()]
+    for new, old in kids:
+        if new is not old:
+            plan = _replace_child_pure(plan, old, new)
+
+    if isinstance(plan, P.Sort):
+        child = plan.child
+        want = []
+        for o in plan.orders:
+            name = order_key_name(o.child, child.schema)
+            if name is None:
+                return plan
+            want.append((name, o.ascending, o.resolved_nulls_first()))
+        if ordering_satisfies(out_ordering(child), want):
+            if plan.fetch is None and not plan.skip:
+                return child
+            out = P.Limit(child, plan.fetch or (1 << 62), plan.skip)
+            out.schema = child.schema
+            return out
+        return plan
+
+    if isinstance(plan, P.SortMergeJoin):
+        build = _smj_build_side(plan)
+        bchild = plan.right if build == "right" else plan.left
+        bkeys = plan.right_keys if build == "right" else plan.left_keys
+        want = []
+        for k in bkeys:
+            name = order_key_name(k, bchild.schema)
+            if name is None:
+                return plan
+            # merge path needs non-null keys first and ascending; a
+            # nulls-last (or non-nullable) ascending ordering delivers that
+            want.append((name, True, False))
+        if ordering_satisfies(out_ordering(bchild), want):
+            plan.presorted_build = True
+    return plan
 
 
 def _replace_child_pure_deep(plan: P.PlanNode, old: P.PlanNode, new: P.PlanNode) -> P.PlanNode:

@@ -193,6 +193,7 @@ def hash_join(
     condition: Optional[E.Expr] = None,
     max_build_matches: int = 4,
     unique_build: bool = False,
+    presorted_build: bool = False,
     ctx: EvalContext = _DEFAULT_CTX,
 ) -> Tuple[Batch, jax.Array]:
     """Returns (joined batch, overflow flag: True if any probe row had more
@@ -229,17 +230,25 @@ def hash_join(
         pair_valid = matched
         has_match = matched
     else:
-        # sort build rows: joinable rows first, by key — limbs ride the
-        # variadic sort as payloads (post-sort gathers cost ~15× a carried
-        # payload on TPU)
-        sort_limbs = [(~bvalid).astype(jnp.int64)] + blimbs
         iota_b = jnp.arange(bcap, dtype=jnp.int32)
-        sorted_all = jax.lax.sort(
-            tuple(sort_limbs) + (iota_b,) + tuple(blimbs),
-            num_keys=len(sort_limbs), is_stable=True,
-        )
-        bperm = sorted_all[len(sort_limbs)]
-        sorted_limbs = list(sorted_all[len(sort_limbs) + 1 :])
+        if presorted_build:
+            # merge path: the planner proved the build input is already
+            # ordered by the join keys with valid rows front-packed
+            # (ir/ordering.py) — the searchsorted probes run directly on
+            # the input limbs, no build-side sort
+            bperm = iota_b
+            sorted_limbs = list(blimbs)
+        else:
+            # sort build rows: joinable rows first, by key — limbs ride the
+            # variadic sort as payloads (post-sort gathers cost ~15× a
+            # carried payload on TPU)
+            sort_limbs = [(~bvalid).astype(jnp.int64)] + blimbs
+            sorted_all = jax.lax.sort(
+                tuple(sort_limbs) + (iota_b,) + tuple(blimbs),
+                num_keys=len(sort_limbs), is_stable=True,
+            )
+            bperm = sorted_all[len(sort_limbs)]
+            sorted_limbs = list(sorted_all[len(sort_limbs) + 1 :])
         n_build = jnp.sum(bvalid.astype(jnp.int32))
 
         lo = lex_lower_bound(sorted_limbs, plimbs, n_build)

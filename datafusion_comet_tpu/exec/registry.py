@@ -41,12 +41,13 @@ __all__ = [
 ]
 
 
-class UnsupportedPlanError(RuntimeError):
+class UnsupportedPlanError(NotImplementedError):
     """A plan cannot execute: unregistered/disabled operator or expression.
 
     ``reasons`` carries the per-node explanations (the fallback-reason
     strings the reference attaches to the Spark plan when it cannot
-    convert a node)."""
+    convert a node). Subclasses NotImplementedError so callers that guard
+    unsupported paths with the deep evaluator's exception keep working."""
 
     def __init__(self, reasons: List[str]):
         super().__init__("; ".join(reasons))

@@ -312,6 +312,24 @@ class Union(PlanNode):
 # -------------------------------------------------------------------------------------
 
 
+def _expr_nullable(e: E.Expr, schema: T.Schema) -> bool:
+    """Conservative bind-time nullability: False only when provably
+    non-null (drives sort-order propagation — a non-nullable order key
+    satisfies any NULLS FIRST/LAST placement)."""
+    if isinstance(e, E.Alias):
+        return _expr_nullable(e.child, schema)
+    if isinstance(e, E.BoundRef):
+        return schema.fields[e.index].nullable
+    if isinstance(e, E.ColumnRef):
+        for f in schema.fields:
+            if f.name == e.name:
+                return f.nullable
+        return True
+    if isinstance(e, E.Literal):
+        return e.value is None
+    return True
+
+
 def bind_plan(plan: PlanNode) -> PlanNode:
     """Bottom-up: bind expressions against child schemas, compute output
     schemas. Mutates ``schema`` slots in place and returns new nodes with
@@ -330,7 +348,8 @@ def bind_plan(plan: PlanNode) -> PlanNode:
         child = kids[0]
         exprs = tuple(E.bind(x, child.schema) for x in plan.exprs)
         out = Projection(child, exprs)
-        out.schema = T.Schema([T.Field(x.name, x.dtype) for x in exprs])
+        out.schema = T.Schema(
+            [T.Field(x.name, x.dtype, _expr_nullable(x, child.schema)) for x in exprs])
         return out
     if isinstance(plan, HashAggregate):
         child = kids[0]
@@ -356,7 +375,8 @@ def bind_plan(plan: PlanNode) -> PlanNode:
                 for a in plan.agg_exprs
             )
         out = HashAggregate(child, groups, aggs, plan.mode, plan.max_groups)
-        fields = [T.Field(g.name, g.dtype) for g in groups]
+        fields = [T.Field(g.name, g.dtype, _expr_nullable(g, child.schema))
+                  for g in groups]
         if plan.mode in (AggMode.SINGLE, AggMode.FINAL):
             fields += [T.Field(a.out_name, a.result_dtype()) for a in aggs]
         else:

@@ -1130,8 +1130,11 @@ def q96(max_groups: int = 8) -> P.PlanNode:
     return agg
 
 
-def q90(session) -> P.PlanNode:
-    """AM/PM web sales ratio via two scalar subqueries (q90 shape)."""
+def q90_scalar(session) -> P.PlanNode:
+    """AM/PM web sales ratio via two scalar subqueries — the
+    scalar-subquery formulation of q90 (the registered q90 below joins the
+    bands and cross-joins the two counts instead; both shapes are kept to
+    exercise the subquery path)."""
     def band(lo, hi):
         td = _scan("time_dim").filter(E.col("t_hour").between(lo, hi))
         j = _j(_scan("web_sales"), td, ["ws_sold_time_sk"], ["t_time_sk"])

@@ -143,6 +143,12 @@ class TestJson:
     JSCHEMA = T.Schema([T.Field("j", T.string(64))])
 
     def test_get_json_object(self):
+        # pin the host bridge: this corpus checks re-serialization semantics
+        # (device-kernel span semantics are covered by test_json_device.py)
+        from datafusion_comet_tpu.conf import CONF
+
+        CONF.set("comet.expr.json.deviceEnabled", False)
+        self._gate = True
         cases = [
             ("$.a.b[1]", ["2", None, None, None, None, None]),
             ("$.c", ["x", None, None, None, None, None]),
@@ -152,9 +158,12 @@ class TestJson:
             ("$.o", [None, None, None, None, None, '{"k":"v"}']),
             ("$.missing", [None, None, None, None, None, None]),
         ]
-        for path, expect in cases:
-            got = run(F.get_json_object(E.col("j"), path), data=self.JDATA, schema=self.JSCHEMA)
-            assert got == expect, path
+        try:
+            for path, expect in cases:
+                got = run(F.get_json_object(E.col("j"), path), data=self.JDATA, schema=self.JSCHEMA)
+                assert got == expect, path
+        finally:
+            CONF.set("comet.expr.json.deviceEnabled", True)
 
     def test_json_array_length(self):
         got = run(F.json_array_length(E.col("j")), data=self.JDATA, schema=self.JSCHEMA)

@@ -325,7 +325,7 @@ def test_q90(data):
     s = Session()
     for name, cols in data.items():
         s.register_numpy(name, cols, tpcds.SCHEMAS[name])
-    out = s.collect(tpcds.q90(s))
+    out = s.collect(tpcds.q90_scalar(s))
     ws, td = df(data, "web_sales"), df(data, "time_dim")
     am = len(ws.merge(td[(td.t_hour >= 8) & (td.t_hour <= 9)], left_on="ws_sold_time_sk", right_on="t_time_sk"))
     pm = len(ws.merge(td[(td.t_hour >= 19) & (td.t_hour <= 20)], left_on="ws_sold_time_sk", right_on="t_time_sk"))
