@@ -167,6 +167,38 @@ class Limit(PlanNode):
 
 
 @_plan
+class CollectLimit(PlanNode):
+    """Hybrid-sink limit (reference: CometCollectLimitExec — the JVM-side
+    collect-limit node): returns the first ``limit`` rows after ``offset``.
+    Binds to the same executor as Limit; exists as its own node for plan
+    API/serde parity with the reference's operator set."""
+
+    child: PlanNode
+    limit: int
+    offset: int = 0
+
+    def children(self):
+        return (self.child,)
+
+
+@_plan
+class TakeOrderedAndProject(PlanNode):
+    """Hybrid-sink top-k (reference: CometTakeOrderedAndProjectExec): sort
+    by ``orders``, keep ``limit`` rows from ``offset``, project ``exprs``.
+    Lowered at bind time to Sort(fetch)+Projection — the single-exchange
+    gathered-sort path the distributed planner already produces."""
+
+    child: PlanNode
+    orders: Tuple[E.SortOrder, ...]
+    limit: int
+    exprs: Tuple[E.Expr, ...] = ()  # empty = no projection (pass through)
+    offset: int = 0
+
+    def children(self):
+        return (self.child,)
+
+
+@_plan
 class Expand(PlanNode):
     """Each input row produces len(projections) output rows (reference:
     operators/expand.rs; used for ROLLUP/CUBE/grouping sets)."""
@@ -399,6 +431,16 @@ def bind_plan(plan: PlanNode) -> PlanNode:
         out = Limit(kids[0], plan.limit, plan.offset)
         out.schema = kids[0].schema
         return out
+    if isinstance(plan, CollectLimit):
+        out = Limit(kids[0], plan.limit, plan.offset)
+        out.schema = kids[0].schema
+        return out
+    if isinstance(plan, TakeOrderedAndProject):
+        child = kids[0]
+        srt = bind_plan(Sort(child, plan.orders, plan.limit, plan.offset))
+        if not plan.exprs:
+            return srt
+        return bind_plan(Projection(srt, plan.exprs))
     if isinstance(plan, Expand):
         child = kids[0]
         projections = tuple(

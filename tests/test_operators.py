@@ -351,3 +351,36 @@ def test_sample_with_replacement_poisson():
     assert abs(got - 0.5 * n) < 0.1 * n  # within 10% of the mean
     # duplicates must exist with high probability at fraction 0.5
     assert len(set(out["x"].tolist())) < got
+
+
+def test_collect_limit_and_take_ordered():
+    """Hybrid-sink nodes (reference: CometCollectLimitExec /
+    CometTakeOrderedAndProjectExec) lower to Limit / Sort(fetch)+Projection."""
+    import numpy as np
+
+    from datafusion_comet_tpu import types as T
+    from datafusion_comet_tpu.exec.engine import Session
+    from datafusion_comet_tpu.ir import expr as E
+    from datafusion_comet_tpu.ir import plan as P
+    from datafusion_comet_tpu.ir.serde import plan_from_json, plan_to_json
+
+    sch = T.Schema([T.Field("k", T.INT64, False), T.Field("v", T.INT64, False)])
+    s = Session()
+    s.register_numpy("t", {"k": np.array([5, 3, 9, 1, 7], np.int64),
+                           "v": np.arange(5, dtype=np.int64)}, sch)
+
+    cl = P.CollectLimit(P.Scan("t", sch), 3)
+    out = s.collect(cl)
+    assert len(out["k"]) == 3
+
+    top = P.TakeOrderedAndProject(
+        P.Scan("t", sch), (E.SortOrder(E.col("k")),), 2,
+        (E.col("k"), (E.col("v") * E.lit(10)).alias("v10")))
+    out = s.collect(top)
+    assert list(out["k"]) == [1, 3] and list(out["v10"]) == [30, 10]
+
+    # serde roundtrip keeps the node type
+    rt = plan_from_json(plan_to_json(top))
+    assert isinstance(rt, P.TakeOrderedAndProject)
+    out2 = s.collect(rt)
+    assert list(out2["k"]) == [1, 3]
