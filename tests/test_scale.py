@@ -30,10 +30,12 @@ def sess(data):
 
 
 def _undersize(plan: P.PlanNode) -> P.PlanNode:
-    """Set every aggregate/join capacity far below the data's needs so the
-    first attempt overflows and the re-planning loop must recover."""
+    """Set every aggregate/join capacity below the data's needs so the first
+    attempt overflows and the re-planning loop (4x per retry, maxRetries=4)
+    must recover — q3/q18 need ~75k order groups at this SF, so 4096 forces
+    two growth rounds while staying recoverable."""
     if isinstance(plan, P.HashAggregate):
-        plan.max_groups = 64
+        plan.max_groups = 4096
     if isinstance(plan, (P.HashJoin, P.SortMergeJoin)):
         plan.fanout_hint = 1
         plan.unique_build_hint = False
