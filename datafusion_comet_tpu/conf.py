@@ -145,6 +145,13 @@ UDF_STAGE_ON_NO_CALLBACK = _entry(
     "transition analog). When false, PythonUdf raises on such backends.",
 )
 # ---- memory -------------------------------------------------------------------------
+MEMORY_POOL_TYPE = _entry(
+    "comet.memory.pool.type", "greedy_task_shared", "memory",
+    "Host-side buffering pool type: unbounded | greedy | fair_spill | "
+    "greedy_global | fair_spill_global | greedy_task_shared | "
+    "fair_spill_task_shared | greedy_unified | fair_unified "
+    "(spark.comet.exec.memoryPool analog, create_memory_pool mod.rs:33).",
+)
 MEMORY_FRACTION = _entry(
     "comet.memory.fraction", 0.8, "memory",
     "Fraction of device HBM the engine may plan into "

@@ -291,6 +291,29 @@ class Session:
         self._next_stage_id = 0
         self._cache: Dict[Tuple[int, int], Callable] = {}
         self._spill_streams: Dict[str, Tuple[object, T.Schema]] = {}
+        self._host_pool = None
+        self._host_reservations: Dict[str, object] = {}
+
+    @property
+    def host_pool(self):
+        """Host-side buffering pool (spill re-staging, shuffle capture, UDF
+        batches), built from comet.memory.pool.type — the
+        create_memory_pool(config) analog (memory_pools/mod.rs:33)."""
+        if self._host_pool is None:
+            from datafusion_comet_tpu.conf import CONF, MEMORY_POOL_TYPE
+            from datafusion_comet_tpu.exec.pools import create_memory_pool
+
+            self._host_pool = create_memory_pool(
+                CONF.get(MEMORY_POOL_TYPE), 1 << 33)
+        return self._host_pool
+
+    def _host_reserve(self, name: str):
+        from datafusion_comet_tpu.exec.pools import TaskSharedPool
+
+        pool = self.host_pool
+        if isinstance(pool, TaskSharedPool):
+            return pool.register(0, name)
+        return pool.register(name)
 
     # -- registration ------------------------------------------------------------
     def register_batch(self, name: str, batch: Batch) -> None:
@@ -314,6 +337,19 @@ class Session:
         from datafusion_comet_tpu.io.spill import SpillReader
 
         reader = SpillReader(path, schema)
+        # host-buffering accounting: the resident path co-stages every
+        # block's raw bytes; reserve them from the session pool (the
+        # create_memory_pool-configured family, exec/pools.py) so competing
+        # consumers spill instead of silently over-committing host RAM
+        import os as _os
+
+        raw_bytes = _os.path.getsize(path)
+        old = self._host_reservations.pop(name, None)
+        if old is not None:
+            old.free()
+        res = self._host_reserve(f"spill:{name}")
+        res.try_grow(int(raw_bytes))
+        self._host_reservations[name] = res
         if stream:
             self._spill_streams[name] = (reader, schema)
             # resident placeholder holds only the schema; budget rewrite

@@ -25,7 +25,8 @@ from __future__ import annotations
 import threading
 from typing import Callable, Dict, List, Optional
 
-__all__ = ["MemoryReservation", "GreedyPool", "FairSpillPool", "TaskSharedPool", "OutOfMemory"]
+__all__ = ["MemoryReservation", "GreedyPool", "FairSpillPool", "TaskSharedPool",
+           "UnboundedPool", "create_memory_pool", "OutOfMemory"]
 
 
 class OutOfMemory(RuntimeError):
@@ -162,3 +163,45 @@ class TaskSharedPool:
         for r in rs:
             r.free()
         return freed
+
+
+class UnboundedPool(GreedyPool):
+    """No limit — accounting only (reference: MemoryPoolType::Unbounded,
+    UnboundedMemoryPool). Stats still track consumers for diagnostics."""
+
+    def __init__(self):
+        super().__init__(budget_bytes=1 << 62)
+
+
+# process-wide singletons (reference: GreedyGlobal / FairSpillGlobal share
+# ONE pool across all plans in the process, mod.rs:84-103)
+_GLOBALS: Dict[str, GreedyPool] = {}
+_GLOBALS_LOCK = threading.Lock()
+
+
+def create_memory_pool(pool_type: str, budget_bytes: int):
+    """The create_memory_pool(config) analog (mod.rs:33): resolve a pool
+    type name to an instance. ``*_global`` names return one process-wide
+    instance per type; ``*_task_shared`` wrap the base pool in per-task
+    bookkeeping; ``unified`` names behave as their plain counterparts (no
+    second runtime to unify with here)."""
+    t = pool_type.lower()
+    base = {
+        "unbounded": UnboundedPool,
+        "greedy": lambda: GreedyPool(budget_bytes),
+        "greedy_unified": lambda: GreedyPool(budget_bytes),
+        "fair_spill": lambda: FairSpillPool(budget_bytes),
+        "fair_unified": lambda: FairSpillPool(budget_bytes),
+    }
+    if t in base:
+        return base[t]() if callable(base[t]) else base[t]()
+    if t in ("greedy_global", "fair_spill_global"):
+        with _GLOBALS_LOCK:
+            if t not in _GLOBALS:
+                cls = GreedyPool if t.startswith("greedy") else FairSpillPool
+                _GLOBALS[t] = cls(budget_bytes)
+            return _GLOBALS[t]
+    if t in ("greedy_task_shared", "fair_spill_task_shared"):
+        cls = GreedyPool if t.startswith("greedy") else FairSpillPool
+        return TaskSharedPool(cls(budget_bytes))
+    raise ValueError(f"unknown memory pool type {pool_type!r}")

@@ -99,3 +99,49 @@ def test_task_shared_release():
     r3.try_grow(300)
     freed = tp.release_task(1)
     assert freed == 300 and inner.used == 300
+
+
+def test_create_memory_pool_factory():
+    """create_memory_pool(config) analog (memory_pools/mod.rs:33): every
+    reference pool type resolves; globals are process-wide singletons."""
+    from datafusion_comet_tpu.exec.pools import (
+        FairSpillPool, GreedyPool, TaskSharedPool, UnboundedPool,
+        create_memory_pool)
+
+    assert isinstance(create_memory_pool("unbounded", 0), UnboundedPool)
+    assert isinstance(create_memory_pool("greedy", 100), GreedyPool)
+    assert isinstance(create_memory_pool("fair_spill", 100), FairSpillPool)
+    assert isinstance(create_memory_pool("greedy_unified", 100), GreedyPool)
+    assert isinstance(create_memory_pool("fair_unified", 100), FairSpillPool)
+    assert isinstance(create_memory_pool("greedy_task_shared", 100), TaskSharedPool)
+    assert isinstance(create_memory_pool("fair_spill_task_shared", 100), TaskSharedPool)
+    g1 = create_memory_pool("greedy_global", 100)
+    g2 = create_memory_pool("greedy_global", 999)
+    assert g1 is g2  # singleton; second budget ignored
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        create_memory_pool("nope", 1)
+
+
+def test_session_spill_registration_accounts_host_bytes(tmp_path):
+    import numpy as np
+
+    from datafusion_comet_tpu import types as T
+    from datafusion_comet_tpu.exec.batch import from_numpy
+    from datafusion_comet_tpu.exec.engine import Session
+    from datafusion_comet_tpu.exec.pools import TaskSharedPool
+    from datafusion_comet_tpu.io.spill import SpillWriter
+
+    sch = T.Schema([T.Field("v", T.INT64, False)])
+    path = str(tmp_path / "b.spill")
+    w = SpillWriter(path)
+    w.write_batch(from_numpy({"v": np.arange(64, dtype=np.int64)}, sch))
+    w.close()
+
+    s = Session()
+    s.register_spill("sp", path, sch)
+    pool = s.host_pool
+    inner = pool.inner if isinstance(pool, TaskSharedPool) else pool
+    assert inner.used > 0  # the spill bytes are accounted
+    out = s.collect(__import__("datafusion_comet_tpu.ir.plan", fromlist=["P"]).Scan("sp", sch))
+    assert len(out["v"]) == 64
