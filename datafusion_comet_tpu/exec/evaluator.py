@@ -232,6 +232,14 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
             fb = fb.encode("latin-1")
         cv = _ev(e.child, b, ctx)
         return bloom_might_contain(fb, cv)
+    if isinstance(e, E.RandExpr):
+        from datafusion_comet_tpu.exec.random_xorshift import (
+            init_seed_host, rand_column, randn_column)
+
+        s0 = init_seed_host(e.seed, ctx.partition_id
+                            if isinstance(ctx.partition_id, int) else 0)
+        fn = rand_column if e.func == "rand" else randn_column
+        return fn(s0, b.row_mask)
     if isinstance(e, E.MonotonicallyIncreasingId):
         # Spark: partition_id << 33 | row index within partition
         idx = jnp.arange(b.capacity, dtype=jnp.int64) + ctx.batch_row_offset
