@@ -83,7 +83,18 @@ def main() -> None:
     sess = Session()
     t0 = time.time()
     for t in tables:
-        sess.register_numpy(t, model.generate_table(t, args.sf), model.SCHEMAS[t])
+        cache = f"/tmp/{args.suite}_{t}_sf{args.sf:g}.npz"
+        if os.path.exists(cache):
+            data = dict(np.load(cache, allow_pickle=True))
+        else:
+            data = model.generate_table(t, args.sf)
+            try:
+                np.savez(cache, **data)
+            except Exception:
+                pass
+        print(f"gen {t} {time.time() - t0:.1f}s", flush=True)
+        sess.register_numpy(t, data, model.SCHEMAS[t])
+        print(f"staged {t} {time.time() - t0:.1f}s", flush=True)
     gen_s = time.time() - t0
 
     wanted = [q.strip() for q in args.queries.split(",") if q.strip()] or sorted(
