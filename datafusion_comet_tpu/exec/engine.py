@@ -293,6 +293,7 @@ class Session:
         self._spill_streams: Dict[str, Tuple[object, T.Schema]] = {}
         self._host_pool = None
         self._host_reservations: Dict[str, object] = {}
+        self._subquery_dedup: Dict[Tuple[str, int], int] = {}
 
     @property
     def host_pool(self):
@@ -396,9 +397,18 @@ class Session:
         the outer plan, its single value injected at evaluation (reference:
         CometScalarSubquery / expressions/subquery.rs:38)."""
         bound = P.bind_plan(plan) if _needs_bind(plan) else plan
+        # subquery reuse (the ReuseSubquery rule analog): structurally equal
+        # subqueries share one id, so they execute (and compile) once
+        from datafusion_comet_tpu.ir.serde import plan_to_json
+
+        key = (plan_to_json(bound), column)
+        cached = self._subquery_dedup.get(key)
+        if cached is not None:
+            return E.ScalarSubquery(cached, bound.schema.fields[column].dtype)
         sid = self._next_subquery_id
         self._next_subquery_id += 1
         self._subqueries[sid] = (bound, column)
+        self._subquery_dedup[key] = sid
         return E.ScalarSubquery(sid, bound.schema.fields[column].dtype)
 
     def _materialize_subqueries(self) -> Dict[int, Tuple[object, bool]]:

@@ -118,3 +118,27 @@ def test_fanout_hint_avoids_retries():
 
     fact_v = np.asarray(s.collect(P.Scan("fact", s.tables["fact"].schema))["v"])
     assert int(out["sv"][0]) == int(fact_v.sum())
+
+
+def test_scalar_subquery_reuse():
+    """ReuseSubquery analog: structurally equal scalar subqueries share one
+    id and execute once."""
+    import numpy as np
+
+    from datafusion_comet_tpu import types as T
+    from datafusion_comet_tpu.exec.engine import Session
+    from datafusion_comet_tpu.ir import expr as E
+    from datafusion_comet_tpu.ir import plan as P
+
+    sch = T.Schema([T.Field("v", T.INT64, False)])
+    s = Session()
+    s.register_numpy("t", {"v": np.arange(16, dtype=np.int64)}, sch)
+    sub = lambda: P.Scan("t", sch).aggregate([], [E.AggExpr("max", E.col("v"), "m")])  # noqa: E731
+    a = s.scalar_subquery(sub())
+    b = s.scalar_subquery(sub())
+    assert a.subquery_id == b.subquery_id
+    c = s.scalar_subquery(P.Scan("t", sch).aggregate([], [E.AggExpr("min", E.col("v"), "m")]))
+    assert c.subquery_id != a.subquery_id
+    out = s.collect(P.Scan("t", sch).project([(E.col("v") + a).alias("x"),
+                                              (E.col("v") + b).alias("y")]))
+    assert list(out["x"]) == list(out["y"]) == [15 + i for i in range(16)]
