@@ -188,6 +188,7 @@ def read_parquet(
     capacity: Optional[int] = None,
     row_filter: bool = False,
     device_decode: bool = False,
+    decryption: Optional[dict] = None,
 ) -> Batch:
     """Read a Parquet file (or directory of files) into one device Batch.
 
@@ -200,6 +201,10 @@ def read_parquet(
     - ``device_decode``: decode eligible (required int/float) columns ON
       DEVICE from raw pages (io/pages.py + exec/decode.py) instead of host
       pyarrow — the phase-2 scan path. Single plain file, no predicate.
+    - ``decryption``: Parquet modular-encryption keys (reference:
+      parquet/encryption_support.rs): ``{"footer_key": bytes,
+      "column_keys": {column: bytes}, "kms": optional KmsClient}``. Uses an
+      in-memory KMS unless a custom client is given.
     """
     import pyarrow.parquet as pq
     import os
@@ -211,9 +216,11 @@ def read_parquet(
     if device_decode and len(paths) == 1 and predicate is None and fs is None:
         return _read_parquet_device(paths[0], columns, schema, capacity)
 
+    dec_props = _decryption_properties(decryption)
     arrow_tables = []
     for p in paths:
-        pf = pq.ParquetFile(fs.open_input_file(p)) if fs is not None else pq.ParquetFile(p)
+        src = fs.open_input_file(p) if fs is not None else p
+        pf = pq.ParquetFile(src, decryption_properties=dec_props)
         rgs = prune_row_groups(pf, predicate)
         if not rgs:
             continue
@@ -243,8 +250,9 @@ def read_parquet(
 
     if not arrow_tables:
         # empty result with correct schema
-        first = (pq.ParquetFile(fs.open_input_file(paths[0]))
-                 if fs is not None else pq.ParquetFile(paths[0]))
+        first = pq.ParquetFile(
+            fs.open_input_file(paths[0]) if fs is not None else paths[0],
+            decryption_properties=dec_props)
         tbl = first.schema_arrow.empty_table()
     else:
         tbl = pa.concat_tables(arrow_tables, promote_options="default")
@@ -332,6 +340,69 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
         dev = jnp.pad(dev, (0, cap - dev.shape[0])).astype(want)
         cols[i] = dataclasses.replace(cols[i], data=dev)
     return Batch(tuple(cols), batch.row_mask, batch.schema)
+
+
+def _in_memory_kms(keys: dict):
+    """Test/standalone KMS: wraps a data key by concatenating it with the
+    named master key, base64-encoded (the pyarrow sample-KMS pattern;
+    production deployments pass their own KmsClient via ``kms``)."""
+    import base64
+
+    import pyarrow.parquet.encryption as pe
+
+    class _Kms(pe.KmsClient):
+        def __init__(self):
+            super().__init__()
+
+        def wrap_key(self, key_bytes, master_key_identifier):
+            master = keys[str(master_key_identifier)]
+            return base64.b64encode(master + key_bytes)
+
+        def unwrap_key(self, wrapped_key, master_key_identifier):
+            master = keys[str(master_key_identifier)]
+            raw = base64.b64decode(wrapped_key)
+            assert raw[: len(master)] == master, "wrong master key"
+            return raw[len(master):]
+
+    return _Kms()
+
+
+def _crypto_factory(decryption: dict):
+    import pyarrow.parquet.encryption as pe
+
+    keys = {"footer": decryption["footer_key"]}
+    for col, k in (decryption.get("column_keys") or {}).items():
+        keys[f"colkey_{col}"] = k
+    kms = decryption.get("kms")
+    factory = pe.CryptoFactory(
+        (lambda cfg: kms) if kms is not None else (lambda cfg: _in_memory_kms(keys)))
+    return factory, pe.KmsConnectionConfig()
+
+
+def _decryption_properties(decryption):
+    """Parquet modular encryption read support (reference:
+    native/core/src/parquet/encryption_support.rs — per-column + footer
+    keys resolved through a KMS)."""
+    if not decryption:
+        return None
+    import pyarrow.parquet.encryption as pe
+
+    factory, conn = _crypto_factory(decryption)
+    return factory.file_decryption_properties(conn, pe.DecryptionConfiguration())
+
+
+def encryption_properties(footer_key: bytes, column_keys=None, kms=None):
+    """Writer-side file_encryption_properties for partitioned/plain writes
+    (the write half of encryption_support.rs)."""
+    import pyarrow.parquet.encryption as pe
+
+    dec = {"footer_key": footer_key, "column_keys": column_keys or {}, "kms": kms}
+    factory, conn = _crypto_factory(dec)
+    cfg = pe.EncryptionConfiguration(
+        footer_key="footer",
+        column_keys={f"colkey_{c}": [c] for c in (column_keys or {})},
+    )
+    return factory.file_encryption_properties(conn, cfg)
 
 
 def resolve_filesystem(path: str):
