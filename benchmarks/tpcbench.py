@@ -49,6 +49,10 @@ def checksum_step(sess, plan):
 
 
 def main() -> None:
+    import faulthandler
+
+    faulthandler.dump_traceback_later(600, repeat=True)  # stack dumps while
+    # a tunnel compile is pending: distinguishes slow-compile from deadlock
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", choices=["tpch", "tpcds"], default="tpch")
     ap.add_argument("--sf", type=float, default=0.1)

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""TPU correctness attestation: run queries on the TPU backend and compare
+FULL results (not checksums) against the CPU oracle session.
+
+Round-1 verdict: "Correctness on TPU is attested only by f64 checksums".
+This driver runs TPC-H at a given SF on the default (TPU) backend, pulls the
+complete result columns, and diffs them against the same engine on CPU
+(which the 700-test differential suite vouches for). Writes
+benchmarks/results/tpu-correctness.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def run_backend(queries, sf, platform):
+    import os
+
+    import numpy as np
+
+    # subprocess isolation would be cleaner, but the CPU pass runs first in
+    # its own process (see main) — here we just execute on the current
+    # backend.
+    from datafusion_comet_tpu.exec.engine import Session
+    from datafusion_comet_tpu.models import tpch
+
+    sess = Session()
+    for t in tpch.SCHEMAS:
+        cache = f"/tmp/tpch_{t}_sf{sf:g}.npz"
+        if os.path.exists(cache):
+            data = dict(np.load(cache, allow_pickle=True))
+        else:
+            data = tpch.generate_table(t, sf)
+            try:
+                np.savez(cache, **data)
+            except Exception:
+                pass
+        sess.register_numpy(t, data, tpch.SCHEMAS[t])
+    out = {}
+    for q in queries:
+        t0 = time.time()
+        res = sess.collect(tpch.QUERIES[q]())
+        out[q] = {k: (np.asarray(v).tolist() if not isinstance(v, list) else v)
+                  for k, v in res.items()}
+        print(f"{platform} {q} {time.time() - t0:.1f}s", flush=True)
+    return out
+
+
+def canon(cols):
+    keys = sorted(k for k in cols if not k.endswith("__valid"))
+    n = len(cols[keys[0]]) if keys else 0
+    rows = []
+    for i in range(n):
+        row = []
+        for k in keys:
+            v = cols[k][i]
+            ok = cols.get(f"{k}__valid")
+            if ok is not None and not ok[i]:
+                row.append(None)
+            elif isinstance(v, float):
+                row.append(round(v, 6))
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.1)
+    ap.add_argument("--queries", default="q1,q3,q6,q12,q14,q19")
+    ap.add_argument("--cpu-dump", default="")
+    ap.add_argument("--out", default="benchmarks/results/tpu-correctness.json")
+    args = ap.parse_args()
+    queries = [q.strip() for q in args.queries.split(",") if q.strip()]
+
+    import jax
+
+    if args.cpu_dump:
+        # phase 1 (run under JAX_PLATFORMS-forced CPU): dump oracle results
+        jax.config.update("jax_platforms", "cpu")
+        res = run_backend(queries, args.sf, "cpu")
+        with open(args.cpu_dump, "w") as f:
+            json.dump(res, f)
+        print("cpu oracle written", flush=True)
+        return
+
+    # phase 2: TPU run + compare against the oracle dump
+    import os
+
+    oracle_path = "/tmp/tpu_verify_cpu.json"
+    if not os.path.exists(oracle_path):
+        raise SystemExit("run phase 1 first: --cpu-dump /tmp/tpu_verify_cpu.json "
+                         "under JAX_PLATFORMS=cpu")
+    with open(oracle_path) as f:
+        oracle = json.load(f)
+    try:
+        os.makedirs("/tmp/jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    got = run_backend(queries, args.sf, jax.default_backend())
+    report = {"sf": args.sf, "backend": jax.default_backend(), "queries": {}}
+    all_ok = True
+    for q in queries:
+        ok = canon(got[q]) == canon(oracle[q])
+        report["queries"][q] = {"match": ok,
+                                "rows": len(canon(got[q]))}
+        all_ok &= ok
+        print(q, "MATCH" if ok else "MISMATCH", flush=True)
+    report["all_match"] = all_ok
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"tpu_correctness_all_match": all_ok}))
+
+
+if __name__ == "__main__":
+    main()
