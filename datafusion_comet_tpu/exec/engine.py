@@ -633,7 +633,16 @@ class Session:
         CometExecRDD: one native plan instance per stage)."""
         from datafusion_comet_tpu.conf import CONF, STAGE_MAX_JOINS
 
-        bound0 = P.bind_plan(plan) if _needs_bind(plan) else plan
+        if _needs_bind(plan):
+            # column pruning BEFORE binding: without it every join carries
+            # every input column through its sort/gather (and bloats the
+            # compiled program) — the execute path must prune, not just the
+            # legacy direct-compile path
+            from datafusion_comet_tpu.ir.pruning import prune_columns
+
+            bound0 = P.bind_plan(prune_columns(plan))
+        else:
+            bound0 = plan
         from datafusion_comet_tpu.exec.stats import derive_capacities
 
         derive_capacities(bound0, self.stats)
