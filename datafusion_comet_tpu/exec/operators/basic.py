@@ -241,19 +241,29 @@ def sample_op(
     partition_id: int = 0,
 ) -> Batch:
     """Bernoulli / Poisson sampling (reference: planner.rs:1461,
-    nondetermenistic_funcs bernoulli sampler + Spark PoissonSampler). Uses
-    jax PRNG (not Spark's XORShift — row membership differs but distribution
-    matches; documented incompatibility like reference's allowIncompatible
-    exprs).
+    nondetermenistic_funcs/bernoulli_cell_sampler.rs + Spark PoissonSampler).
 
-    with_replacement: per-row copy count ~ Poisson(fraction), materialized
-    into a static (cap × K) expansion with K = ceil(fraction) + 3 (counts
-    beyond K are truncated — a ~1e-4 tail at fraction ≤ 1; static shapes)."""
-    key = jax.random.PRNGKey(seed + partition_id)
+    Without replacement is Spark-EXACT: one XORShiftRandom.nextDouble() per
+    live row (seeded ``hashSeed(seed + partition)``), keep when
+    ``lb <= x < ub`` — the BernoulliCellSampler contract, so row membership
+    matches Spark and complementary ranges partition rows (the randomSplit
+    property). An empty range selects nothing without consuming draws
+    (bernoulli_cell_sampler.rs:44 ``selects_nothing``).
+
+    with_replacement keeps the jax-PRNG Poisson (Spark's PoissonSampler uses
+    commons-math; distribution matches, membership differs — documented):
+    per-row copy count ~ Poisson(fraction), materialized into a static
+    (cap × K) expansion with K = ceil(fraction) + 3 (counts beyond K are
+    truncated — a ~1e-4 tail at fraction ≤ 1; static shapes)."""
     if not with_replacement:
-        u = jax.random.uniform(key, (batch.capacity,))
+        if upper_bound - lower_bound <= 0.0:
+            return batch.with_mask(jnp.zeros_like(batch.row_mask))
+        from datafusion_comet_tpu.exec import random_xorshift as RX
+
+        u = RX.rand_column(RX.init_seed_host(seed, partition_id), batch.row_mask).data
         keep = (u >= lower_bound) & (u < upper_bound)
         return batch.with_mask(batch.row_mask & keep)
+    key = jax.random.PRNGKey(seed + partition_id)
     fraction = upper_bound - lower_bound
     cap = batch.capacity
     K = max(1, int(np.ceil(fraction)) + 3)

@@ -106,3 +106,27 @@ def test_dead_slots_do_not_advance_state(sess):
     gen = PyXorShift(init_seed_host(11, 0))
     exp = [gen.next_f64() for _ in range(50)]
     assert [float(v) for v in out["r"]] == exp
+
+
+def test_bernoulli_sample_row_parity(sess):
+    """sample(withReplacement=false) is Spark-exact: one nextDouble per row,
+    keep when lb <= x < ub (bernoulli_cell_sampler.rs contract)."""
+    plan = P.Sample(P.Scan("t", SCH), 0.0, 0.3, False, 42)
+    out = sess.collect(plan)
+    gen = PyXorShift(init_seed_host(42, 0))
+    exp = [k for k in range(200) if gen.next_f64() < 0.3]
+    assert out["k"].tolist() == exp
+
+
+def test_bernoulli_complement_ranges_partition_rows(sess):
+    """randomSplit property: [0,0.3) and [0.3,1.0) with the same seed must
+    partition the input exactly (bernoulli_cell_sampler.rs test)."""
+    lo = sess.collect(P.Sample(P.Scan("t", SCH), 0.0, 0.3, False, 7))
+    hi = sess.collect(P.Sample(P.Scan("t", SCH), 0.3, 1.0, False, 7))
+    merged = sorted(lo["k"].tolist() + hi["k"].tolist())
+    assert merged == list(range(200))
+
+
+def test_bernoulli_empty_range_selects_nothing(sess):
+    out = sess.collect(P.Sample(P.Scan("t", SCH), 0.5, 0.5, False, 7))
+    assert out["k"].tolist() == []
