@@ -174,6 +174,14 @@ SCAN_PRUNING = _entry(
     "comet.scan.parquet.pruning.enabled", True, "scan",
     "Row-group min/max pruning on Parquet footers (page-index analog).",
 )
+DPP_ENABLED = _entry(
+    "comet.scan.dynamicPartitionPruning.enabled", True, "scan",
+    "For lazy hive-partitioned parquet registrations: prune partition "
+    "directories at query time from joins against filtered dimensions (the "
+    "dim side pre-executes as one distinct-aggregate). Static filter "
+    "pruning on partition columns always applies. Analog of CometScanExec "
+    "dynamicallySelectedPartitions.",
+)
 SCAN_DICT_MAX_SIZE = _entry(
     "comet.scan.dictionary.maxSize", 1 << 16, "scan",
     "String columns with at most this many distinct values are "

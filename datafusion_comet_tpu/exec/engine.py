@@ -294,6 +294,9 @@ class Session:
         self._host_pool = None
         self._host_reservations: Dict[str, object] = {}
         self._subquery_dedup: Dict[Tuple[str, int], int] = {}
+        # lazy hive-partitioned parquet tables, resolved (with static +
+        # dynamic partition pruning) per query at _plan_stages time
+        self._deferred: Dict[str, Dict[str, object]] = {}
 
     @property
     def host_pool(self):
@@ -378,9 +381,24 @@ class Session:
 
         return execute_tiled_aggregate(plan, tiles(), name)
 
-    def register_parquet(self, name: str, path: str, schema: Optional[T.Schema] = None) -> None:
-        from datafusion_comet_tpu.io.parquet import read_parquet
+    def register_parquet(self, name: str, path: str, schema: Optional[T.Schema] = None,
+                         lazy: bool = False) -> None:
+        """``lazy=True`` defers staging to query time so hive partition
+        directories can be pruned per query — statically from filters on
+        partition columns and dynamically from joins against filtered
+        dimensions (the CometScanExec partitionFilters /
+        dynamicallySelectedPartitions analog, CometScanExec.scala:105-130;
+        see exec/dpp.py). The eager default stages the whole table now."""
+        from datafusion_comet_tpu.io.parquet import deferred_parquet_info, read_parquet
 
+        if lazy:
+            schema_, part_cols = deferred_parquet_info(path, schema)
+            self._deferred[name] = {
+                "path": path, "schema": schema_, "part_cols": part_cols,
+                "cache": {},
+            }
+            self.tables.pop(name, None)
+            return
         self.tables[name] = read_parquet(path, schema=schema)
 
     def register_csv(self, name: str, path: str, schema: Optional[T.Schema] = None, **opts) -> None:
@@ -389,7 +407,60 @@ class Session:
         self.tables[name] = read_csv(path, schema=schema, **opts)
 
     def table_schema(self, name: str) -> T.Schema:
+        if name not in self.tables and name in self._deferred:
+            return self._deferred[name]["schema"]
         return self.tables[name].schema
+
+    def _resolve_deferred(self, plan: P.PlanNode) -> None:
+        """Stage every deferred parquet table the plan references, pruning
+        hive partitions via exec/dpp.py. Staged batches are cached per
+        allowed-value signature, so repeated queries with the same pruning
+        reuse the device batch."""
+        if not self._deferred:
+            return
+        from datafusion_comet_tpu.conf import CONF, DPP_ENABLED
+        from datafusion_comet_tpu.exec.dpp import compute_allowed_partitions
+        from datafusion_comet_tpu.io.parquet import read_parquet
+
+        def walk(p):
+            yield p
+            for c in p.children():
+                yield from walk(c)
+
+        sites: Dict[str, List[P.PlanNode]] = {}
+        for node in walk(plan):
+            if isinstance(node, P.Scan) and node.table in self._deferred:
+                sites.setdefault(node.table, []).append(node)
+        dynamic = bool(CONF.get(DPP_ENABLED))
+        # compute every table's pruning BEFORE assigning any: a DPP
+        # dim-side pre-execution recurses into _resolve_deferred with the
+        # subplan and must not leave a subplan-scoped (over-pruned) batch
+        # behind for a table the outer plan also reads
+        wanted: Dict[str, Dict[str, frozenset]] = {}
+        for name, scans in sites.items():
+            d = self._deferred[name]
+            # union across scan sites: a partition must be staged if ANY
+            # site can need it (they share one resident batch)
+            per_site = [
+                compute_allowed_partitions(plan, s, d["part_cols"], self, dynamic=dynamic)
+                for s in scans
+            ]
+            merged: Dict[str, frozenset] = {}
+            for col in d["part_cols"]:
+                sets = [a.get(col) for a in per_site]
+                if any(v is None for v in sets):
+                    continue  # some site needs every partition
+                merged[col] = frozenset().union(*sets)
+            wanted[name] = merged
+        for name, merged in wanted.items():
+            d = self._deferred[name]
+            key = tuple(sorted((c, tuple(sorted(v))) for c, v in merged.items()))
+            if key not in d["cache"]:
+                d["cache"][key] = read_parquet(
+                    d["path"], schema=d["schema"],
+                    partition_values={c: set(v) for c, v in merged.items()} or None,
+                )
+            self.tables[name] = d["cache"][key]
 
     # -- scalar subqueries ---------------------------------------------------------
     def scalar_subquery(self, plan: P.PlanNode, column: int = 0) -> E.ScalarSubquery:
@@ -633,6 +704,7 @@ class Session:
         CometExecRDD: one native plan instance per stage)."""
         from datafusion_comet_tpu.conf import CONF, STAGE_MAX_JOINS
 
+        self._resolve_deferred(plan)  # stage lazy parquet w/ partition pruning
         if _needs_bind(plan):
             # column pruning BEFORE binding: without it every join carries
             # every input column through its sort/gather (and bloats the

@@ -180,6 +180,64 @@ def _filter_expr_arrow(predicate: Optional[E.Expr], arrow_schema):
     return expr
 
 
+def _hive_parts(file_path: str, base: str) -> List[Tuple[str, str]]:
+    """(col, value) pairs from the hive directory segments of one file,
+    outermost first."""
+    import os
+
+    out = []
+    for seg in os.path.relpath(file_path, base).split(os.sep)[:-1]:
+        if "=" in seg:
+            name, val = seg.split("=", 1)
+            out.append((name, val))
+    return out
+
+
+def deferred_parquet_info(path: str, schema: Optional[T.Schema] = None):
+    """Schema + partition-column list for a lazy registration WITHOUT
+    staging the data: one footer gives the file columns, the directory
+    layout gives the hive partition columns (width = longest value seen).
+    File-column string widths come from sampling the FIRST file when no
+    schema is passed — pass an explicit schema when later files may hold
+    longer strings (staging raises on overflow rather than truncate)."""
+    import pyarrow.parquet as pq
+
+    fs, fs_root = resolve_filesystem(path)
+    paths = _expand(path)
+    base = fs_root if fs is not None else path
+    part_cols: List[str] = []
+    widths: Dict[str, int] = {}
+    for p in paths:
+        for name, val in _hive_parts(p, base):
+            if name not in part_cols:
+                part_cols.append(name)
+            widths[name] = max(widths.get(name, 1), len(val.encode()))
+    if schema is not None:
+        return schema, part_cols
+    src = fs.open_input_file(paths[0]) if fs is not None else paths[0]
+    pf = pq.ParquetFile(src)
+    sample = pf.read_row_group(0) if pf.num_row_groups else pf.schema_arrow.empty_table()
+    for f in pf.schema_arrow:
+        import pyarrow as pa
+
+        if pa.types.is_string(f.type) or pa.types.is_large_string(f.type) or \
+           pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type):
+            col = sample.column(f.name) if f.name in sample.schema.names else None
+            mx = 1
+            if col is not None and len(col):
+                import pyarrow.compute as pc
+
+                got = pc.max(pc.binary_length(col)).as_py()
+                mx = int(got or 1)
+            widths[f.name] = max(mx * 2, 16)  # margin for unseen files
+    fields = [
+        T.Field(f.name, arrow_field_to_dtype(f, widths.get(f.name, 0)), f.nullable)
+        for f in pf.schema_arrow
+    ]
+    fields += [T.Field(c, T.string(widths[c]), False) for c in part_cols]
+    return T.Schema(fields), part_cols
+
+
 def read_parquet(
     path: str,
     columns: Optional[Sequence[str]] = None,
@@ -189,6 +247,7 @@ def read_parquet(
     row_filter: bool = False,
     device_decode: bool = False,
     decryption: Optional[dict] = None,
+    partition_values: Optional[Dict[str, set]] = None,
 ) -> Batch:
     """Read a Parquet file (or directory of files) into one device Batch.
 
@@ -217,6 +276,19 @@ def read_parquet(
         return _read_parquet_device(paths[0], columns, schema, capacity)
 
     dec_props = _decryption_properties(decryption)
+    rel_base0 = fs_root if fs is not None else path
+    if partition_values:
+        # hive partition-directory pruning (static filters + DPP feed this;
+        # reference: CometScanExec selectedPartitions /
+        # dynamicallySelectedPartitions)
+        paths = [
+            p for p in paths
+            if all(
+                v in partition_values[c]
+                for c, v in _hive_parts(p, rel_base0)
+                if c in partition_values
+            )
+        ] or paths[:1]  # keep one file for schema on full prune; rows filter out
     arrow_tables = []
     for p in paths:
         src = fs.open_input_file(p) if fs is not None else p
