@@ -166,6 +166,20 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
             return lr, ln
         lk = [_source_column(k) for k in plan.left_keys]
         rk = [_source_column(k) for k in plan.right_keys]
+        # RewriteJoin analog (reference: RewriteJoin.scala build-side
+        # selection): INNER hash joins may build on either side — put the
+        # build on the (estimated) smaller input. The build side is sorted
+        # by key limbs and its columns gathered per probe match, so build
+        # cost scales with build rows; a 2x margin avoids flapping on noisy
+        # estimates. Outer/semi/anti joins pin the probe to the preserved
+        # side, so only INNER swaps.
+        if (
+            isinstance(plan, P.HashJoin)
+            and jt == P.JoinType.INNER
+            and plan.build_side == "right"
+            and lr * 2 <= rr
+        ):
+            plan.build_side = "left"
         # PK-like build side (single key, NDV ≈ rows): hint the gather-free
         # unique-build join; a wrong hint is caught by the in-graph
         # duplicate-key flag and re-planned with the general path

@@ -82,3 +82,49 @@ def test_distributed_parity_at_scale(data):
         got = canon(ds.collect(tpch.QUERIES[qname]()))
         exp = canon(s.collect(tpch.QUERIES[qname]()))
         assert sorted(map(str, got)) == sorted(map(str, exp)), qname
+
+
+def test_inner_join_builds_on_smaller_side(sess):
+    """RewriteJoin analog: stats walk flips an INNER join's build to the
+    smaller input (2x margin); outer joins keep the preserved-side pinning."""
+    from datafusion_comet_tpu.exec.stats import derive_capacities
+    from datafusion_comet_tpu.ir import expr as E
+
+    small = P.Scan("nation", tpch.SCHEMAS["nation"])
+    big = P.Scan("lineitem", tpch.SCHEMAS["lineitem"])
+    j = P.HashJoin(small, big, (E.col("n_nationkey"),), (E.col("l_suppkey"),))
+    bound = P.bind_plan(j)
+    derive_capacities(bound, sess.stats)
+    assert bound.build_side == "left"
+    # LEFT OUTER with small left: probe must stay the preserved (left) side
+    jo = P.HashJoin(small, big, (E.col("n_nationkey"),), (E.col("l_suppkey"),),
+                    join_type=P.JoinType.LEFT)
+    bound = P.bind_plan(jo)
+    derive_capacities(bound, sess.stats)
+    assert bound.build_side == "right"
+
+
+def test_swapped_build_side_result_parity(sess, data):
+    """The same join executed with build=left (stats pick) and build=right
+    (forced) must agree — q3's orders⋈lineitem shape."""
+    import pandas as pd
+    from datafusion_comet_tpu.ir import expr as E
+
+    def q(build):
+        j = P.HashJoin(
+            P.Scan("supplier", tpch.SCHEMAS["supplier"]),
+            P.Scan("lineitem", tpch.SCHEMAS["lineitem"]),
+            (E.col("s_suppkey"),), (E.col("l_suppkey"),),
+            build_side=build,
+        )
+        return j.aggregate(
+            [E.col("s_nationkey")],
+            [E.AggExpr("sum", E.col("l_quantity"), "q"),
+             E.AggExpr("count", E.col("l_orderkey"), "c")],
+        ).sort([E.SortOrder(E.col("s_nationkey"))])
+
+    a = sess.collect(q("left"))
+    b = sess.collect(q("right"))
+    np.testing.assert_array_equal(a["s_nationkey"], b["s_nationkey"])
+    np.testing.assert_array_equal(a["c"], b["c"])
+    np.testing.assert_allclose(np.asarray(a["q"], float), np.asarray(b["q"], float))
