@@ -1,0 +1,61 @@
+"""Public device-kernel surface: the TPU op library behind the engine.
+
+The engine's operators (exec/operators/) compose these kernels; they are
+re-exported here as the stable, individually-usable op API — the analog of
+the reference's spark-expr kernel crate being a standalone library
+(/root/reference/native/spark-expr/src/lib.rs: "can be used from any
+DataFusion-based project"). Everything here is jit-safe (static shapes, no
+host callbacks) unless its docstring says otherwise.
+
+Layout:
+- sort/grouping limbs:   column_limbs, order_limbs, lexsort, grouping_limbs
+- join/shuffle hashing:  murmur3/xxhash64 live in exec.evaluator (hash_columns)
+- string/bytes kernels:  bytes_funcs (hex/base64/digests/conv/bin), json_path
+- decimal:               decimal_wide (two-limb i128 storage + arithmetic)
+- parquet decode:        decode (bit-unpack, RLE/dict pages on device)
+- random:                random_xorshift (Spark-exact rand/randn/sampling)
+- pallas:                pallas_kernels (fused bucket-count histogram)
+"""
+
+from datafusion_comet_tpu.exec import bytes_funcs, decimal_wide, decode
+from datafusion_comet_tpu.exec import json_path, pallas_kernels, random_xorshift, sortkeys
+from datafusion_comet_tpu.exec.decode import (
+    decode_rle_hybrid_device,
+    unpack_bits_device,
+)
+from datafusion_comet_tpu.exec.json_path import device_get_json_object, parse_path
+from datafusion_comet_tpu.exec.pallas_kernels import bucket_count, pallas_available
+from datafusion_comet_tpu.exec.random_xorshift import (
+    init_seed_host,
+    rand_column,
+    randn_column,
+)
+from datafusion_comet_tpu.exec.sortkeys import (
+    column_limbs,
+    grouping_limbs,
+    lexsort,
+    order_limbs,
+)
+
+__all__ = [
+    "bytes_funcs",
+    "decimal_wide",
+    "decode",
+    "json_path",
+    "pallas_kernels",
+    "random_xorshift",
+    "sortkeys",
+    "column_limbs",
+    "order_limbs",
+    "lexsort",
+    "grouping_limbs",
+    "device_get_json_object",
+    "parse_path",
+    "bucket_count",
+    "pallas_available",
+    "unpack_bits_device",
+    "decode_rle_hybrid_device",
+    "init_seed_host",
+    "rand_column",
+    "randn_column",
+]
