@@ -2181,6 +2181,38 @@ def _math_func(e: E.MathFunc, b: Batch, ctx: EvalContext) -> ColumnVector:
         x = cv.data * factor
         data = (jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)) / factor
         return ColumnVector(data, cv.validity, None, out)
+    if f == "width_bucket":
+        # Spark WidthBucket.computeBucketNumber (reference maps it to
+        # datafusion-spark SparkWidthBucket, jni_api.rs:68): null when
+        # numBucket <= 0 / Long.MaxValue, value is NaN, min == max, or
+        # min/max is NaN/inf; v < lower -> 0, v >= upper -> n+1, else linear
+        # bucket index + 1; a descending (min > max) range counts downward.
+        v = _coerce(args[0], T.FLOAT64, ctx).data
+        lo = _coerce(args[1], T.FLOAT64, ctx).data
+        hi = _coerce(args[2], T.FLOAT64, ctx).data
+        n = _coerce(args[3], T.INT64, ctx).data.astype(jnp.int64)
+        valid = args[0].validity & args[1].validity & args[2].validity & args[3].validity
+        bad = (
+            (n <= 0)
+            | (n == jnp.int64(0x7FFFFFFFFFFFFFFF))
+            | jnp.isnan(v)
+            | (lo == hi)
+            | jnp.isnan(lo)
+            | jnp.isinf(lo)
+            | jnp.isnan(hi)
+            | jnp.isinf(hi)
+        )
+        lower = jnp.minimum(lo, hi)
+        upper = jnp.maximum(lo, hi)
+        nf = n.astype(jnp.float64)
+        span = upper - lower
+        asc = (nf * (v - lower) / jnp.where(span == 0, 1.0, span)).astype(jnp.int64) + 1
+        desc = (nf * (upper - v) / jnp.where(span == 0, 1.0, span)).astype(jnp.int64) + 1
+        up_is_max = lo < hi
+        below = jnp.where(up_is_max, v < lower, v > upper)
+        above = jnp.where(up_is_max, v >= upper, v <= lower)
+        bucket = jnp.where(below, 0, jnp.where(above, n + 1, jnp.where(up_is_max, asc, desc)))
+        return ColumnVector(bucket.astype(jnp.int64), valid & ~bad, None, T.INT64)
     if f in ("floor", "ceil"):
         if cv.dtype.is_decimal:
             s = cv.dtype.scale

@@ -842,6 +842,8 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
                 dt = T.INT64
         elif e.func in ("sign",):
             dt = T.FLOAT64
+        elif e.func == "width_bucket":
+            dt = T.INT64
         elif e.func in ("greatest", "least"):
             dt = args[0].dtype
             for a in args[1:]:

@@ -176,3 +176,66 @@ class TestXxhash64:
             return _signed(fmix(h))
 
         np.testing.assert_array_equal(got, [ref_long(int(v)) for v in vals])
+
+
+class TestWidthBucket:
+    """Spark WidthBucket.computeBucketNumber oracle (reference maps the
+    expression to datafusion-spark SparkWidthBucket; serde
+    QueryPlanSerde.scala:173)."""
+
+    @staticmethod
+    def _oracle(v, lo, hi, n):
+        import math as m
+
+        if (n <= 0 or n == (1 << 63) - 1 or m.isnan(v) or lo == hi
+                or m.isnan(lo) or m.isinf(lo) or m.isnan(hi) or m.isinf(hi)):
+            return None
+        lower, upper = min(lo, hi), max(lo, hi)
+        if lo < hi:
+            if v < lower:
+                return 0
+            if v >= upper:
+                return n + 1
+            return int(n * (v - lower) / (upper - lower)) + 1
+        if v > upper:
+            return 0
+        if v <= lower:
+            return n + 1
+        return int(n * (upper - v) / (upper - lower)) + 1
+
+    def test_matches_oracle(self):
+        schema = T.Schema([
+            T.Field("v", T.FLOAT64), T.Field("lo", T.FLOAT64),
+            T.Field("hi", T.FLOAT64), T.Field("n", T.INT64),
+        ])
+        cases = [
+            (5.3, 0.2, 10.6, 5), (-2.1, 1.3, 3.4, 3), (8.1, 0.0, 5.7, 4),
+            (-0.9, 5.2, 0.5, 2), (3.0, 5.0, 1.0, 4),  # descending range
+            (1.0, 1.0, 1.0, 2),                        # min == max -> null
+            (2.0, 0.0, 4.0, 0),                        # n <= 0 -> null
+            (float("nan"), 0.0, 1.0, 3),               # NaN value -> null
+            (0.5, float("inf"), 1.0, 3),               # inf bound -> null
+            (10.6, 0.2, 10.6, 5),                      # v == upper -> n+1
+            (0.2, 0.2, 10.6, 5),                       # v == lower -> 1
+        ]
+        b = from_numpy(
+            {
+                "v": np.array([c[0] for c in cases]),
+                "lo": np.array([c[1] for c in cases]),
+                "hi": np.array([c[2] for c in cases]),
+                "n": np.array([c[3] for c in cases], np.int64),
+            },
+            schema,
+        )
+        e = E.bind(E.MathFunc("width_bucket",
+                              (E.col("v"), E.col("lo"), E.col("hi"), E.col("n"))), schema)
+        assert e.dtype == T.INT64
+        cv = evaluate(e, b)
+        got_v = np.asarray(cv.data)[: len(cases)]
+        got_ok = np.asarray(cv.validity)[: len(cases)]
+        for i, c in enumerate(cases):
+            exp = self._oracle(*c)
+            if exp is None:
+                assert not got_ok[i], (i, c)
+            else:
+                assert got_ok[i] and got_v[i] == exp, (i, c, got_v[i], exp)
