@@ -64,6 +64,14 @@ JOIN_FANOUT = _entry(
     "Static per-probe-row match fan-out K for hash joins; the engine "
     "re-plans with 4x K on overflow.",
 )
+JOIN_CARRY_RANGE = _entry(
+    "comet.exec.join.carryRange.enabled", True, "exec",
+    "Use the gather-free carry-range probe for general (duplicate-key) hash "
+    "joins: one concat sort by (key, side) carries each key group's build "
+    "range to its probe rows via cumulative scans, replacing ~2*log2(build) "
+    "sequential binary-search gathers (latency-bound on TPU). Off = the "
+    "vectorized binary-search probe.",
+)
 JOIN_MAX_RETRIES = _entry(
     "comet.exec.join.maxRetries", 4, "exec",
     "Max join fan-out re-planning attempts before failing.",

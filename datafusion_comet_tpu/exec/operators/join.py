@@ -123,6 +123,63 @@ def _concat_cv(a: ColumnVector, b: ColumnVector) -> ColumnVector:
     )
 
 
+def _carry_probe_range(blimbs, bvalid, plimbs, pvalid):
+    """Gather-free probe matching for ARBITRARY (duplicate-key) build sides.
+
+    Generalizes ``_carry_probe_match`` from one carried build index to a
+    carried build *range*: concat(build, probe) → ONE stable sort by
+    (invalid, key limbs, side) so each key group lists its build rows first
+    → per-sorted-row scans derive the group's build range with no gather:
+
+      start = cummax(where(group_start, position, 0))         (group origin)
+      count = builds_strictly_before(row) - builds_strictly_before(start)
+
+    (both operands of ``count`` are cumsums of the build indicator; all of a
+    group's build rows precede its probe rows, so for a probe row the
+    difference is exactly the group's build-row count). A second sort by
+    (side, original index) restores probe order carrying (start, count).
+
+    The j-th match of probe row p then lives at sorted position start[p]+j,
+    whose ORIGINAL build index is one gather into the sorted-index payload —
+    the only data-dependent gather on the probe path, replacing the general
+    path's ~2·log2(build) sequential binary-search gathers (~180 ms each per
+    8M rows on v5e, latency-bound).
+
+    Returns (start (pcap,) int32 sorted positions, count (pcap,) int32,
+    s_idx (bcap+pcap,) int32 original indices by sorted position — build-
+    local at build positions)."""
+    bcap = bvalid.shape[0]
+    pcap = pvalid.shape[0]
+    n = bcap + pcap
+    limbs_cat = [jnp.concatenate([b, p]) for b, p in zip(blimbs, plimbs)]
+    side = jnp.concatenate([jnp.zeros(bcap, jnp.int32), jnp.ones(pcap, jnp.int32)])
+    valid_cat = jnp.concatenate([bvalid, pvalid])
+    idx = jnp.concatenate([jnp.arange(bcap, dtype=jnp.int32),
+                           jnp.arange(pcap, dtype=jnp.int32)])
+    keys = [(~valid_cat).astype(jnp.int32)] + limbs_cat + [side]
+    sorted_all = jax.lax.sort(tuple(keys) + (idx,), num_keys=len(keys), is_stable=True)
+    s_valid = sorted_all[0] == 0
+    s_limbs = list(sorted_all[1: 1 + len(limbs_cat)])
+    s_side = sorted_all[1 + len(limbs_cat)]
+    s_idx = sorted_all[-1]
+    is_build = ((s_side == 0) & s_valid).astype(jnp.int32)
+    # new-key boundary (invalid rows are each their own group)
+    same = jnp.ones(n - 1, bool)
+    for l in s_limbs:
+        same = same & (l[1:] == l[:-1])
+    newkey = jnp.concatenate([jnp.ones(1, bool), ~same]) | ~s_valid
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start_pos = jax.lax.cummax(jnp.where(newkey, pos, 0))
+    cb_excl = jnp.cumsum(is_build) - is_build  # builds strictly before row
+    start_cb = jax.lax.cummax(jnp.where(newkey, cb_excl, 0))  # monotone carry
+    count_sorted = (cb_excl - start_cb).astype(jnp.int32)
+    # restore probe original order: probe rows first, by original index
+    k1 = jnp.where(s_side == 1, 0, 1).astype(jnp.int32)
+    back = jax.lax.sort((k1, s_idx, start_pos, count_sorted),
+                        num_keys=2, is_stable=True)
+    return back[2][:pcap], back[3][:pcap], s_idx
+
+
 def _carry_probe_match(blimbs, bvalid, plimbs, pvalid):
     """Gather-free probe matching for a UNIQUE-key build side.
 
@@ -217,6 +274,8 @@ def hash_join(
     bvalid = bvalid & build.row_mask
     pvalid = pvalid & probe.row_mask
 
+    from datafusion_comet_tpu.conf import CONF, JOIN_CARRY_RANGE
+
     if unique_build:
         # PK-FK fast path: ≤1 match per probe row, no binary-search gathers;
         # a duplicate build key raises the overflow flag (the engine then
@@ -229,6 +288,18 @@ def hash_join(
         p_idx = jnp.arange(pcap, dtype=jnp.int32)
         pair_valid = matched
         has_match = matched
+    elif CONF.get(JOIN_CARRY_RANGE):
+        # general gather-free path: duplicate build keys carry a (start,
+        # count) range through two sorts + scans instead of binary search
+        start, cnt, s_idx = _carry_probe_range(blimbs, bvalid, plimbs, pvalid)
+        count = jnp.where(pvalid, cnt, 0)
+        overflow = jnp.any(count > K)
+        j = jnp.tile(jnp.arange(K, dtype=jnp.int32), pcap)
+        p_idx = jnp.repeat(jnp.arange(pcap, dtype=jnp.int32), K)
+        pair_valid = j < jnp.repeat(jnp.minimum(count, K), K)
+        srt_pos = jnp.clip(jnp.repeat(start, K) + j, 0, bcap + pcap - 1)
+        b_idx = jnp.clip(s_idx[srt_pos], 0, bcap - 1)
+        has_match = count > 0
     else:
         iota_b = jnp.arange(bcap, dtype=jnp.int32)
         if presorted_build:
