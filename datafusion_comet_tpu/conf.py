@@ -96,6 +96,13 @@ AGG_MAX_GROUPS = _entry(
     "Default static group capacity for hash aggregates.",
 )
 # ---- shuffle ------------------------------------------------------------------------
+SPILL_CODEC = _entry(
+    "comet.shuffle.codec", "zstd", "shuffle",
+    "Spill/shuffle block compression codec: zstd|lz4|snappy|zlib|none, "
+    "framed with the reference's 4-byte magic tags (ipc.rs:24-46). zstd is "
+    "the reference's benchmarked default; an unavailable codec falls back "
+    "to zlib (toolchain-guaranteed).",
+)
 SHUFFLE_SLOT_SLACK = _entry(
     "comet.shuffle.slotSlack", 2.0, "shuffle",
     "Per-destination bucket headroom multiplier over perfectly-balanced "

@@ -154,6 +154,106 @@ def zlib_decompress(buf: bytes, out_len: int) -> bytes:
 
 
 # -------------------------------------------------------------------------------------
+# zstd / lz4 / snappy block codecs (reference: native/shuffle/src/ipc.rs:24-46 —
+# the 4-byte magic SNAP/LZ4_/ZSTD/NONE spill/shuffle codecs; zstd is the
+# reference's benchmarked default). zstd rides the bundled `zstandard` module
+# (libzstd binding); lz4/snappy bind the system shared libraries directly via
+# ctypes — none of the three is toolchain-guaranteed, so each degrades to
+# "unavailable" and the spill writer falls back to zlib.
+# -------------------------------------------------------------------------------------
+
+_SYS_LIBS: dict = {}
+
+
+def _sys_lib(name: str):
+    if name not in _SYS_LIBS:
+        try:
+            _SYS_LIBS[name] = ctypes.CDLL(name)
+        except OSError:
+            _SYS_LIBS[name] = None
+    return _SYS_LIBS[name]
+
+
+def zstd_available() -> bool:
+    try:
+        import zstandard  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def zstd_compress(buf: bytes, level: int = 1) -> bytes:
+    import zstandard
+
+    return zstandard.ZstdCompressor(level=level).compress(buf)
+
+
+def zstd_decompress(buf: bytes, out_len: int) -> bytes:
+    import zstandard
+
+    return zstandard.ZstdDecompressor().decompress(buf, max_output_size=out_len)
+
+
+def lz4_available() -> bool:
+    return _sys_lib("liblz4.so.1") is not None
+
+
+def lz4_compress(buf: bytes) -> bytes:
+    L = _sys_lib("liblz4.so.1")
+    src = np.frombuffer(buf, np.uint8)
+    L.LZ4_compressBound.restype = ctypes.c_int
+    cap = int(L.LZ4_compressBound(len(src)))
+    dst = np.zeros(max(cap, 1), np.uint8)
+    n = int(L.LZ4_compress_default(_ptr(src), _ptr(dst), len(src), cap))
+    if n <= 0:
+        raise IOError("LZ4_compress_default failed")
+    return dst[:n].tobytes()
+
+
+def lz4_decompress(buf: bytes, out_len: int) -> bytes:
+    L = _sys_lib("liblz4.so.1")
+    src = np.frombuffer(buf, np.uint8)
+    dst = np.zeros(max(out_len, 1), np.uint8)
+    n = int(L.LZ4_decompress_safe(_ptr(src), _ptr(dst), len(src), out_len))
+    if n < 0:
+        raise IOError("LZ4_decompress_safe failed")
+    return dst[:n].tobytes()
+
+
+def snappy_available() -> bool:
+    L = _sys_lib("libsnappy.so.1")
+    return L is not None and hasattr(L, "snappy_compress")
+
+
+def snappy_compress(buf: bytes) -> bytes:
+    L = _sys_lib("libsnappy.so.1")
+    src = np.frombuffer(buf, np.uint8)
+    L.snappy_max_compressed_length.restype = ctypes.c_size_t
+    L.snappy_max_compressed_length.argtypes = [ctypes.c_size_t]
+    cap = int(L.snappy_max_compressed_length(len(src)))
+    dst = np.zeros(max(cap, 1), np.uint8)
+    out_len = ctypes.c_size_t(cap)
+    rc = L.snappy_compress(_ptr(src), ctypes.c_size_t(len(src)), _ptr(dst),
+                           ctypes.byref(out_len))
+    if rc != 0:
+        raise IOError(f"snappy_compress rc={rc}")
+    return dst[: out_len.value].tobytes()
+
+
+def snappy_decompress(buf: bytes, out_len: int) -> bytes:
+    L = _sys_lib("libsnappy.so.1")
+    src = np.frombuffer(buf, np.uint8)
+    dst = np.zeros(max(out_len, 1), np.uint8)
+    got = ctypes.c_size_t(out_len)
+    rc = L.snappy_uncompress(_ptr(src), ctypes.c_size_t(len(src)), _ptr(dst),
+                             ctypes.byref(got))
+    if rc != 0:
+        raise IOError(f"snappy_uncompress rc={rc}")
+    return dst[: got.value].tobytes()
+
+
+# -------------------------------------------------------------------------------------
 # Columnar → Spark UnsafeRow (reference: columnar_to_row.rs:869,
 # Native.scala:232 columnarToRowInit/Convert/Close)
 # -------------------------------------------------------------------------------------

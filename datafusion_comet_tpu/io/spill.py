@@ -5,8 +5,9 @@ The analog of the reference's shuffle/spill block format
 writers/local/spill.rs; u64-LE partition offset index). Device batches that
 exceed the HBM budget are pulled to host, framed into blocks here, and
 re-staged on demand. Framing and checksums run in the native host library
-(io/native.py → native/staging.cpp); codecs: ZLIB (toolchain-guaranteed)
-and NONE.
+(io/native.py → native/staging.cpp); codecs: ZSTD (default, as in the
+reference), LZ4_, SNAP, ZLIB (toolchain-guaranteed fallback), NONE —
+config-selected via comet.shuffle.codec.
 
 Block layout:  magic[4] | crc32 u32 | raw_len u64 | comp_len u64 | payload
 File layout:   blocks...  +  sidecar index file of u64-LE block offsets
@@ -25,10 +26,70 @@ from datafusion_comet_tpu import types as T
 from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
 from datafusion_comet_tpu.io import native
 
-__all__ = ["SpillWriter", "SpillReader", "batch_to_bytes", "batch_from_bytes"]
+__all__ = ["SpillWriter", "SpillReader", "batch_to_bytes", "batch_from_bytes",
+           "resolve_codec"]
 
 MAGIC_ZLIB = b"ZLIB"
 MAGIC_NONE = b"NONE"
+# reference magic tags (ipc.rs:24-46)
+MAGIC_ZSTD = b"ZSTD"
+MAGIC_LZ4 = b"LZ4_"
+MAGIC_SNAP = b"SNAP"
+
+_CODEC_MAGIC = {"zlib": MAGIC_ZLIB, "zstd": MAGIC_ZSTD, "lz4": MAGIC_LZ4,
+                "snappy": MAGIC_SNAP, "none": MAGIC_NONE}
+
+
+def _codec_ready(codec: str) -> bool:
+    if codec in ("zlib", "none"):
+        return True
+    if codec == "zstd":
+        return native.zstd_available()
+    if codec == "lz4":
+        return native.lz4_available()
+    if codec == "snappy":
+        return native.snappy_available()
+    return False
+
+
+def resolve_codec(codec: Optional[str] = None) -> str:
+    """Config-selected spill/shuffle codec with availability fallback to
+    zlib (the toolchain-guaranteed one)."""
+    if codec is None:
+        from datafusion_comet_tpu.conf import CONF, SPILL_CODEC
+
+        codec = CONF.get(SPILL_CODEC)
+    codec = codec.lower()
+    if codec not in _CODEC_MAGIC:
+        raise ValueError(f"unknown spill codec {codec!r}; "
+                         f"one of {sorted(_CODEC_MAGIC)}")
+    return codec if _codec_ready(codec) else "zlib"
+
+
+def _compress(codec: str, raw: bytes, level: int) -> Tuple[bytes, bytes]:
+    if codec == "zstd":
+        return native.zstd_compress(raw, level), MAGIC_ZSTD
+    if codec == "lz4":
+        return native.lz4_compress(raw), MAGIC_LZ4
+    if codec == "snappy":
+        return native.snappy_compress(raw), MAGIC_SNAP
+    if codec == "zlib":
+        return native.zlib_compress(raw, level), MAGIC_ZLIB
+    return raw, MAGIC_NONE
+
+
+def _decompress(magic: bytes, payload: bytes, raw_len: int) -> bytes:
+    if magic == MAGIC_ZSTD:
+        return native.zstd_decompress(payload, raw_len)
+    if magic == MAGIC_LZ4:
+        return native.lz4_decompress(payload, raw_len)
+    if magic == MAGIC_SNAP:
+        return native.snappy_decompress(payload, raw_len)
+    if magic == MAGIC_ZLIB:
+        return native.zlib_decompress(payload, raw_len)
+    if magic == MAGIC_NONE:
+        return payload
+    raise IOError(f"unknown spill block magic {magic!r}")
 
 
 def batch_to_bytes(batch: Batch) -> bytes:
@@ -80,9 +141,9 @@ def batch_from_bytes(buf: bytes, schema: T.Schema) -> Batch:
 
 
 class SpillWriter:
-    def __init__(self, path: str, codec: str = "zlib", level: int = 1):
+    def __init__(self, path: str, codec: Optional[str] = None, level: int = 1):
         self.path = path
-        self.codec = codec
+        self.codec = resolve_codec(codec)
         self.level = level
         self.offsets: List[int] = []
         self._f = open(path, "wb")
@@ -90,12 +151,8 @@ class SpillWriter:
 
     def write_batch(self, batch: Batch) -> None:
         raw = batch_to_bytes(batch)
-        if self.codec == "zlib":
-            payload = native.zlib_compress(raw, self.level)
-            magic = MAGIC_ZLIB
-            if len(payload) >= len(raw):  # incompressible: store raw
-                payload, magic = raw, MAGIC_NONE
-        else:
+        payload, magic = _compress(self.codec, raw, self.level)
+        if len(payload) >= len(raw):  # incompressible: store raw
             payload, magic = raw, MAGIC_NONE
         crc = native.crc32(payload)
         header = magic + struct.pack("<IQQ", crc, len(raw), len(payload))
@@ -132,5 +189,4 @@ class SpillReader:
         payload = blob[24 : 24 + comp_len]
         if native.crc32(payload) != crc:
             raise IOError(f"spill block {i} checksum mismatch")
-        raw = native.zlib_decompress(payload, raw_len) if magic == MAGIC_ZLIB else payload
-        return batch_from_bytes(raw, self.schema)
+        return batch_from_bytes(_decompress(magic, payload, raw_len), self.schema)
