@@ -876,10 +876,17 @@ class Session:
         return []
 
     # -- observability -------------------------------------------------------------
-    def explain(self, plan: P.PlanNode, with_metrics: bool = False) -> str:
+    def explain(self, plan: P.PlanNode, with_metrics: bool = False,
+                profile_ops: bool = False, as_tree: bool = False):
         """Render the plan tree; with_metrics executes it and annotates
-        per-operator output row counts (reference: CometMetricNode +
-        spark.comet.explain.native.enabled, jni_api.rs:811)."""
+        per-operator output row counts plus static output capacity/HBM bytes
+        (reference: CometMetricNode + spark.comet.explain.native.enabled,
+        jni_api.rs:811). profile_ops additionally compiles each subtree as
+        its own program and reports MARGINAL per-operator wall-clock
+        (subtree time minus children subtree times) — the fused-engine
+        analog of the reference's per-operator elapsed counters
+        (metrics/utils.rs:30); expensive (one compile per node), diagnostic
+        use only. as_tree returns the MetricsNode instead of a string."""
         from datafusion_comet_tpu.observability.metrics import (
             MetricsCollector,
             build_metrics_tree,
@@ -889,8 +896,9 @@ class Session:
         bound = P.bind_plan(plan) if _needs_bind(plan) else plan
         tree = build_metrics_tree(bound)
         if not with_metrics:
-            return tree.render()
+            return tree if as_tree else tree.render()
         names_box: List[int] = []
+        static_box: Dict[int, tuple] = {}
 
         def fn(tables):
             mc = MetricsCollector()
@@ -898,6 +906,7 @@ class Session:
             out = run_plan(bound, tables, EvalContext(), flags, self.join_fanout, mc)
             names_box.clear()
             names_box.extend(mc.names)
+            static_box.update(mc.static)
             return out, tuple(mc.counts)
 
         import time
@@ -908,9 +917,44 @@ class Session:
             jax.block_until_ready(out.row_mask)
             elapsed = (time.time() - t0) * 1e3
         resolved = {nid: int(c) for nid, c in zip(names_box, counts)}
-        _fill_metrics(tree, bound, resolved)
+        _fill_metrics(tree, bound, resolved, static_box)
         tree.elapsed_ms = elapsed
-        return tree.render()
+        if profile_ops:
+            self._profile_subtrees(tree, bound)
+        return tree if as_tree else tree.render()
+
+    def _profile_subtrees(self, tree, plan: P.PlanNode) -> None:
+        """Per-operator marginal wall-clock: time each subtree as its own
+        jitted program (warm-up + best-of-2), then subtract children."""
+        import time
+
+        def subtree_time(node: P.PlanNode) -> Optional[float]:
+            def fn(tables):
+                return run_plan(node, tables, EvalContext(), [], self.join_fanout).row_mask
+
+            try:
+                step = jax.jit(fn)
+                jax.block_until_ready(step(self.tables))  # compile + warm
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    jax.block_until_ready(step(self.tables))
+                    best = min(best, time.time() - t0)
+                return best * 1e3
+            except Exception:
+                return None
+
+        def walk(t, node) -> Optional[float]:
+            mine = subtree_time(node)
+            kid_total = 0.0
+            for sub, child in zip(t.children, node.children()):
+                kt = walk(sub, child)
+                kid_total += kt or 0.0
+            if mine is not None:
+                t.elapsed_ms = max(mine - kid_total, 0.0)
+            return mine
+
+        walk(tree, plan)
 
 
 def _needs_bind(plan: P.PlanNode) -> bool:
@@ -1158,8 +1202,11 @@ def _rewrite_expr(e: E.Expr, mapping: Dict[int, str]) -> E.Expr:
     return type(e)(**kwargs)
 
 
-def _fill_metrics(tree, plan: P.PlanNode, resolved: Dict[int, int]) -> None:
+def _fill_metrics(tree, plan: P.PlanNode, resolved: Dict[int, int],
+                  static: Optional[Dict[int, tuple]] = None) -> None:
     if id(plan) in resolved:
         tree.output_rows = resolved[id(plan)]
+    if static and id(plan) in static:
+        tree.capacity, tree.output_bytes = static[id(plan)]
     for sub, child in zip(tree.children, plan.children()):
-        _fill_metrics(sub, child, resolved)
+        _fill_metrics(sub, child, resolved, static)

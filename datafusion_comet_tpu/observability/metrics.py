@@ -30,14 +30,53 @@ class MetricsNode:
     children: List["MetricsNode"]
     output_rows: Optional[int] = None
     elapsed_ms: Optional[float] = None
+    output_bytes: Optional[int] = None  # static HBM footprint of the output
+    capacity: Optional[int] = None      # static row capacity of the output
 
     def render(self, indent: int = 0) -> str:
         rows = f" rows={self.output_rows}" if self.output_rows is not None else ""
         t = f" time={self.elapsed_ms:.1f}ms" if self.elapsed_ms is not None else ""
-        lines = ["  " * indent + f"{self.op}[{self.detail}]{rows}{t}"]
+        by = f" bytes={_human_bytes(self.output_bytes)}" if self.output_bytes is not None else ""
+        cap = f" cap={self.capacity}" if self.capacity is not None else ""
+        lines = ["  " * indent + f"{self.op}[{self.detail}]{rows}{cap}{by}{t}"]
         for c in self.children:
             lines.append(c.render(indent + 1))
         return "\n".join(lines)
+
+    def to_dict(self) -> dict:
+        d = {"op": self.op, "detail": self.detail}
+        for k in ("output_rows", "elapsed_ms", "output_bytes", "capacity"):
+            v = getattr(self, k)
+            if v is not None:
+                d[k] = round(v, 3) if isinstance(v, float) else v
+        if self.children:
+            d["children"] = [c.to_dict() for c in self.children]
+        return d
+
+
+def _human_bytes(n: int) -> str:
+    for unit in ("B", "KiB", "MiB", "GiB"):
+        if n < 1024 or unit == "GiB":
+            return f"{n:.1f}{unit}" if unit != "B" else f"{n}B"
+        n /= 1024
+    return f"{n}B"
+
+
+def batch_static_bytes(batch) -> int:
+    """Static (trace-time) HBM footprint of a batch: every array's
+    shape×itemsize is known even on tracers — no device work."""
+    import numpy as _np
+
+    def arr_bytes(a) -> int:
+        if a is None:
+            return 0
+        return int(_np.prod(a.shape)) * _np.dtype(a.dtype).itemsize
+
+    def cv_bytes(cv) -> int:
+        n = arr_bytes(cv.data) + arr_bytes(cv.validity) + arr_bytes(cv.lengths)
+        return n + sum(cv_bytes(c) for c in cv.children)
+
+    return arr_bytes(batch.row_mask) + sum(cv_bytes(c) for c in batch.columns)
 
 
 def _detail(plan: P.PlanNode) -> str:
@@ -73,13 +112,17 @@ class MetricsCollector:
     def __init__(self):
         self.names: List[int] = []  # id(plan) per recorded operator
         self.counts: List[jax.Array] = []
+        self.static: Dict[int, tuple] = {}  # id(plan) -> (capacity, bytes)
 
     def record(self, plan: P.PlanNode, batch) -> None:
         self.names.append(id(plan))
         self.counts.append(batch.num_rows().astype(jnp.int64))
+        self.static[id(plan)] = (batch.capacity, batch_static_bytes(batch))
 
     def fill(self, tree: MetricsNode, plan: P.PlanNode, resolved: Dict[int, int]) -> None:
         if id(plan) in resolved:
             tree.output_rows = resolved[id(plan)]
+        if id(plan) in self.static:
+            tree.capacity, tree.output_bytes = self.static[id(plan)]
         for sub, child in zip(tree.children, plan.children()):
             self.fill(sub, child, resolved)

@@ -70,3 +70,41 @@ class TestExplain:
         txt2 = sess.explain(plan, with_metrics=True)
         assert "rows=1" in txt2  # global agg emits one group
         assert "rows=5" in txt2  # filter keeps 5 rows
+
+
+class TestOperatorMetrics:
+    """Per-operator bytes + marginal timing (reference: metrics/utils.rs:30
+    elapsed/memory counters pushed per operator)."""
+
+    def _sess_plan(self):
+        import numpy as np
+
+        from datafusion_comet_tpu import types as T
+        from datafusion_comet_tpu.exec.engine import Session
+        from datafusion_comet_tpu.ir import expr as E
+        from datafusion_comet_tpu.ir import plan as P
+
+        s = T.Schema([T.Field("k", T.INT64), T.Field("v", T.FLOAT64)])
+        sess = Session()
+        sess.register_numpy(
+            "t", {"k": np.arange(1000) % 7, "v": np.ones(1000)}, s)
+        scan = P.Scan(table="t", source_schema=s)
+        flt = P.Filter(child=scan, predicate=E.bind(
+            (E.col("k") > E.lit(2, T.INT64)), s))
+        return sess, P.bind_plan(flt)
+
+    def test_explain_reports_capacity_and_bytes(self):
+        sess, plan = self._sess_plan()
+        tree = sess.explain(plan, with_metrics=True, as_tree=True)
+        assert tree.output_bytes is not None and tree.output_bytes > 0
+        assert tree.capacity is not None and tree.capacity >= 1000
+        assert "bytes=" in tree.render() and "cap=" in tree.render()
+        d = tree.to_dict()
+        assert d["op"] == "Filter" and d["children"][0]["op"] == "Scan"
+
+    def test_profile_ops_fills_marginal_elapsed(self):
+        sess, plan = self._sess_plan()
+        tree = sess.explain(plan, with_metrics=True, profile_ops=True,
+                            as_tree=True)
+        assert tree.elapsed_ms is not None and tree.elapsed_ms >= 0
+        assert tree.children[0].elapsed_ms is not None
