@@ -91,6 +91,13 @@ BNLJ_MAX_PRODUCT = _entry(
     "product exceeds this many rows (O(N*M) HBM): add join keys or filter "
     "the broadcast side instead of letting the device OOM.",
 )
+APPROX_PCT_SKETCH = _entry(
+    "comet.exec.agg.approxPercentile.sketchSize", 512, "exec",
+    "Equi-rank samples per group in the approx_percentile combinable sketch "
+    "state (rank error ~ n/(2K) per compression). Documented deviation: the "
+    "Spark accuracy argument is validated but the sketch size is this "
+    "config, not accuracy/2 — state is K*8 bytes per group.",
+)
 AGG_MAX_GROUPS = _entry(
     "comet.exec.agg.maxGroups", 1 << 16, "exec",
     "Default static group capacity for hash aggregates.",

@@ -32,6 +32,9 @@ from datafusion_comet_tpu.ir import expr as E
 
 __all__ = [
     "collect_agg",
+    "approx_percentile_exact",
+    "approx_percentile_partial",
+    "approx_percentile_merge",
     "percentile_agg",
     "hll_agg",
     "bloom_agg",
@@ -370,3 +373,181 @@ def bloom_might_contain(filter_bytes: Optional[bytes], cv: ColumnVector) -> Colu
     for idx in _bloom_bit_indices(cv, k, num_bits):
         ok = ok & jnp.take(table, idx)
     return ColumnVector(ok, cv.validity, None, T.BOOL)
+
+
+# -------------------------------------------------------------------------------------
+# approx_percentile (reference: agg_funcs/approx_percentile — QuantileSummaries)
+# -------------------------------------------------------------------------------------
+# TPU-first redesign: instead of Greenwald-Khanna's sequential sample pruning,
+# the combinable state is K equi-rank samples per group (+ row count) — built
+# with one (group, value) sort and merged by weighted-rank selection over
+# cumulative-weight scans. Rank error ~ n/(2K) per compression (documented
+# deviation: Spark's accuracy argument is validated but the sketch size is
+# comet.exec.agg.approxPercentile.sketchSize). SINGLE mode skips the sketch
+# and returns the exact element at Spark's target rank ceil(p*n).
+# Samples are stored as (f32 value, f32 residual) pairs — the TPU X64 rewrite
+# has no f64 bitcast, and the pair recovers ~48 mantissa bits.
+
+
+def _pct_params(a: E.AggExpr) -> float:
+    lit = a.extra[0]
+    assert isinstance(lit, E.Literal), "approx_percentile percentage must be literal"
+    p = float(lit.value)
+    if not (0.0 <= p <= 1.0):
+        raise ValueError(f"approx_percentile percentage {p} not in [0, 1]")
+    if len(a.extra) > 1 and isinstance(a.extra[1], E.Literal):
+        acc = int(a.extra[1].value)
+        if acc <= 0:
+            raise ValueError(f"approx_percentile accuracy must be positive, got {acc}")
+    return p
+
+
+def _sketch_k() -> int:
+    from datafusion_comet_tpu.conf import APPROX_PCT_SKETCH, CONF
+
+    return int(CONF.get(APPROX_PCT_SKETCH))
+
+
+def _encode_sketch(samples: jax.Array) -> jax.Array:
+    """(m, K) f64 → (m, 8K) uint8 as (f32 value, f32 residual) pairs."""
+    hi = samples.astype(jnp.float32)
+    lo = (samples - hi.astype(jnp.float64)).astype(jnp.float32)
+    pair = jnp.stack([hi, lo], axis=-1)  # (m, K, 2)
+    b = jax.lax.bitcast_convert_type(pair, jnp.uint8)  # (m, K, 2, 4)
+    return b.reshape(samples.shape[0], -1)
+
+
+def _decode_sketch(data: jax.Array, k: int) -> jax.Array:
+    """(cap, 8K) uint8 → (cap, K) f64."""
+    b = data.reshape(data.shape[0], k, 2, 4)
+    pair = jax.lax.bitcast_convert_type(b, jnp.float32)  # (cap, K, 2)
+    return pair[..., 0].astype(jnp.float64) + pair[..., 1].astype(jnp.float64)
+
+
+def _to_result(val: jax.Array, rt: T.DataType) -> jax.Array:
+    if rt.is_integer:
+        return jnp.rint(val).astype(rt.np_dtype()) if val.dtype == jnp.float64 else val.astype(rt.np_dtype())
+    return val.astype(rt.np_dtype())
+
+
+def approx_percentile_exact(
+    a: E.AggExpr, cv: ColumnVector, valid, perm, seg, m: int, group_mask
+) -> List[ColumnVector]:
+    """SINGLE mode: the exact element at rank ceil(p*n) (1-indexed) — error 0
+    satisfies any QuantileSummaries accuracy bound."""
+    p = _pct_params(a)
+    if cv.dtype.is_binary or cv.dtype.is_nested or getattr(cv, "is_wide_storage", False):
+        raise NotImplementedError("approx_percentile over non-numeric input")
+    cap = valid.shape[0]
+    gor = _group_of_row(perm, seg, cap)
+    cvd = cv.decode() if cv.is_dict else cv
+    limbs = [jnp.where(valid, gor, m).astype(jnp.int64)] + sortkeys.column_limbs(cvd)
+    perm2 = sortkeys.lexsort(limbs)
+    sv = valid[perm2]
+    g2 = jnp.where(sv, gor[perm2], m)
+    x2 = cvd.data[perm2]
+    n = _seg_sum(sv.astype(jnp.int32), g2, m)
+    rank = _running_count(g2, sv.astype(jnp.int32), m, cap) - 1  # 0-indexed
+    k = jnp.clip(jnp.ceil(p * n.astype(jnp.float64)).astype(jnp.int32) - 1,
+                 0, jnp.maximum(n - 1, 0))
+    k_per_row = jnp.take(jnp.concatenate([k, jnp.zeros(1, k.dtype)]), jnp.minimum(g2, m))
+    hit = sv & (rank == k_per_row)
+    res = _seg_sum(jnp.where(hit, x2, jnp.zeros_like(x2)), g2, m)
+    rt = a.result_dtype()
+    return [ColumnVector(_to_result(res, rt), (n > 0) & group_mask, None, rt)]
+
+
+def approx_percentile_partial(
+    a: E.AggExpr, cv: ColumnVector, valid, perm, seg, m: int, group_mask
+) -> List[ColumnVector]:
+    """PARTIAL mode: per-group K equi-rank samples + count (state columns)."""
+    _pct_params(a)  # validate literals early
+    K = _sketch_k()
+    if cv.dtype.is_binary or cv.dtype.is_nested or getattr(cv, "is_wide_storage", False):
+        raise NotImplementedError("approx_percentile over non-numeric input")
+    cap = valid.shape[0]
+    gor = _group_of_row(perm, seg, cap)
+    cvd = cv.decode() if cv.is_dict else cv
+    xf = cvd.data.astype(jnp.float64)
+    limbs = [jnp.where(valid, gor, m).astype(jnp.int64)] + sortkeys._float_orderable(
+        jnp.where(valid, xf, 0.0))
+    perm2 = sortkeys.lexsort(limbs)
+    sv = valid[perm2]
+    g2 = jnp.where(sv, gor[perm2], m)
+    x2 = xf[perm2]
+    n = _seg_sum(sv.astype(jnp.int32), g2, m)  # (m,) valid rows per group
+    gstart = jnp.concatenate(
+        [jnp.zeros(1, jnp.int64), jnp.cumsum(n.astype(jnp.int64))[:-1]])
+    t = jnp.arange(K, dtype=jnp.float64)
+    # equi-rank sample index within group: floor((t+0.5)/K * n), clipped
+    within = jnp.minimum(((t[None, :] + 0.5) * n[:, None].astype(jnp.float64)
+                          / K).astype(jnp.int64), jnp.maximum(n[:, None] - 1, 0))
+    idx = jnp.clip(gstart[:, None] + within, 0, cap - 1)
+    samples = x2[idx.reshape(-1)].reshape(m, K)
+    sk = _encode_sketch(samples)
+    return [
+        ColumnVector(sk, group_mask, jnp.full(m, 8 * K, jnp.int32), T.binary(8 * K)),
+        ColumnVector(n.astype(jnp.int64), group_mask, None, T.INT64),
+    ]
+
+
+def approx_percentile_merge(
+    a: E.AggExpr, sketch_cv: ColumnVector, cnt_cv: ColumnVector, live,
+    seg, m: int, group_mask, finalize: bool,
+) -> List[ColumnVector]:
+    """FINAL: weighted-rank query over all partial sketches of each group.
+    PARTIAL_MERGE: recompress the union of sketches back to K samples.
+
+    Each partial's K samples carry weight count/K; one (group, value) sort +
+    segmented cumulative-weight scan places every sample on the merged rank
+    axis — the query/recompression then needs no sequential pruning."""
+    p = _pct_params(a)
+    K = sketch_cv.dtype.byte_width // 8
+    cap = live.shape[0]
+    v = _decode_sketch(sketch_cv.data, K)  # (cap, K)
+    ok = live & cnt_cv.validity & (cnt_cv.data > 0) & sketch_cv.validity
+    cnt = jnp.where(ok, cnt_cv.data, 0)  # (cap,) int64
+    w_row = cnt.astype(jnp.float64) / K
+    nn = cap * K
+    gv = jnp.repeat(jnp.where(cnt > 0, seg, m), K)
+    vv = v.reshape(-1)
+    wv = jnp.repeat(w_row, K)
+    limbs = [gv.astype(jnp.int64)] + sortkeys._float_orderable(
+        jnp.where(wv > 0, vv, 0.0))
+    pv = sortkeys.lexsort(limbs)
+    g3, v3, w3 = gv[pv], vv[pv], wv[pv]
+    cw = jnp.cumsum(w3)
+    cw_excl = cw - w3
+    newg = jnp.concatenate([jnp.ones(1, bool), g3[1:] != g3[:-1]])
+    base = jax.lax.cummax(jnp.where(newg, cw_excl, 0.0))
+    cwl, cwl_excl = cw - base, cw_excl - base
+    ntot = _seg_sum(cnt, seg, m)  # (m,) int64
+    rt = a.result_dtype()
+    if finalize:
+        tgt = jnp.maximum(p * ntot.astype(jnp.float64), 1e-9)
+        cwl_max = _seg_max(jnp.where(w3 > 0, cwl, 0.0), g3, m)
+        tgt = jnp.minimum(tgt, cwl_max)  # roundoff guard at p→1
+        t_row = jnp.take(jnp.concatenate([tgt, jnp.zeros(1)]), jnp.minimum(g3, m))
+        hit = (w3 > 0) & (cwl >= t_row) & (cwl_excl < t_row)
+        val = _seg_sum(jnp.where(hit, v3, 0.0), g3, m)
+        return [ColumnVector(_to_result(val, rt), (ntot > 0) & group_mask, None, rt)]
+    # PARTIAL_MERGE: slot t of the merged sketch takes the first sample whose
+    # cumulative weight reaches (t+0.5)/K * N — scatter each sample to the
+    # first slot its weight interval covers, then a per-group cummax fill
+    # propagates it across the rest of its interval
+    pos = jnp.arange(nn, dtype=jnp.int32)
+    n_row = jnp.take(jnp.concatenate(
+        [jnp.maximum(ntot.astype(jnp.float64), 1.0), jnp.ones(1)]),
+        jnp.minimum(g3, m))
+    tf = (jnp.floor(K * cwl_excl / n_row - 0.5) + 1.0).astype(jnp.int32)
+    tf = jnp.clip(tf, 0, K - 1)
+    slot = jnp.where((w3 > 0) & (g3 < m), g3 * K + tf, m * K)
+    filled = jnp.zeros(m * K + 1, jnp.int32).at[slot].max(pos + 1, mode="drop")[: m * K]
+    filled = jax.lax.cummax(filled.reshape(m, K), axis=1).reshape(-1)
+    src = jnp.clip(filled - 1, 0, nn - 1)
+    samples = v3[src].reshape(m, K)
+    sk = _encode_sketch(samples)
+    return [
+        ColumnVector(sk, group_mask, jnp.full(m, 8 * K, jnp.int32), T.binary(8 * K)),
+        ColumnVector(ntot, group_mask, None, T.INT64),
+    ]

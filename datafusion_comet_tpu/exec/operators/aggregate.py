@@ -65,7 +65,13 @@ _SPECIAL_FUNCS = (
     E.AggFunc.MEDIAN,
     E.AggFunc.APPROX_COUNT_DISTINCT,
     E.AggFunc.BLOOM_FILTER,
+    E.AggFunc.APPROX_PERCENTILE,
 )
+
+# current aggregate mode, visible to mode-sensitive kernels (approx_percentile
+# emits exact values in SINGLE mode but sketch state in PARTIAL) — set by
+# hash_aggregate around its per-aggregate loop, _SORTED_SEG-style
+_AGG_MODE = "single"
 
 
 def _sum_state_dtype(a: E.AggExpr) -> T.DataType:
@@ -114,6 +120,14 @@ def state_fields(a: E.AggExpr) -> List[T.Field]:
         return [T.Field(f"{o}__val", a.child.dtype)]
     if f in _BOOL_FUNCS:
         return [T.Field(f"{o}__val", T.BOOL)]
+    if f == E.AggFunc.APPROX_PERCENTILE:
+        from datafusion_comet_tpu.conf import APPROX_PCT_SKETCH, CONF
+
+        k = CONF.get(APPROX_PCT_SKETCH)
+        return [
+            T.Field(f"{o}__sketch", T.binary(8 * k), nullable=False),
+            T.Field(f"{o}__count", T.INT64, nullable=False),
+        ]
     raise NotImplementedError(f"state_fields: {f}")
 
 
@@ -428,8 +442,9 @@ def hash_aggregate(
     for kc in key_cols:
         out_cols.append(kc.take(first_orig))
 
-    global _SORTED_SEG
+    global _SORTED_SEG, _AGG_MODE
     _SORTED_SEG = True  # seg from _segments is nondecreasing → cumsum reductions
+    prev_mode, _AGG_MODE = _AGG_MODE, mode
     try:
         for a in agg_exprs:
             if merging:
@@ -448,6 +463,7 @@ def hash_aggregate(
                 out_cols.extend(vals)
     finally:
         _SORTED_SEG = False
+        _AGG_MODE = prev_mode
 
     # pad/trim columns dtypes already correct; assemble
     return Batch(tuple(out_cols), group_mask, out_schema)
@@ -683,6 +699,10 @@ def _input_agg(
         from datafusion_comet_tpu.exec.operators import agg_special as SP
 
         raw_valid = cv.validity & active  # original row order
+        if f == E.AggFunc.APPROX_PERCENTILE:
+            if _AGG_MODE == AggMode.PARTIAL:
+                return SP.approx_percentile_partial(a, cv, raw_valid, perm, seg, m, group_mask)
+            return SP.approx_percentile_exact(a, cv, raw_valid, perm, seg, m, group_mask)
         fn = {
             E.AggFunc.COLLECT_LIST: SP.collect_agg,
             E.AggFunc.COLLECT_SET: SP.collect_agg,
@@ -872,6 +892,18 @@ def _merge_agg(
         shadow = E.AggExpr(f, _fake_bound(st.dtype), a.out_name)
         fake_batch = Batch((st,), batch.row_mask, T.Schema([T.Field("x", st.dtype)]))
         return _input_agg(shadow, fake_batch, perm, seg, m, group_mask, EvalContext())
+
+    if f == E.AggFunc.APPROX_PERCENTILE:
+        from datafusion_comet_tpu.exec.operators import agg_special as SP
+
+        sketch, cnt = sts[0], sts[1]
+        if perm is not None:
+            sketch, cnt = sketch.take(perm), cnt.take(perm)
+        live = batch.row_mask if perm is None else jnp.take(batch.row_mask, perm)
+        return SP.approx_percentile_merge(
+            a, sketch, cnt, live, seg, m, group_mask,
+            finalize=(_AGG_MODE == AggMode.FINAL),
+        )
 
     raise NotImplementedError(f"merge {f}")
 

@@ -526,6 +526,10 @@ class AggFunc:
     COLLECT_SET = "collect_set"
     PERCENTILE = "percentile"  # exact; extra[0] = percentage literal
     MEDIAN = "median"
+    # QuantileSummaries contract (reference: agg_funcs/approx_percentile):
+    # extra = (percentage literal, optional accuracy literal); returns an
+    # actual data element at rank ceil(p*n) within the sketch's rank error
+    APPROX_PERCENTILE = "approx_percentile"
     APPROX_COUNT_DISTINCT = "approx_count_distinct"  # HLL++
     BLOOM_FILTER = "bloom_filter"  # BloomFilterAgg (join pushdown)
 
@@ -586,6 +590,10 @@ class AggExpr:
         if f == AggFunc.BLOOM_FILTER:
             # Spark BloomFilterImpl.writeTo: 3 big-endian ints + longs
             return T.binary(12 + (self.num_bits // 64) * 8)
+        if f == AggFunc.APPROX_PERCENTILE:
+            # Spark returns an element of the input (same type)
+            assert cd is not None
+            return cd
         # variance/covariance family, percentile, median → double
         return T.FLOAT64
 
