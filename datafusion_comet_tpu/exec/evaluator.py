@@ -799,6 +799,18 @@ def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: Eva
             return ColumnVector(data, validity, jnp.minimum(cv.lengths, w), to)
         if frm.is_integer or frm.is_decimal or frm.type_id == "DATE" or frm.is_boolean:
             return _cast_to_string(cv, frm, to)
+        if frm.is_floating:
+            # Java shortest-repr (Ryu) on device (reference: cast.rs
+            # float-to-string; known deviation: XLA DAZ flushes subnormals
+            # to "0.0" — docs/compatibility.md)
+            from datafusion_comet_tpu.exec import ryu
+
+            w = to.byte_width
+            if frm == T.FLOAT32:
+                chars, lens = ryu.float_to_string(cv.data, w)
+            else:
+                chars, lens = ryu.double_to_string(cv.data, w)
+            return ColumnVector(chars, validity, lens, to)
         if frm.type_id in ("TIMESTAMP", "TIMESTAMP_NTZ"):
             if tz and frm.type_id == "TIMESTAMP":
                 # session-tz rendering: shift the instant to wall clock
