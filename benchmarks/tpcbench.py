@@ -59,6 +59,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--queries", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument("--compile-workers", type=int, default=1,
+                    help="overlap per-query trace+compile in N threads "
+                    "(backend_compile releases the GIL during the remote "
+                    "XLA compile, so tunnel compiles pipeline); timing "
+                    "runs stay serial")
     args = ap.parse_args()
 
     import os
@@ -105,14 +110,37 @@ def main() -> None:
         model.QUERIES, key=lambda n: int(n[1:])
     )
     results = {}
-    for name in wanted:
+
+    def build(name):
         make = model.QUERIES[name]
+        plan = make(sess) if "session" in make.__code__.co_varnames[:1] else make()
+        tc = time.time()
+        step = checksum_step(sess, plan)
+        cs = np.asarray(step())  # compile + first run
+        return step, cs, time.time() - tc
+
+    built = {}
+    if args.compile_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(args.compile_workers) as ex:
+            futs = {n: ex.submit(build, n) for n in wanted}
+            for n, fu in futs.items():
+                try:
+                    built[n] = fu.result()
+                    print(f"compiled {n} {built[n][2]:.1f}s", flush=True)
+                except Exception as e:
+                    built[n] = e
+                    print(f"compile-failed {n}: {type(e).__name__}: {e}", flush=True)
+
+    for name in wanted:
         try:
-            plan = make(sess) if "session" in make.__code__.co_varnames[:1] else make()
-            tc = time.time()
-            step = checksum_step(sess, plan)
-            cs = np.asarray(step())  # compile + first run
-            compile_s = time.time() - tc
+            if name in built:
+                if isinstance(built[name], Exception):
+                    raise built[name]
+                step, cs, compile_s = built[name]
+            else:
+                step, cs, compile_s = build(name)
             times = []
             for _ in range(args.reps):
                 t1 = time.time()

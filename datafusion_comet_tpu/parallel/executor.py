@@ -117,14 +117,21 @@ def _dist(plan: P.PlanNode, np_: int) -> P.PlanNode:
                 or (jt == P.JoinType.RIGHT and build == "right")
                 or (jt == P.JoinType.LEFT and build == "left")):
             # the build side's unmatched rows reach the output: a broadcast
-            # build would emit them once PER DEVICE — gather both sides to a
-            # single partition instead (reference: Spark disallows broadcast
-            # on the outer side for the same reason)
-            exl = P.ShuffleExchange(left, "single", (), np_)
+            # build would emit them once PER DEVICE. Hash co-partition BOTH
+            # sides on the join keys instead (the reference keeps outer
+            # joins shuffled the same way, CometShuffleExchangeExec): every
+            # key — and every null-keyed outer row, since murmur3 leaves
+            # the seed unchanged on null — lives on exactly one device, so
+            # matched pairs and unmatched rows each emit exactly once.
+            exl = P.ShuffleExchange(left, "hash", tuple(plan.left_keys), np_)
             exl.schema = plan.left.schema
-            exr = P.ShuffleExchange(right, "single", (), np_)
+            exr = P.ShuffleExchange(right, "hash", tuple(plan.right_keys), np_)
             exr.schema = plan.right.schema
             out = dataclasses.replace(plan, left=exl, right=exr)
+            if isinstance(out, P.HashJoin) and jt != P.JoinType.FULL:
+                # co-partitioned sides make the build choice free; the local
+                # join requires the outer side to be the probe
+                out.build_side = "left" if jt == P.JoinType.RIGHT else "right"
             out.schema = plan.schema
             return out
         if build == "left":

@@ -1,6 +1,7 @@
 """Distributed coverage additions: explode + window over the 8-device mesh."""
 
 import numpy as np
+import pytest
 
 from datafusion_comet_tpu import types as T
 from datafusion_comet_tpu.exec.engine import Session
@@ -83,3 +84,82 @@ def test_distributed_bnlj_matches_local():
         for k in ("a", "b"):
             assert [x if ok else None for x, ok in zip(got[k], got[k + "__valid"])] == \
                    [x if ok else None for x, ok in zip(ref[k], ref[k + "__valid"])], jt
+
+
+class TestOuterJoinsHashPartitioned:
+    """FULL/outer-on-build-side joins stay hash co-partitioned on both sides
+    (no single-partition cliff): unmatched rows emit exactly once because
+    every key — incl. null-keyed outer rows — lives on one device."""
+
+    def _data(self):
+        rng = np.random.default_rng(11)
+        n = 5000
+        lk = rng.integers(0, 800, n).astype(np.float64)
+        lk[rng.random(n) < 0.05] = np.nan  # null keys via __valid below
+        l_valid = ~np.isnan(lk)
+        lk = np.where(l_valid, lk, 0).astype(np.int64)
+        rk = rng.integers(400, 1200, 1500).astype(np.int64)
+        return (
+            {"lk": lk, "lk__valid": l_valid, "lv": np.arange(n, dtype=np.int64)},
+            {"rk": rk, "rv": np.arange(1500, dtype=np.int64)},
+        )
+
+    def _run(self, sess_cls, jt, build, *args):
+        ldata, rdata = self._data()
+        ls = T.Schema([T.Field("lk", T.INT64), T.Field("lv", T.INT64)])
+        rs = T.Schema([T.Field("rk", T.INT64), T.Field("rv", T.INT64)])
+        sess = sess_cls(*args)
+        sess.register_numpy("l", ldata, ls)
+        sess.register_numpy("r", rdata, rs)
+        plan = P.HashJoin(
+            P.Scan(table="l", source_schema=ls),
+            P.Scan(table="r", source_schema=rs),
+            (E.bind(E.col("lk"), ls),), (E.bind(E.col("rk"), rs),),
+            jt, build)
+        out = sess.collect(P.bind_plan(plan))
+        rows = []
+        n = len(out["lv"])
+        for i in range(n):
+            rows.append(tuple(
+                None if not out.get(f"{c}__valid", np.ones(n, bool))[i]
+                else int(out[c][i]) for c in ("lk", "lv", "rk", "rv")))
+        return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+    @pytest.mark.parametrize("jt,build,single_build", [
+        (P.JoinType.FULL, "right", "right"),
+        (P.JoinType.FULL, "left", "left"),
+        (P.JoinType.RIGHT, "right", "left"),
+        # LEFT with build=left is never produced single-node (probe must be
+        # the outer side); the single-device oracle flips the build side,
+        # which is result-equivalent
+        (P.JoinType.LEFT, "left", "right"),
+    ])
+    def test_outer_join_matches_single_device(self, jt, build, single_build):
+        from datafusion_comet_tpu.parallel.executor import DistributedSession
+        from datafusion_comet_tpu.parallel.mesh import make_mesh
+
+        single = self._run(Session, jt, single_build)
+        dist = self._run(DistributedSession, jt, build, make_mesh(8))
+        assert dist == single
+
+    def test_full_join_plan_has_no_single_exchange(self):
+        from datafusion_comet_tpu.parallel.executor import distribute
+
+        ls = T.Schema([T.Field("lk", T.INT64), T.Field("lv", T.INT64)])
+        rs = T.Schema([T.Field("rk", T.INT64), T.Field("rv", T.INT64)])
+        plan = P.bind_plan(P.HashJoin(
+            P.Scan(table="l", source_schema=ls),
+            P.Scan(table="r", source_schema=rs),
+            (E.bind(E.col("lk"), ls),), (E.bind(E.col("rk"), rs),),
+            P.JoinType.FULL, "right"))
+        d = distribute(plan, 8)
+        kinds = []
+
+        def walk(n):
+            if isinstance(n, P.ShuffleExchange):
+                kinds.append(n.partitioning)
+            for c in n.children():
+                walk(c)
+
+        walk(d)
+        assert kinds == ["hash", "hash"]
