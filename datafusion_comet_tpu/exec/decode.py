@@ -84,24 +84,130 @@ def decode_rle_hybrid_device(data: bytes, bit_width: int, num_values: int) -> ja
     return jnp.concatenate(blocks) if len(blocks) > 1 else blocks[0]
 
 
+def _f64_from_bits(word: jax.Array) -> jax.Array:
+    """int64 IEEE bit pattern → float64 arithmetically (no f64 bitcast on
+    TPU): sign/exponent/mantissa fields → ldexp. Subnormal results flush
+    under XLA DAZ (documented deviation shared with the whole engine)."""
+    sign = word < 0
+    exp = (jax.lax.shift_right_logical(word, jnp.int64(52)) & jnp.int64(0x7FF)).astype(jnp.int32)
+    frac = (word & jnp.int64((1 << 52) - 1)).astype(jnp.float64)
+    normal = jnp.ldexp(1.0 + frac * (2.0 ** -52), exp - 1023)
+    sub = jnp.ldexp(frac * (2.0 ** -52), -1022)
+    val = jnp.where(exp > 0, normal, sub)
+    val = jnp.where(exp == 0x7FF,
+                    jnp.where(frac == 0.0, jnp.inf, jnp.nan), val)
+    return jnp.where(sign, -val, val)
+
+
+def decode_byte_stream_split(payload: bytes, n: int, np_dtype: np.dtype) -> jax.Array:
+    """BYTE_STREAM_SPLIT (encoding 9): the page stores all 1st bytes, then
+    all 2nd bytes, … — on device this is one reshape+transpose plus either
+    an int32→f32 bitcast (native) or arithmetic f64 reconstruction."""
+    w = np_dtype.itemsize
+    planes = jnp.asarray(np.frombuffer(payload, np.uint8, n * w)).reshape(w, n)
+    b = planes.T.astype(jnp.int64)  # (n, w) little-endian bytes
+    word = b[:, 0]
+    for k in range(1, w):
+        word = word | (b[:, k] << (8 * k))
+    if np_dtype == np.dtype("<f4"):
+        return jax.lax.bitcast_convert_type(word.astype(jnp.int32), jnp.float32)
+    if np_dtype == np.dtype("<f8"):
+        return _f64_from_bits(word)
+    if np_dtype == np.dtype("<i4"):
+        return word.astype(jnp.int32)
+    return word  # int64
+
+
+def decode_delta_binary_device(payload: bytes, num_values: int) -> jax.Array:
+    """DELTA_BINARY_PACKED (encoding 5) on device: host scans the block
+    structure (io/pages.py split_delta_blocks), miniblocks bit-unpack with
+    the gather-free kernel, then one cumsum restores the values. Falls back
+    to the host decoder for >31-bit deltas or heavily fragmented pages."""
+    first, total, minis = PG.split_delta_blocks(payload)
+    if len(minis) > _MAX_SEGMENTS or any(w > 31 for _, w, _, _ in minis):
+        return jnp.asarray(PG.decode_delta_binary_host(payload, num_values))
+    blocks: List[jax.Array] = [jnp.zeros(1, jnp.int64)]  # delta slot for first
+    for min_delta, w, off, take in minis:
+        if w:
+            nbytes = (take * w + 7) // 8
+            groups = -(-take // 8)
+            raw = np.frombuffer(payload, np.uint8, min(len(payload) - off, groups * w), off)
+            raw = np.pad(raw, (0, groups * w - len(raw)))
+            d = unpack_bits_device(jnp.asarray(raw.reshape(groups, w)), w)[:take]
+            blocks.append(d.astype(jnp.int64) + np.int64(min_delta))
+        else:
+            blocks.append(jnp.full(take, np.int64(min_delta), jnp.int64))
+    deltas = jnp.concatenate(blocks) if len(blocks) > 1 else blocks[0]
+    vals = jnp.cumsum(deltas) + np.int64(first)
+    return vals[:num_values]
+
+
+def _expand_def_levels(values: jax.Array, def_bytes: bytes, n_slots: int,
+                       fill) -> Tuple[jax.Array, jax.Array]:
+    """Scatter densely-packed non-null values into their row slots using the
+    1-bit definition-level stream: validity = def==1, position = cumsum-1,
+    one bounded decode-time gather."""
+    defs = decode_rle_hybrid_device(def_bytes, 1, n_slots)
+    valid = defs.astype(bool)
+    idx = jnp.cumsum(defs) - 1
+    nv = values.shape[0]
+    out = jnp.take(values, jnp.clip(idx, 0, max(nv - 1, 0)), axis=0)
+    out = jnp.where(valid, out, jnp.asarray(fill, out.dtype))
+    return out, valid
+
+
 def decode_column_chunk(path: str, row_group: int, column: int,
-                        np_dtype: Optional[np.dtype] = None) -> jax.Array:
-    """Decode a whole (required, non-nested) column chunk on device:
+                        np_dtype: Optional[np.dtype] = None,
+                        with_validity: bool = False,
+                        page_mask=None):
+    """Decode a whole (non-nested, max_def_level<=1) column chunk on device:
     dictionary pages PLAIN-decoded host-side (they are tiny), code streams
     bit-unpacked on device, one dictionary take at the end (a single
     bounded gather per scan — decode-time only, never in the query loop).
-    PLAIN pages ship as raw bytes and reinterpret on device."""
-    ps = PG.read_column_pages(path, row_group, column)
+    PLAIN pages ship as raw bytes and reinterpret on device;
+    DELTA_BINARY_PACKED and BYTE_STREAM_SPLIT unpack on device; nullable
+    columns expand through their definition levels. ``page_mask`` (page-
+    index pruning) zero-fills pruned pages and marks them invalid.
+
+    Returns the data array, or (data, validity) when with_validity."""
+    ps = PG.read_column_pages(path, row_group, column, page_mask=page_mask)
+    dt = np_dtype if np_dtype is not None else (
+        ps.dictionary.dtype if ps.dictionary is not None else np.dtype("<i8"))
+    dictionary = jnp.asarray(ps.dictionary) if ps.dictionary is not None else None
     parts: List[jax.Array] = []
-    if ps.code_pages:
-        codes = [decode_rle_hybrid_device(d, bw, n) for bw, d, n in ps.code_pages]
-        codes = jnp.concatenate(codes) if len(codes) > 1 else codes[0]
-        dictionary = jnp.asarray(ps.dictionary)
-        parts.append(jnp.take(dictionary, codes, axis=0))
-    for payload, n in ps.plain_pages:
-        assert np_dtype is not None or ps.dictionary is not None
-        dt = np_dtype if np_dtype is not None else ps.dictionary.dtype
-        parts.append(jnp.asarray(np.frombuffer(payload, dt, n)))
+    vparts: List[jax.Array] = []
+    for pg in ps.pages:
+        n = pg.num_values
+        if pg.encoding == -1:  # pruned by the page index
+            parts.append(jnp.zeros(n, dt))
+            vparts.append(jnp.zeros(n, bool))
+            continue
+        n_phys = n
+        if pg.def_bytes is not None:
+            # values section holds only the non-null entries
+            n_phys = int(np.sum(PG.decode_rle_hybrid_host(pg.def_bytes, 1, n)))
+        if pg.encoding == 8:
+            codes = decode_rle_hybrid_device(pg.payload, pg.bit_width, n_phys)
+            vals = jnp.take(dictionary, codes, axis=0)
+        elif pg.encoding == 0:
+            vals = jnp.asarray(np.frombuffer(pg.payload, dt, n_phys))
+        elif pg.encoding == 5:
+            vals = decode_delta_binary_device(pg.payload, n_phys).astype(dt)
+        elif pg.encoding == 9:
+            vals = decode_byte_stream_split(pg.payload, n_phys, dt)
+        else:
+            raise NotImplementedError(f"device decode encoding {pg.encoding}")
+        if pg.def_bytes is not None:
+            vals, valid = _expand_def_levels(vals, pg.def_bytes, n, 0)
+        else:
+            valid = jnp.ones(n, bool)
+        parts.append(vals.astype(dt) if vals.dtype != dt else vals)
+        vparts.append(valid)
     if not parts:
-        return jnp.zeros((0,), np_dtype or jnp.int64)
-    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        data = jnp.zeros((0,), dt)
+        return (data, jnp.zeros((0,), bool)) if with_validity else data
+    data = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    if with_validity:
+        valid = jnp.concatenate(vparts) if len(vparts) > 1 else vparts[0]
+        return data, valid
+    return data

@@ -188,6 +188,23 @@ def parse_page_header(buf: bytes, pos: int) -> PageHeader:
 
 
 @dataclasses.dataclass
+class DataPage:
+    """One data page, decompressed, ready for device decode.
+
+    encoding: 0 PLAIN, 5 DELTA_BINARY_PACKED, 8/2 RLE_DICTIONARY, 9
+    BYTE_STREAM_SPLIT. ``def_bytes`` is the RLE/bit-packed(width 1)
+    definition-level stream for nullable (max_def_level==1) columns —
+    None for required columns; the values payload then holds only the
+    non-null entries (``num_values`` counts ALL slots incl. nulls)."""
+
+    encoding: int
+    payload: bytes  # values section (for dict pages: bitwidth byte stripped)
+    num_values: int
+    bit_width: int = 0  # dictionary code width
+    def_bytes: Optional[bytes] = None
+
+
+@dataclasses.dataclass
 class PageStream:
     """One column chunk's decoded-for-transport pages."""
 
@@ -195,18 +212,25 @@ class PageStream:
     code_pages: List[Tuple[int, bytes, int]]  # (bit_width, rle_hybrid_bytes, num_values)
     plain_pages: List[Tuple[bytes, int]]  # PLAIN data pages (payload, num_values)
     num_values: int
+    pages: List[DataPage] = dataclasses.field(default_factory=list)
+    nullable: bool = False
 
 
-def read_column_pages(path: str, row_group: int, column: int) -> PageStream:
+def read_column_pages(path: str, row_group: int, column: int,
+                      page_mask: Optional[List[bool]] = None) -> PageStream:
     """Extract a column chunk's raw pages: dictionary values + per-page
-    RLE/bit-packed code streams (or PLAIN payloads). Requires a required
-    (non-nullable, non-nested) column."""
+    value payloads with definition-level streams for nullable columns
+    (non-nested; max_def_level <= 1). ``page_mask`` (from page-index
+    pruning) drops pages whose rows can't match — dropped pages still
+    count their slots so row offsets stay aligned (the caller masks them
+    dead)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
     col = pf.metadata.row_group(row_group).column(column)
     phys = col.physical_type  # 'INT32', 'INT64', 'FLOAT', 'DOUBLE', ...
+    nullable = pf.schema_arrow.field(col.path_in_schema).nullable
     codec_name = col.compression.lower()
     codec = None if codec_name in ("uncompressed",) else pa.Codec(codec_name)
     start = col.dictionary_page_offset
@@ -222,10 +246,19 @@ def read_column_pages(path: str, row_group: int, column: int) -> PageStream:
                "FLOAT": np.dtype("<f4"), "DOUBLE": np.dtype("<f8")}.get(phys)
 
     dictionary = None
-    code_pages: List[Tuple[int, bytes, int]] = []
-    plain_pages: List[Tuple[bytes, int]] = []
+    pages: List[DataPage] = []
     pos = 0
     total = 0
+    data_page_idx = 0
+
+    def split_levels_v1(data: bytes) -> Tuple[Optional[bytes], bytes]:
+        """v1 page: nullable columns prefix the values with a 4-byte-length
+        RLE def-level stream (bit width 1); required columns have none."""
+        if not nullable:
+            return None, data
+        (ln,) = struct.unpack_from("<I", data, 0)
+        return data[4: 4 + ln], data[4 + ln:]
+
     while pos < len(raw):
         hdr = parse_page_header(raw, pos)
         pos += hdr.header_len
@@ -238,40 +271,58 @@ def read_column_pages(path: str, row_group: int, column: int) -> PageStream:
                 dictionary = np.frombuffer(data, phys_np)
             else:  # byte-array dictionary: leave raw for the caller
                 dictionary = np.frombuffer(data, np.uint8)
-        elif hdr.page_type == 0:  # data page v1
+            continue
+        if hdr.page_type == 0:  # data page v1
+            pruned = page_mask is not None and data_page_idx < len(page_mask) \
+                and not page_mask[data_page_idx]
+            data_page_idx += 1
+            if pruned:
+                pages.append(DataPage(-1, b"", hdr.num_values))
+                total += hdr.num_values
+                continue
             data = codec.decompress(payload, hdr.uncompressed_size) if codec else payload
             data = bytes(data)
-            # required top-level column: no rep levels; def levels RLE(1-bit)
-            # are omitted when max_def_level == 0 (required) — pyarrow writes
-            # required columns only when the schema field is non-nullable
-            if hdr.encoding in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
-                bit_width = data[0]
-                code_pages.append((bit_width, data[1:], hdr.num_values))
-            elif hdr.encoding == 0:  # PLAIN
-                plain_pages.append((data, hdr.num_values))
+            def_bytes, body = split_levels_v1(data)
+            enc = hdr.encoding
+            if enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+                pages.append(DataPage(8, body[1:], hdr.num_values,
+                                      bit_width=body[0], def_bytes=def_bytes))
+            elif enc in (0, 5, 9):  # PLAIN / DELTA_BINARY_PACKED / BSS
+                pages.append(DataPage(enc, body, hdr.num_values, def_bytes=def_bytes))
             else:
-                raise NotImplementedError(f"data page encoding {hdr.encoding}")
+                raise NotImplementedError(f"data page encoding {enc}")
             total += hdr.num_values
         elif hdr.page_type == 3:  # data page v2: levels stored uncompressed first
+            pruned = page_mask is not None and data_page_idx < len(page_mask) \
+                and not page_mask[data_page_idx]
+            data_page_idx += 1
+            if pruned:
+                pages.append(DataPage(-1, b"", hdr.num_values))
+                total += hdr.num_values
+                continue
             lev = hdr.def_levels_len + hdr.rep_levels_len
-            levels = payload[:lev]
+            # v2 def levels: raw RLE stream, no 4-byte length prefix
+            def_bytes = payload[hdr.rep_levels_len: lev] if (nullable and hdr.def_levels_len) else None
             body = payload[lev:]
             if codec and hdr.v2_compressed:
-                body = bytes(codec.decompress(
-                    body, hdr.uncompressed_size - lev))
+                body = bytes(codec.decompress(body, hdr.uncompressed_size - lev))
             else:
                 body = bytes(body)
-            if hdr.encoding in (2, 8):
-                bit_width = body[0]
-                code_pages.append((bit_width, body[1:], hdr.num_values))
-            elif hdr.encoding == 0:
-                plain_pages.append((body, hdr.num_values))
+            enc = hdr.encoding
+            if enc in (2, 8):
+                pages.append(DataPage(8, body[1:], hdr.num_values,
+                                      bit_width=body[0], def_bytes=def_bytes))
+            elif enc in (0, 5, 9):
+                pages.append(DataPage(enc, body, hdr.num_values, def_bytes=def_bytes))
             else:
-                raise NotImplementedError(f"data page v2 encoding {hdr.encoding}")
+                raise NotImplementedError(f"data page v2 encoding {enc}")
             total += hdr.num_values
         # other page types (index pages) are skipped
+    code_pages = [(p.bit_width, p.payload, p.num_values) for p in pages if p.encoding == 8]
+    plain_pages = [(p.payload, p.num_values) for p in pages if p.encoding == 0]
     return PageStream(dictionary=dictionary, code_pages=code_pages,
-                      plain_pages=plain_pages, num_values=total)
+                      plain_pages=plain_pages, num_values=total,
+                      pages=pages, nullable=nullable)
 
 
 # ---------------------------------------------------------------------------
@@ -334,3 +385,77 @@ def decode_rle_hybrid_host(data: bytes, bit_width: int, num_values: int) -> np.n
             out[pos: pos + n] = decoded[:n]
             pos += n
     return out
+
+
+# ---------------------------------------------------------------------------
+# DELTA_BINARY_PACKED (encoding 5) — host structure scan + reference decode
+# (reference: native/core/src/parquet/read/values.rs delta decoders)
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(data: bytes, pos: int) -> Tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _read_zigzag(data: bytes, pos: int) -> Tuple[int, int]:
+    v, pos = _read_varint(data, pos)
+    return (v >> 1) ^ -(v & 1), pos
+
+
+def split_delta_blocks(data: bytes):
+    """Structure scan of a DELTA_BINARY_PACKED page: returns
+    (first_value, total_count, miniblocks) where each miniblock is
+    (min_delta, bit_width, byte_off, n_values) — payload bytes untouched
+    for device unpacking."""
+    block_size, pos = _read_varint(data, 0)
+    nmini, pos = _read_varint(data, pos)
+    total, pos = _read_varint(data, pos)
+    first, pos = _read_zigzag(data, pos)
+    vpm = block_size // max(nmini, 1)
+    minis = []
+    filled = 1
+    while filled < total:
+        min_delta, pos = _read_zigzag(data, pos)
+        widths = data[pos: pos + nmini]
+        pos += nmini
+        for m in range(nmini):
+            if filled >= total:
+                break
+            w = widths[m]
+            nbytes = vpm * w // 8
+            take = min(vpm, total - filled)
+            minis.append((min_delta, w, pos, take))
+            pos += nbytes
+            filled += take
+    return first, total, minis
+
+
+def decode_delta_binary_host(data: bytes, num_values: int) -> np.ndarray:
+    """Reference host decoder (oracle for the device kernel)."""
+    first, total, minis = split_delta_blocks(data)
+    out = np.empty(max(total, 1), np.int64)
+    out[0] = first
+    filled = 1
+    for min_delta, w, off, take in minis:
+        if w:
+            # full miniblock bytes may exceed take*w bits; unpack what we use
+            vpm_bytes = np.frombuffer(
+                data, np.uint8, min(len(data) - off, (take * w + 7) // 8), off)
+            bits = np.unpackbits(vpm_bytes, bitorder="little")
+            need = take * w
+            bits = bits[:need].reshape(take, w)
+            weights = (1 << np.arange(w, dtype=np.int64))
+            deltas = (bits.astype(np.int64) * weights).sum(1)
+        else:
+            deltas = np.zeros(take, np.int64)
+        prev = out[filled - 1]
+        out[filled: filled + take] = prev + np.cumsum(min_delta + deltas)
+        filled += take
+    return out[:num_values]

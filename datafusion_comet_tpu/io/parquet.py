@@ -357,13 +357,15 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
 
     eligible = {}
     for n in names:
-        if n not in arrow_schema.names or arrow_schema.field(n).nullable:
+        if n not in arrow_schema.names:
             continue
         at = arrow_schema.field(n).type
         if not (pa.types.is_integer(at) or pa.types.is_floating(at)):
             continue  # temporal/decimal logical types keep the host path
         ci_pt = phys.get(n)
         if ci_pt and ci_pt[1] in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+            # nullable columns expand through their definition levels on
+            # device (exec/decode.py _expand_def_levels)
             eligible[n] = ci_pt
     host_cols = [n for n in names if n not in eligible]
     tbl = pf.read(columns=host_cols) if host_cols else None
@@ -387,7 +389,8 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
         import pyarrow as pa
         for n, arr in placeholder.items():
             tbl = tbl.append_column(
-                pa.field(n, arrow_schema.field(n).type, nullable=False), pa.array(arr))
+                pa.field(n, arrow_schema.field(n).type,
+                         nullable=arrow_schema.field(n).nullable), pa.array(arr))
         tbl = tbl.select(names)
         batch = arrow_table_to_batch(tbl, schema=schema, columns=names, capacity=capacity)
     else:
@@ -405,12 +408,24 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
         if f.name not in eligible:
             continue
         ci, pt = eligible[f.name]
-        parts = [decode_column_chunk(path, rg, ci, np_of[pt])
-                 for rg in range(pf.metadata.num_row_groups)]
+        nullable = arrow_schema.field(f.name).nullable
+        parts, vparts = [], []
+        for rg in range(pf.metadata.num_row_groups):
+            got = decode_column_chunk(path, rg, ci, np_of[pt], with_validity=nullable)
+            if nullable:
+                parts.append(got[0])
+                vparts.append(got[1])
+            else:
+                parts.append(got)
         dev = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         want = cols[i].data.dtype
         dev = jnp.pad(dev, (0, cap - dev.shape[0])).astype(want)
-        cols[i] = dataclasses.replace(cols[i], data=dev)
+        if nullable:
+            vd = jnp.concatenate(vparts) if len(vparts) > 1 else vparts[0]
+            vd = jnp.pad(vd, (0, cap - vd.shape[0]))
+            cols[i] = dataclasses.replace(cols[i], data=dev, validity=vd)
+        else:
+            cols[i] = dataclasses.replace(cols[i], data=dev)
     return Batch(tuple(cols), batch.row_mask, batch.schema)
 
 
