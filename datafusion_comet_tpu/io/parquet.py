@@ -259,7 +259,10 @@ def read_parquet(
       null fill, the schema-evolution behaviors of schema_adapter.rs).
     - ``device_decode``: decode eligible (required int/float) columns ON
       DEVICE from raw pages (io/pages.py + exec/decode.py) instead of host
-      pyarrow — the phase-2 scan path. Single plain file, no predicate.
+      pyarrow — the phase-2 scan path (single plain unencrypted file).
+      With a predicate, pages prune via the page index
+      (eager_page_index_reader_factory.rs analog) and the predicate then
+      evaluates on device.
     - ``decryption``: Parquet modular-encryption keys (reference:
       parquet/encryption_support.rs): ``{"footer_key": bytes,
       "column_keys": {column: bytes}, "kms": optional KmsClient}``. Uses an
@@ -272,8 +275,9 @@ def read_parquet(
     paths = _expand(path)
     import pyarrow as pa
 
-    if device_decode and len(paths) == 1 and predicate is None and fs is None:
-        return _read_parquet_device(paths[0], columns, schema, capacity)
+    if device_decode and len(paths) == 1 and fs is None and decryption is None:
+        return _read_parquet_device(paths[0], columns, schema, capacity,
+                                    predicate=predicate)
 
     dec_props = _decryption_properties(decryption)
     rel_base0 = fs_root if fs is not None else path
@@ -332,11 +336,15 @@ def read_parquet(
 
 
 def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
-                         capacity: Optional[int]) -> Batch:
-    """Phase-2 scan: eligible (required int32/int64/float/double, non-
-    nested) columns never touch the host decoder — raw pages ship to the
-    device and unpack there (exec/decode.py); everything else takes the
-    pyarrow staging path with zero-filled placeholders replaced after."""
+                         capacity: Optional[int],
+                         predicate: Optional[E.Expr] = None) -> Batch:
+    """Phase-2 scan: eligible (int32/int64/float/double, non-nested)
+    columns never touch the host decoder — raw pages ship to the device and
+    unpack there (exec/decode.py); everything else takes the pyarrow
+    staging path with zero-filled placeholders replaced after. A predicate
+    prunes pages through the hand-parsed page index (io/pageindex.py) —
+    pruned pages skip decode and their rows stage dead — and then runs
+    exactly on device before the batch is returned."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -401,6 +409,18 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
         from datafusion_comet_tpu.exec.batch import from_numpy
 
         batch = from_numpy(data, schema, capacity=capacity)
+    # page-index pruning (eager_page_index_reader_factory.rs analog):
+    # per row group, rows provably failing the predicate go dead and the
+    # covering pages of every device-decoded column skip decode entirely
+    rg_keep: List[Optional[np.ndarray]] = []
+    rg_masks: List[Dict[str, List[bool]]] = []
+    if predicate is not None:
+        from datafusion_comet_tpu.io.pageindex import compute_page_masks
+
+        for rg in range(pf.metadata.num_row_groups):
+            keep, masks = compute_page_masks(pf, path, predicate, rg)
+            rg_keep.append(keep)
+            rg_masks.append(masks)
     # replace placeholders with device-decoded columns
     cols = list(batch.columns)
     cap = batch.row_mask.shape[0]
@@ -411,7 +431,9 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
         nullable = arrow_schema.field(f.name).nullable
         parts, vparts = [], []
         for rg in range(pf.metadata.num_row_groups):
-            got = decode_column_chunk(path, rg, ci, np_of[pt], with_validity=nullable)
+            pm = rg_masks[rg].get(f.name) if rg < len(rg_masks) else None
+            got = decode_column_chunk(path, rg, ci, np_of[pt],
+                                      with_validity=nullable, page_mask=pm)
             if nullable:
                 parts.append(got[0])
                 vparts.append(got[1])
@@ -426,7 +448,22 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
             cols[i] = dataclasses.replace(cols[i], data=dev, validity=vd)
         else:
             cols[i] = dataclasses.replace(cols[i], data=dev)
-    return Batch(tuple(cols), batch.row_mask, batch.schema)
+    mask = batch.row_mask
+    if predicate is not None:
+        if any(k is not None for k in rg_keep):
+            keep_all = np.concatenate([
+                k if k is not None else np.ones(pf.metadata.row_group(rg).num_rows, bool)
+                for rg, k in enumerate(rg_keep)])
+            keep_all = np.pad(keep_all, (0, cap - len(keep_all)))
+            mask = mask & jnp.asarray(keep_all)
+        # the exact predicate runs on device over the staged batch (the
+        # read_parquet(predicate=...) contract: returned rows satisfy it)
+        out = Batch(tuple(cols), mask, batch.schema)
+        from datafusion_comet_tpu.exec.evaluator import evaluate_predicate
+
+        bound = E.bind(predicate, out.schema) if predicate.dtype is None else predicate
+        return Batch(out.columns, mask & evaluate_predicate(bound, out), out.schema)
+    return Batch(tuple(cols), mask, batch.schema)
 
 
 def _in_memory_kms(keys: dict):

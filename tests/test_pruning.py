@@ -60,3 +60,65 @@ def test_count_star_keeps_one_column():
     s = Session()
     s.register_numpy("t", {"a": np.arange(5, dtype=np.int64), "b": list("abcde")}, schema)
     assert int(s.collect(plan)["c"][0]) == 5
+
+
+class TestPageIndexPruning:
+    """Page-level pruning via the hand-parsed ColumnIndex/OffsetIndex
+    (reference: eager_page_index_reader_factory.rs)."""
+
+    def _file(self, tmp_path, n=200_000):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sorted_col = np.arange(n, dtype=np.int64)
+        other = np.arange(n, dtype=np.float64) * 0.5
+        t = pa.table({"k": pa.array(sorted_col), "v": pa.array(other)})
+        p = str(tmp_path / "pidx.parquet")
+        pq.write_table(t, p, compression="zstd", write_page_index=True,
+                       data_page_size=16_384, row_group_size=n)
+        return p, sorted_col, other
+
+    def test_page_masks_prune_sorted_column(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from datafusion_comet_tpu.io.pageindex import compute_page_masks, read_page_index
+
+        p, k, v = self._file(tmp_path)
+        pf = pq.ParquetFile(p)
+        idx = read_page_index(p, 0, 0, len(k))
+        assert idx is not None and idx.num_pages() > 4
+        pred = E.bind((E.col("k") >= E.lit(150_000, T.INT64)),
+                      T.Schema([T.Field("k", T.INT64), T.Field("v", T.FLOAT64)]))
+        keep, masks = compute_page_masks(pf, p, pred, 0)
+        assert keep is not None
+        assert keep.sum() < len(k)  # some rows pruned
+        assert not all(masks["k"])  # some pages skipped
+        assert keep[-1] and not keep[0]
+
+    def test_device_read_with_predicate_matches_host(self, tmp_path):
+        from datafusion_comet_tpu.exec.batch import to_numpy
+        from datafusion_comet_tpu.io.parquet import read_parquet
+
+        p, k, v = self._file(tmp_path, n=120_000)
+        pred = (E.col("k") >= E.lit(100_000, T.INT64))
+        dev = read_parquet(p, predicate=pred, device_decode=True)
+        got = to_numpy(dev)
+        want = k >= 100_000
+        np.testing.assert_array_equal(np.sort(got["k"]), k[want])
+        np.testing.assert_allclose(np.sort(got["v"]), np.sort(v[want]))
+
+    def test_no_page_index_still_correct(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from datafusion_comet_tpu.exec.batch import to_numpy
+        from datafusion_comet_tpu.io.parquet import read_parquet
+
+        n = 50_000
+        kcol = np.arange(n, dtype=np.int64)
+        t = pa.table({"k": pa.array(kcol)})
+        p = str(tmp_path / "noidx.parquet")
+        pq.write_table(t, p, write_page_index=False)
+        pred = (E.col("k") < E.lit(1000, T.INT64))
+        got = to_numpy(read_parquet(p, predicate=pred, device_decode=True))
+        np.testing.assert_array_equal(np.sort(got["k"]), np.arange(1000))
