@@ -120,6 +120,15 @@ SHUFFLE_MODE = _entry(
     "auto|hash|broadcast preference for join distribution "
     "(spark.comet.shuffle.mode analog).",
 )
+CAST_ALLOW_INCOMPATIBLE = _entry(
+    "comet.expression.Cast.allowIncompatible", True, "expressions",
+    "Allow cast pairs marked Incompatible in the cast support matrix "
+    "(docs/cast_matrix.md; spark.comet.expression.Cast.allowIncompatible "
+    "analog — the reference defaults this OFF; here it defaults ON because "
+    "there is no second engine to fall back to and every deviation is "
+    "documented). Off = plans using such casts become unsupported with a "
+    "per-pair reason.",
+)
 # ---- expressions --------------------------------------------------------------------
 JSON_DEVICE = _entry(
     "comet.expr.json.deviceEnabled", True, "expr",

@@ -863,6 +863,16 @@ def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: Eva
                 data = cv.data.astype(jnp.float64) / (10.0**frm.scale)
             return ColumnVector(data.astype(to.np_dtype()), validity, None, to)
         raise NotImplementedError(f"cast decimal -> {to!r}")
+    if frm.type_id in ("TIMESTAMP", "TIMESTAMP_NTZ") and (
+            to.is_integer or to.is_floating):
+        # Spark: timestamp -> numeric is SECONDS since epoch (floored for
+        # integers, fractional for floats — cast.rs timestamp-to-numeric)
+        micros = cv.data.astype(jnp.int64)
+        if to.is_integer:
+            sec = jnp.floor_divide(micros, np.int64(1_000_000))
+            return _int_narrow(sec, validity, to, mode, ctx)
+        return ColumnVector((micros.astype(jnp.float64) / 1e6).astype(to.np_dtype()),
+                            validity, None, to)
     if to.is_integer:
         if frm.is_floating:
             lo, hi = to.int_bounds()
@@ -894,6 +904,17 @@ def _cast(cv: ColumnVector, frm: T.DataType, to: T.DataType, mode: str, ctx: Eva
             # local midnight -> instant (DST gaps resolve to the pre-gap
             # offset; docs/compatibility.md)
             micros = micros - _tz_offset_micros(micros, tz, local=True)
+        return ColumnVector(micros, validity, None, to)
+    if to.type_id in ("TIMESTAMP", "TIMESTAMP_NTZ") and (
+            frm.is_integer or frm.is_floating or frm.is_boolean):
+        # Spark: numeric = SECONDS since epoch (fraction kept to micros);
+        # NaN/Inf → null (cast.rs numeric-to-timestamp)
+        if frm.is_floating:
+            sec = cv.data.astype(jnp.float64)
+            ok = jnp.isfinite(sec) & (jnp.abs(sec) < 9.3e12)  # micros fit i64
+            micros = jnp.where(ok, sec * 1e6, 0.0).astype(jnp.int64)
+            return ColumnVector(micros, validity & ok, None, to)
+        micros = cv.data.astype(jnp.int64) * np.int64(1_000_000)
         return ColumnVector(micros, validity, None, to)
     raise NotImplementedError(f"cast {frm!r} -> {to!r}")
 

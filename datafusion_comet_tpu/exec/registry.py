@@ -234,6 +234,18 @@ def gate_reasons(plan: P.PlanNode, conf: Optional[C.Config] = None) -> List[str]
                 g = _EXPR_GATES.get(key)
                 if g is not None and not conf.get(g):
                     reasons.append(f"expression {key} disabled by {g.key}")
+            if isinstance(e, E.Cast) and not conf.get(C.CAST_ALLOW_INCOMPATIBLE):
+                frm = e.child.dtype
+                if frm is not None and e.to is not None:
+                    from datafusion_comet_tpu.exec.cast_matrix import support_for_types
+
+                    lvl, note = support_for_types(frm, e.to)
+                    pair = f"cast {frm.type_id}->{e.to.type_id}"
+                    if lvl == "incompatible" and pair not in seen_exprs:
+                        seen_exprs.add(pair)
+                        reasons.append(
+                            f"{pair} is Incompatible ({note}); set "
+                            f"{C.CAST_ALLOW_INCOMPATIBLE.key}=true to allow")
         for c in p.children():
             walk(c)
 

@@ -1,4 +1,4 @@
-"""TPC-DS workload: schemas, skewed-key generator, 20 queries.
+"""TPC-DS workload: schemas, skewed-key generator, all 99 queries.
 
 BASELINE.json configs[3] names "TPC-DS SF1000 subset with skewed join keys".
 The generator draws fact-table join keys from a Zipf-like distribution so

@@ -75,3 +75,48 @@ class TestStringToTimestamp:
         fmt = E.col("ts").cast(T.string(30))
         got = run(fmt.cast(T.TIMESTAMP))
         assert [int(g) for g in got] == MICROS
+
+
+class TestNumericTimestampCasts:
+    """Spark cast semantics: numeric <-> timestamp is SECONDS since epoch
+    (reference: cast.rs numeric/timestamp arms)."""
+
+    def _eval(self, data, frm, to):
+        import jax.numpy as jnp
+
+        from datafusion_comet_tpu.exec.batch import from_numpy
+        from datafusion_comet_tpu.exec.evaluator import evaluate
+
+        s = T.Schema([T.Field("x", frm)])
+        b = from_numpy({"x": data}, s)
+        return evaluate(E.bind(E.Cast(E.col("x"), to), s), b)
+
+    def test_long_to_timestamp_seconds(self):
+        out = self._eval(np.array([0, 1, -5, 1700000000], np.int64),
+                         T.INT64, T.TIMESTAMP)
+        np.testing.assert_array_equal(
+            np.asarray(out.data)[:4],
+            np.array([0, 1_000_000, -5_000_000, 1_700_000_000_000_000]))
+
+    def test_double_to_timestamp_fractional(self):
+        out = self._eval(np.array([1.5, -0.25, np.nan, np.inf]),
+                         T.FLOAT64, T.TIMESTAMP)
+        got = np.asarray(out.data)
+        ok = np.asarray(out.validity)
+        assert got[0] == 1_500_000 and got[1] == -250_000
+        assert not ok[2] and not ok[3]  # NaN/Inf -> null
+
+    def test_timestamp_to_long_floors_seconds(self):
+        out = self._eval(np.array([1_500_000, -1_500_000, 0], np.int64),
+                         T.TIMESTAMP, T.INT64)
+        np.testing.assert_array_equal(np.asarray(out.data)[:3], [1, -2, 0])
+
+    def test_timestamp_to_double_seconds(self):
+        out = self._eval(np.array([1_500_000, -250_000], np.int64),
+                         T.TIMESTAMP, T.FLOAT64)
+        np.testing.assert_allclose(np.asarray(out.data)[:2], [1.5, -0.25])
+
+    def test_roundtrip(self):
+        out = self._eval(np.array([123456789], np.int64), T.INT64, T.TIMESTAMP)
+        back = self._eval(np.asarray(out.data), T.TIMESTAMP, T.INT64)
+        assert int(np.asarray(back.data)[0]) == 123456789
