@@ -83,7 +83,7 @@ STAGE_MAX_JOINS = _entry(
     "tables). Bounds XLA program size: join-heavy TPC-H programs (q5/q18) "
     "monolithically exceed the TPU compiler's practical limits, and "
     "per-stage compiles hit the persistent cache independently. 0 disables "
-    "staging (always compile one program).",
+    "staging (always compile one program).", env_var="COMET_STAGE_MAX_JOINS",
 )
 BNLJ_MAX_PRODUCT = _entry(
     "comet.exec.bnlj.maxProductRows", 1 << 26, "exec",

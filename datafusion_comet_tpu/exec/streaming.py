@@ -189,3 +189,142 @@ def _concat(a: Batch, b: Batch) -> Batch:
             )
         )
     return Batch(tuple(cols), jnp.concatenate([a.row_mask, b.row_mask]), a.schema)
+
+
+# -------------------------------------------------------------------------------------
+# Distributed tiled aggregate: exchange ↔ compute overlap (SURVEY §2d item 4)
+# -------------------------------------------------------------------------------------
+
+
+def execute_tiled_aggregate_distributed(
+    plan: P.PlanNode,
+    tiles: Iterator[Batch],
+    table: str,
+    mesh=None,
+) -> Batch:
+    """Tiled aggregate over a device mesh with exchange↔compute overlap.
+
+    Per tile, ONE jitted SPMD step runs: local Partial over the tile shard →
+    hash all-to-all of the partial states on the group keys (each group
+    lands on its owner device) → PartialMerge into the device-resident
+    accumulator (donated; never leaves HBM). Steps are dispatched
+    asynchronously, so tile N+1's host staging + dispatch overlap tile N's
+    exchange + merge on device — the double-buffered pipeline of the
+    reference's 2-deep producer/consumer channel (jni_api.rs:822-859),
+    expressed as XLA async dispatch instead of a thread pair.
+    """
+    import jax
+    from jax import shard_map
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PSpec
+
+    from datafusion_comet_tpu.parallel.executor import run_plan_spmd
+    from datafusion_comet_tpu.parallel.mesh import PARTITION_AXIS, make_mesh
+
+    mesh = mesh or make_mesh()
+    np_ = mesh.devices.size
+    bound = P.bind_plan(plan) if plan.schema is None else plan
+    agg = _split_agg(bound)
+    partial = P.HashAggregate(
+        agg.child, agg.group_exprs, agg.agg_exprs, P.AggMode.PARTIAL, agg.max_groups
+    )
+    partial.schema = _partial_schema(agg)
+    merge_groups = tuple(
+        E.bind(E.col(g.name), partial.schema) for g in agg.group_exprs
+    )
+    keys = merge_groups
+
+    ex = P.ShuffleExchange(partial, "hash", keys, np_)
+    ex.schema = partial.schema
+    u = P.Union((_pseudo_scan("__acc", partial.schema), ex))
+    u.schema = partial.schema
+    merge_node = P.HashAggregate(u, merge_groups, agg.agg_exprs,
+                                 P.AggMode.PARTIAL_MERGE, agg.max_groups)
+    merge_node.schema = partial.schema
+
+    final_gather = P.ShuffleExchange(_pseudo_scan("__acc", partial.schema),
+                                     "single", (), np_)
+    final_gather.schema = partial.schema
+    final_node = P.HashAggregate(final_gather, merge_groups, agg.agg_exprs,
+                                 P.AggMode.FINAL, agg.max_groups)
+    final_node.schema = agg.schema
+
+    sh = NamedSharding(mesh, PSpec(PARTITION_AXIS))
+
+    def shard(b: Batch) -> Batch:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), b)
+
+    @jax.jit
+    def step(tile: Batch, acc: Batch):
+        fn = shard_map(
+            lambda tables: run_plan_spmd(
+                merge_node, tables, np_, PARTITION_AXIS)[0],
+            mesh=mesh,
+            in_specs=(PSpec(PARTITION_AXIS),),
+            out_specs=PSpec(PARTITION_AXIS),
+            check_vma=False,
+        )
+        return fn({table: tile, "__acc": acc})
+
+    @jax.jit
+    def finish(acc: Batch):
+        fn = shard_map(
+            lambda tables: run_plan_spmd(
+                final_node, tables, np_, PARTITION_AXIS)[0],
+            mesh=mesh,
+            in_specs=(PSpec(PARTITION_AXIS),),
+            out_specs=PSpec(PARTITION_AXIS),
+            check_vma=False,
+        )
+        return fn({"__acc": acc})
+
+    acc: Optional[Batch] = None
+    for tile in tiles:
+        tile = shard(_pad_rows_to(tile, np_))
+        if acc is None:
+            # empty accumulator: max_groups dead rows per device
+            from datafusion_comet_tpu.exec.batch import pad_capacity
+
+            gcap = pad_capacity(max(agg.max_groups or 1024, 8)) * np_
+            acc = shard(_dead_batch(partial.schema, gcap))
+        acc = step(tile, acc)
+    if acc is None:
+        raise ValueError("no input tiles")
+    out = finish(acc)
+    # partition 0 holds the gathered final rows; others are dead
+    return out
+
+
+def _pad_rows_to(b: Batch, np_: int) -> Batch:
+    """Round the tile capacity up so it splits evenly across devices."""
+    cap = b.row_mask.shape[0]
+    if cap % np_ == 0:
+        return b
+    import dataclasses as _dc
+
+    pad = np_ - cap % np_
+
+    def padc(cv):
+        d = jnp.pad(cv.data, [(0, pad)] + [(0, 0)] * (cv.data.ndim - 1))
+        v = jnp.pad(cv.validity, (0, pad))
+        ln = None if cv.lengths is None else jnp.pad(cv.lengths, (0, pad))
+        return _dc.replace(cv, data=d, validity=v, lengths=ln)
+
+    return Batch(tuple(padc(c) for c in b.columns),
+                 jnp.pad(b.row_mask, (0, pad)), b.schema)
+
+
+def _dead_batch(schema: T.Schema, capacity: int) -> Batch:
+    from datafusion_comet_tpu.exec.batch import ColumnVector
+
+    cols = []
+    for f in schema.fields:
+        if f.dtype.is_binary:
+            cols.append(ColumnVector(
+                jnp.zeros((capacity, f.dtype.byte_width), jnp.uint8),
+                jnp.zeros(capacity, bool), jnp.zeros(capacity, jnp.int32), f.dtype))
+        else:
+            cols.append(ColumnVector(
+                jnp.zeros(capacity, f.dtype.np_dtype()),
+                jnp.zeros(capacity, bool), None, f.dtype))
+    return Batch(tuple(cols), jnp.zeros(capacity, bool), schema)
