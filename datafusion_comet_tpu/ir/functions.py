@@ -37,6 +37,16 @@ __all__ = [
     "from_json",
     "to_json",
     "parse_url",
+    "from_csv",
+    "to_csv",
+    "xpath",
+    "xpath_string",
+    "xpath_boolean",
+    "xpath_int",
+    "xpath_long",
+    "xpath_short",
+    "xpath_float",
+    "xpath_double",
     "python_udf",
 ]
 
@@ -349,6 +359,166 @@ def parse_url(child: E.Expr, part: str, key: str = "", out_len: int = 0) -> E.Py
         }.get(part)
 
     return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "parse_url")
+
+
+def from_csv(child: E.Expr, schema: T.DataType, sep: str = ",") -> E.PythonUdf:
+    """Spark from_csv(col, schema[, options]): parse one CSV line into a
+    STRUCT by position; null FIELDS on malformed cells, null row on None
+    (reference: csv_funcs from_csv; QueryPlanSerde.scala:345)."""
+    assert schema.is_struct, "from_csv needs a STRUCT schema"
+
+    def cell(raw, dt: T.DataType):
+        if raw is None or raw == "":
+            return None
+        try:
+            if dt.is_binary:
+                return raw
+            if dt.is_boolean:
+                return raw.strip().lower() == "true"
+            if dt.is_integer:
+                return int(raw.strip())
+            return float(raw.strip())
+        except (TypeError, ValueError):
+            return None
+
+    import csv as _csv
+    import io as _io
+
+    def fn(s):
+        if s is None:
+            return None
+        try:
+            row = next(_csv.reader(_io.StringIO(s), delimiter=sep))
+        except (StopIteration, _csv.Error):
+            row = []
+        fields = schema.struct_fields
+        row = list(row) + [None] * (len(fields) - len(row))
+        return {f.name: cell(row[i], f.dtype) for i, f in enumerate(fields)}
+
+    return E.PythonUdf(fn, (child,), schema, "from_csv")
+
+
+def to_csv(child: E.Expr, sep: str = ",", out_len: int = 0) -> E.PythonUdf:
+    """Spark to_csv(struct): one CSV line, fields in struct order; quoting
+    per RFC4180 when a cell contains the separator/quote/newline."""
+    import csv as _csv
+    import io as _io
+
+    def fn(v):
+        if v is None:
+            return None
+        vals = list(v.values()) if isinstance(v, dict) else list(v)
+        buf = _io.StringIO()
+        w = _csv.writer(buf, delimiter=sep, lineterminator="")
+        w.writerow(["" if x is None else
+                    ("true" if x is True else "false" if x is False else x)
+                    for x in vals])
+        return buf.getvalue()
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "to_csv")
+
+
+def _xpath_nodes(s: str, path: str):
+    """ElementTree XPath-subset evaluation (documented deviation: full XPath
+    1.0 — as in the reference's xpath kernels — is reduced to the
+    ElementTree subset: tags, /, //, [@attr], [n], *)."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(s)
+    except ET.ParseError:
+        return None
+    p = path.strip()
+    attr = None
+    if "/@" in p:
+        p, attr = p.rsplit("/@", 1)
+    if p.startswith("//"):
+        p = ".//" + p[2:]
+    elif p.startswith("/"):
+        # absolute path: first segment must match the root tag
+        segs = p[1:].split("/", 1)
+        if segs[0] not in ("*", root.tag):
+            return []
+        p = "." if len(segs) == 1 else "./" + segs[1]
+    nodes = root.findall(p) if p not in (".",) else [root]
+    if attr is not None:
+        return [n.get(attr) for n in nodes if n.get(attr) is not None]
+    return nodes
+
+
+def xpath(child: E.Expr, path: str, max_elems: int = 16, elem_len: int = 0) -> E.PythonUdf:
+    """Spark xpath(xml, path) → array of node text values."""
+
+    def fn(s):
+        if s is None:
+            return None
+        nodes = _xpath_nodes(s, path)
+        if nodes is None:
+            return None
+        return [(n if isinstance(n, str) else (n.text or "")) for n in nodes][:max_elems]
+
+    return E.PythonUdf(
+        fn, (child,), T.list_(T.string(elem_len or T.DEFAULT_STRING_LEN), max_elems), "xpath")
+
+
+def xpath_string(child: E.Expr, path: str, out_len: int = 0) -> E.PythonUdf:
+    def fn(s):
+        if s is None:
+            return None
+        nodes = _xpath_nodes(s, path)
+        if not nodes:
+            return None
+        n = nodes[0]
+        return n if isinstance(n, str) else "".join(n.itertext())
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "xpath_string")
+
+
+def xpath_boolean(child: E.Expr, path: str) -> E.PythonUdf:
+    def fn(s):
+        if s is None:
+            return None
+        nodes = _xpath_nodes(s, path)
+        return bool(nodes)
+
+    return E.PythonUdf(fn, (child,), T.BOOL, "xpath_boolean")
+
+
+def _xpath_numeric(child: E.Expr, path: str, dt: T.DataType, conv, name: str) -> E.PythonUdf:
+    def fn(s):
+        if s is None:
+            return None
+        nodes = _xpath_nodes(s, path)
+        if not nodes:
+            return None
+        n = nodes[0]
+        txt = n if isinstance(n, str) else "".join(n.itertext())
+        try:
+            return conv(float(txt.strip()))
+        except (TypeError, ValueError):
+            return None
+
+    return E.PythonUdf(fn, (child,), dt, name)
+
+
+def xpath_int(child: E.Expr, path: str) -> E.PythonUdf:
+    return _xpath_numeric(child, path, T.INT32, int, "xpath_int")
+
+
+def xpath_long(child: E.Expr, path: str) -> E.PythonUdf:
+    return _xpath_numeric(child, path, T.INT64, int, "xpath_long")
+
+
+def xpath_short(child: E.Expr, path: str) -> E.PythonUdf:
+    return _xpath_numeric(child, path, T.INT16, int, "xpath_short")
+
+
+def xpath_float(child: E.Expr, path: str) -> E.PythonUdf:
+    return _xpath_numeric(child, path, T.FLOAT32, float, "xpath_float")
+
+
+def xpath_double(child: E.Expr, path: str) -> E.PythonUdf:
+    return _xpath_numeric(child, path, T.FLOAT64, float, "xpath_double")
 
 
 def python_udf(fn, args, out_dtype: T.DataType, name: str = "python_udf") -> E.PythonUdf:

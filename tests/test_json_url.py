@@ -48,3 +48,63 @@ def test_parse_url():
     assert run(F.parse_url(E.col("u"), "PATH"), data, schema) == ["/p/q", "notaurl", None]
     assert run(F.parse_url(E.col("u"), "QUERY", "y"), data, schema) == ["2", None, None]
     assert run(F.parse_url(E.col("u"), "REF"), data, schema) == ["frag", None, None]
+
+
+# ---- from_csv / to_csv (reference: csv_funcs, QueryPlanSerde.scala:345) ----
+
+
+def test_from_csv_struct():
+    schema = T.Schema([T.Field("c", T.string(32))])
+    data = {"c": ["1,hello,2.5", "2,,3.5", "bad_int,x,y", None]}
+    st = T.struct(("a", T.INT32), ("b", T.string(8)), ("v", T.FLOAT64))
+    got = run(F.from_csv(E.col("c"), st), data, schema)
+    assert got[0] == {"a": 1, "b": "hello", "v": 2.5}
+    assert got[1] == {"a": 2, "b": None, "v": 3.5}
+    assert got[2] == {"a": None, "b": "x", "v": None}
+    assert got[3] is None
+
+
+def test_from_csv_quoted_separator():
+    schema = T.Schema([T.Field("c", T.string(32))])
+    data = {"c": ['"a,b",2']}
+    st = T.struct(("x", T.string(8)), ("y", T.INT32))
+    got = run(F.from_csv(E.col("c"), st), data, schema)
+    assert got[0] == {"x": "a,b", "y": 2}
+
+
+def test_to_csv_roundtrip():
+    schema = T.Schema([T.Field("c", T.string(32))])
+    data = {"c": ["1,x,true", "2,y,false"]}
+    st = T.struct(("a", T.INT32), ("b", T.string(4)), ("f", T.BOOL))
+    expr = F.to_csv(F.from_csv(E.col("c"), st))
+    got = run(expr, data, schema)
+    assert got == ["1,x,true", "2,y,false"]
+
+
+# ---- xpath family (reference: QueryPlanSerde.scala:348) --------------------
+
+
+XML = "<root><a attr='1'>one</a><a>two</a><b><n>42</n></b></root>"
+
+
+def test_xpath_array():
+    schema = T.Schema([T.Field("x", T.string(64))])
+    got = run(F.xpath(E.col("x"), "//a"), {"x": [XML, "<bad", None]}, schema)
+    assert got[0] == ["one", "two"]
+    assert got[1] is None and got[2] is None
+
+
+def test_xpath_string_and_attr():
+    schema = T.Schema([T.Field("x", T.string(64))])
+    got = run(F.xpath_string(E.col("x"), "//b/n"), {"x": [XML]}, schema)
+    assert got == ["42"]
+    got = run(F.xpath_string(E.col("x"), "//a/@attr"), {"x": [XML]}, schema)
+    assert got == ["1"]
+
+
+def test_xpath_numeric_and_boolean():
+    schema = T.Schema([T.Field("x", T.string(64))])
+    assert run(F.xpath_long(E.col("x"), "//b/n"), {"x": [XML]}, schema) == [42]
+    assert run(F.xpath_double(E.col("x"), "//b/n"), {"x": [XML]}, schema) == [42.0]
+    assert run(F.xpath_boolean(E.col("x"), "//b"), {"x": [XML]}, schema) == [True]
+    assert run(F.xpath_boolean(E.col("x"), "//zzz"), {"x": [XML]}, schema) == [False]
