@@ -356,11 +356,20 @@ def _replace_children_exec(plan, kids):
 
 
 class DistributedSession:
-    """Multi-device session: tables sharded row-wise over a 1-D mesh; plans
-    rewritten by distribute() and executed as one shard_mapped XLA program."""
+    """Multi-device session: tables sharded row-wise over the mesh; plans
+    rewritten by distribute() and executed as one shard_mapped XLA program.
+
+    Accepts a 1-D mesh (axis "p") or a multi-host-shaped 2-D mesh with axes
+    ("dcn", "ici") — outer axis spanning hosts over DCN, inner axis the
+    chips of one host over ICI (the jax multi-host convention; How to Scale
+    Your Model's mesh recipe). Collectives then run over the flattened axis
+    tuple, so XLA routes the intra-host legs over ICI and only the
+    cross-host legs over DCN."""
 
     def __init__(self, mesh: Optional[Mesh] = None, join_fanout: int = 4):
         self.mesh = mesh or make_mesh()
+        self.axis = (tuple(self.mesh.axis_names) if len(self.mesh.axis_names) > 1
+                     else self.mesh.axis_names[0])
         self.num_partitions = self.mesh.devices.size
         self.join_fanout = join_fanout
         self.tables: Dict[str, Batch] = {}
@@ -391,7 +400,7 @@ class DistributedSession:
         self.tables[name] = self._shard(batch)
 
     def _shard(self, batch: Batch) -> Batch:
-        sh = NamedSharding(self.mesh, PSpec(PARTITION_AXIS))
+        sh = NamedSharding(self.mesh, PSpec(self.axis))
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
     def compile(self, plan: P.PlanNode, shuffle_slack: int = 2, join_fanout=None,
@@ -410,15 +419,17 @@ class DistributedSession:
         fanout = join_fanout or self.join_fanout
         mesh = self.mesh
 
+        axis = self.axis
+
         def step(tables):
             fn = shard_map(
                 lambda t: run_plan_spmd(
-                    dplan, t, np_, PARTITION_AXIS, fanout, False, shuffle_slack,
+                    dplan, t, np_, axis, fanout, False, shuffle_slack,
                     agg_scale,
                 ),
                 mesh=mesh,
-                in_specs=(PSpec(PARTITION_AXIS),),
-                out_specs=(PSpec(PARTITION_AXIS), PSpec()),
+                in_specs=(PSpec(axis),),
+                out_specs=(PSpec(axis), PSpec()),
                 check_vma=False,
             )
             return fn(tables)

@@ -13,7 +13,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["make_mesh", "PARTITION_AXIS", "row_sharding", "replicated"]
+__all__ = ["make_mesh", "make_mesh_2d", "PARTITION_AXIS", "row_sharding", "replicated"]
 
 PARTITION_AXIS = "p"
 
@@ -32,3 +32,16 @@ def row_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
+
+
+def make_mesh_2d(dcn: int, ici: Optional[int] = None, devices=None) -> Mesh:
+    """Multi-host-shaped mesh: outer axis "dcn" spans host groups (data-
+    center network), inner axis "ici" the chips of one host. Collectives
+    over the flattened ("dcn", "ici") tuple let XLA route intra-host legs
+    over ICI and only cross-host legs over DCN (the scaling-book mesh
+    recipe). On a single host this validates the 2-D program shape with
+    virtual devices."""
+    devs = devices if devices is not None else jax.devices()
+    ici = ici or (len(devs) // dcn)
+    devs = devs[: dcn * ici]
+    return Mesh(np.array(devs).reshape(dcn, ici), ("dcn", "ici"))

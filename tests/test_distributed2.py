@@ -163,3 +163,27 @@ class TestOuterJoinsHashPartitioned:
 
         walk(d)
         assert kinds == ["hash", "hash"]
+
+
+def test_2d_dcn_ici_mesh_matches_single():
+    """Multi-host-shaped (dcn, ici) mesh: collectives ride the flattened
+    axis tuple; results match the single-device session (the DCN story —
+    outer axis spans hosts, inner axis one host's chips)."""
+    from datafusion_comet_tpu.models import tpch
+    from datafusion_comet_tpu.parallel.mesh import make_mesh_2d
+
+    data = tpch.generate_tables(["lineitem"], 0.002)
+    d = DistributedSession(make_mesh_2d(2, 4))
+    s = Session()
+    for n, cols in data.items():
+        d.register_numpy(n, cols, tpch.SCHEMAS[n])
+        s.register_numpy(n, cols, tpch.SCHEMAS[n])
+    got = d.collect(tpch.q1())
+    want = s.collect(tpch.q1())
+    for k in want:
+        if k.endswith("__valid"):
+            continue
+        if np.issubdtype(np.asarray(want[k]).dtype, np.floating):
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-9)
+        else:
+            np.testing.assert_array_equal(got[k], want[k])
