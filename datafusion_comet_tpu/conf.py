@@ -129,6 +129,14 @@ CAST_ALLOW_INCOMPATIBLE = _entry(
     "documented). Off = plans using such casts become unsupported with a "
     "per-pair reason.",
 )
+DEBUG_VALIDATE_BATCHES = _entry(
+    "comet.debug.validateBatches", False, "debug",
+    "Validate every operator's output batch invariants during tracing "
+    "(shape/dtype/structure; values too outside jit) — the "
+    "DebugBatchStream / debug_native validate_full analog "
+    "(debug_batch_stream.rs, jni_api.rs:697). Raises BatchInvariantError "
+    "naming the operator.",
+)
 # ---- expressions --------------------------------------------------------------------
 JSON_DEVICE = _entry(
     "comet.expr.json.deviceEnabled", True, "expr",

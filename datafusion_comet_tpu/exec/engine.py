@@ -72,6 +72,12 @@ def _exec(plan, tables, ctx, flags, fanout, metrics=None) -> Batch:
     out = _exec_inner(plan, tables, ctx, flags, fanout, metrics)
     if metrics is not None:
         metrics.record(plan, out)
+    from datafusion_comet_tpu.conf import CONF, DEBUG_VALIDATE_BATCHES
+
+    if CONF.get(DEBUG_VALIDATE_BATCHES):
+        from datafusion_comet_tpu.exec.debug import check_batch
+
+        check_batch(out, type(plan).__name__)
     return out
 
 

@@ -108,3 +108,43 @@ class TestOperatorMetrics:
                             as_tree=True)
         assert tree.elapsed_ms is not None and tree.elapsed_ms >= 0
         assert tree.children[0].elapsed_ms is not None
+
+
+class TestDebugBatchChecker:
+    """DebugBatchStream analog: per-operator batch invariant validation."""
+
+    def test_valid_plan_passes_and_bad_batch_raises(self):
+        import numpy as np
+
+        from datafusion_comet_tpu import types as T
+        from datafusion_comet_tpu.conf import CONF, DEBUG_VALIDATE_BATCHES
+        from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
+        from datafusion_comet_tpu.exec.debug import BatchInvariantError, check_batch
+        from datafusion_comet_tpu.exec.engine import Session
+        from datafusion_comet_tpu.ir import expr as E
+        from datafusion_comet_tpu.ir import plan as P
+
+        s = T.Schema([T.Field("k", T.INT64)])
+        sess = Session()
+        sess.register_numpy("t", {"k": np.arange(100) % 5}, s)
+        plan = P.Scan("t", s).filter(E.col("k") > E.lit(1, T.INT64)).aggregate(
+            [E.col("k")], [E.AggExpr("count", None, "c")])
+        old = CONF.get(DEBUG_VALIDATE_BATCHES)
+        try:
+            CONF.set(DEBUG_VALIDATE_BATCHES, True)
+            out = sess.collect(plan)
+            assert len(out["k"]) == 3
+        finally:
+            CONF.set(DEBUG_VALIDATE_BATCHES, old)
+
+        import jax.numpy as jnp
+
+        bad = Batch(
+            (ColumnVector(jnp.zeros((4, 8), jnp.uint8), jnp.ones(4, bool),
+                          jnp.full(4, 99, jnp.int32), T.string(8)),),
+            jnp.ones(4, bool), T.Schema([T.Field("s", T.string(8))]))
+        try:
+            check_batch(bad, "Test")
+            assert False, "expected BatchInvariantError"
+        except BatchInvariantError as e:
+            assert "lengths outside" in str(e)
