@@ -2261,7 +2261,10 @@ def _math_func(e: E.MathFunc, b: Batch, ctx: EvalContext) -> ColumnVector:
             return cv
         fn = jnp.floor if f == "floor" else jnp.ceil
         return ColumnVector(fn(cv.data).astype(jnp.int64), cv.validity, None, out)
-    if f in ("sqrt", "exp", "ln", "log10", "log2", "sin", "cos", "tan", "asin", "acos", "atan", "cbrt", "expm1", "log1p", "sinh", "cosh", "tanh", "degrees", "radians", "signum"):
+    if f in ("sqrt", "exp", "ln", "log10", "log2", "sin", "cos", "tan", "asin",
+             "acos", "atan", "cbrt", "expm1", "log1p", "sinh", "cosh", "tanh",
+             "degrees", "radians", "signum", "acosh", "asinh", "atanh", "cot",
+             "csc", "sec", "rint"):
         x = _coerce(cv, T.FLOAT64, ctx).data
         fn = {
             "sqrt": jnp.sqrt,
@@ -2284,8 +2287,78 @@ def _math_func(e: E.MathFunc, b: Batch, ctx: EvalContext) -> ColumnVector:
             "degrees": jnp.degrees,
             "radians": jnp.radians,
             "signum": jnp.sign,
+            "acosh": jnp.arccosh,
+            "asinh": jnp.arcsinh,
+            "atanh": jnp.arctanh,
+            "cot": lambda v: 1.0 / jnp.tan(v),
+            "csc": lambda v: 1.0 / jnp.sin(v),
+            "sec": lambda v: 1.0 / jnp.cos(v),
+            "rint": jnp.rint,
         }[f]
-        return ColumnVector(fn(x), cv.validity, None, T.FLOAT64)
+        valid = cv.validity
+        if f in ("ln", "log10", "log2"):
+            # Spark: log of a non-positive value is NULL (not NaN/-Inf)
+            valid = valid & (x > 0.0)
+        if f == "log1p":
+            valid = valid & (x > -1.0)
+        return ColumnVector(fn(x), valid, None, T.FLOAT64)
+    if f == "factorial":
+        # Spark factorial(n): defined for 0..20, NULL outside
+        table = np.ones(21, np.int64)
+        for i in range(2, 21):
+            table[i] = table[i - 1] * i
+        n = cv.data.astype(jnp.int32)
+        ok = cv.validity & (n >= 0) & (n <= 20)
+        val = jnp.take(jnp.asarray(table), jnp.clip(n, 0, 20))
+        return ColumnVector(val, ok, None, T.INT64)
+    if f == "bit_count":
+        x = cv.data.astype(jnp.int64)
+        cnt = jax.lax.population_count(jax.lax.bitcast_convert_type(x, jnp.uint64))
+        return ColumnVector(cnt.astype(jnp.int32), cv.validity, None, T.INT32)
+    if f == "getbit":
+        x = _coerce(cv, T.INT64, ctx).data
+        pos = _coerce(args[1], T.INT32, ctx).data.astype(jnp.int64)
+        bit = jax.lax.shift_right_logical(x, jnp.clip(pos, 0, 63)) & jnp.int64(1)
+        ok = cv.validity & args[1].validity & (pos >= 0) & (pos < 64)
+        if ctx and e.eval_mode == E.EvalMode.ANSI:
+            ctx.record_error(cv.validity & args[1].validity & ((pos < 0) | (pos >= 64)),
+                             "INVALID_PARAMETER_VALUE")
+        return ColumnVector(bit.astype(jnp.int8), ok, None, T.INT8)
+    if f == "shiftrightunsigned":
+        x = cv.data
+        bits = 64 if x.dtype == jnp.int64 else 32
+        s = _coerce(args[1], T.INT32, ctx).data % bits  # Java semantics: mod width
+        val = jax.lax.shift_right_logical(x, s.astype(x.dtype))
+        return ColumnVector(val, cv.validity & args[1].validity, None, out)
+    if f == "nanvl":
+        a = _coerce(args[0], T.FLOAT64, ctx)
+        bb = _coerce(args[1], T.FLOAT64, ctx)
+        nan = jnp.isnan(a.data)
+        return ColumnVector(jnp.where(nan, bb.data, a.data),
+                            a.validity & jnp.where(nan, bb.validity, True),
+                            None, T.FLOAT64)
+    if f == "bround":
+        # round HALF_EVEN at scale d (Spark BRound); doubles + ints
+        d = int(e.args[1].value) if len(e.args) > 1 and isinstance(e.args[1], E.Literal) else 0
+        if cv.dtype.is_integer:
+            if d >= 0:
+                return cv
+            m = np.int64(10 ** (-d))
+            x = cv.data.astype(jnp.int64)
+            q = x / m
+            r = jnp.rint(q).astype(jnp.int64) * m
+            return ColumnVector(r.astype(cv.dtype.np_dtype()), cv.validity, None, cv.dtype)
+        if cv.dtype.is_decimal:
+            raise NotImplementedError("bround over decimal")
+        x = _coerce(cv, T.FLOAT64, ctx).data
+        scale = 10.0 ** d
+        return ColumnVector(jnp.rint(x * scale) / scale, cv.validity, None, T.FLOAT64)
+    if f == "log" and len(args) == 2:
+        # Logarithm(base, x): NULL for x <= 0 or base <= 0 (Spark)
+        base = _coerce(args[0], T.FLOAT64, ctx).data
+        x = _coerce(args[1], T.FLOAT64, ctx).data
+        ok = args[0].validity & args[1].validity & (x > 0.0) & (base > 0.0)
+        return ColumnVector(jnp.log(x) / jnp.log(base), ok, None, T.FLOAT64)
     if f in ("pow", "atan2", "hypot"):
         x = _coerce(args[0], T.FLOAT64, ctx).data
         y = _coerce(args[1], T.FLOAT64, ctx).data

@@ -832,7 +832,7 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         return out
     if isinstance(e, MathFunc):
         args = tuple(_bind(a, schema) for a in e.args)
-        if e.func in ("round",):
+        if e.func in ("round", "bround"):
             child = args[0]
             if child.dtype.is_decimal:
                 # Spark round(decimal(p,s), d): result decimal(p-s+d+1... keep (p, d) bounded
@@ -852,6 +852,14 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
             dt = T.FLOAT64
         elif e.func == "width_bucket":
             dt = T.INT64
+        elif e.func == "factorial":
+            dt = T.INT64
+        elif e.func == "bit_count":
+            dt = T.INT32
+        elif e.func == "getbit":
+            dt = T.INT8
+        elif e.func == "shiftrightunsigned":
+            dt = args[0].dtype if args[0].dtype.is_integer else T.INT64
         elif e.func in ("greatest", "least"):
             dt = args[0].dtype
             for a in args[1:]:
