@@ -56,6 +56,8 @@ class EvalContext:
     # allow the unique-build-key join fast path (disabled on re-plan
     # retries: a duplicate-key flag means the hint was wrong)
     unique_join_ok: bool = True
+    # lambda-variable bindings while evaluating a HigherOrderFunc body
+    lambda_env: Optional[Dict[str, object]] = None
 
     def record_error(self, flags: jax.Array, message: str) -> None:
         if self.errors is not None:
@@ -195,6 +197,14 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
         return _math_func(e, b, ctx)
     if isinstance(e, E.HashFunc):
         return _hash_func(e, b, ctx)
+    if isinstance(e, E.LambdaVar):
+        assert ctx.lambda_env is not None and e.var_name in ctx.lambda_env, (
+            f"lambda variable {e.var_name!r} evaluated outside its lambda")
+        return ctx.lambda_env[e.var_name]
+    if isinstance(e, E.HigherOrderFunc):
+        from datafusion_comet_tpu.exec import nested as NESTED
+
+        return NESTED.ev_hof(e, b, ctx, _ev)
     if isinstance(e, (E.ArrayExpr, E.StructExpr, E.GetStructField, E.MapExpr)):
         from datafusion_comet_tpu.exec import nested as NESTED
 

@@ -32,7 +32,7 @@ from datafusion_comet_tpu import types as T
 from datafusion_comet_tpu.exec.batch import Batch, ColumnVector
 from datafusion_comet_tpu.ir import expr as E
 
-__all__ = ["ev_nested"]
+__all__ = ["ev_nested", "ev_hof"]
 
 
 # -------------------------------------------------------------------------------------
@@ -648,3 +648,152 @@ def _ev_map(e: E.MapExpr, b: Batch, ctx, ev: Callable) -> ColumnVector:
         val = _gather_item(m.children[0].children[1], sel)
         return val.with_validity(m.validity & key.validity & any_hit & val.validity)
     raise NotImplementedError(f"map func {f}")
+
+
+# -------------------------------------------------------------------------------------
+# Higher-order functions (reference: array_funcs ArrayTransform/Filter/
+# Exists/ForAll/Aggregate/ZipWith/ArraySort)
+# -------------------------------------------------------------------------------------
+# TPU formulation: a scalar lambda over array elements is the SAME fused
+# expression evaluated over the flattened (rows*E,) element plane — outer
+# column captures broadcast per element with a reshape (layout-only, no
+# gather); `aggregate` folds sequentially over the static element axis (E
+# masked steps). No per-row loops anywhere.
+
+
+def _flatten_elem(elem: ColumnVector, pres: jax.Array) -> ColumnVector:
+    def g(a):
+        if a is None:
+            return None
+        return a.reshape((-1,) + a.shape[2:])
+
+    out = _map_elem(elem, g)
+    return out.with_validity(out.validity & pres.reshape(-1))
+
+
+def _unflatten(cv: ColumnVector, cap: int, ne: int) -> ColumnVector:
+    def g(a):
+        if a is None:
+            return None
+        return a.reshape((cap, ne) + a.shape[1:])
+
+    return _map_elem(cv, g)
+
+
+def _expand_batch(b: Batch, ne: int) -> Batch:
+    """Repeat every row E times via broadcast+reshape (pure layout; XLA
+    prunes columns the lambda body never touches)."""
+    from datafusion_comet_tpu.exec.operators.join import _repeat_cv
+
+    cols = tuple(_repeat_cv(c, ne) for c in b.columns)
+    mask = jnp.broadcast_to(b.row_mask[:, None], (b.capacity, ne)).reshape(-1)
+    return Batch(cols, mask, b.schema)
+
+
+def _body_ctx(ctx, env):
+    import dataclasses as _dc
+
+    return _dc.replace(ctx, lambda_env=env, errors=ctx.errors,
+                       overflow_flags=ctx.overflow_flags)
+
+
+def ev_hof(e: E.HigherOrderFunc, b: Batch, ctx, ev: Callable) -> ColumnVector:
+    f = e.func
+    cap = b.capacity
+    arr = ev(e.args[0], b, ctx)
+    pres = _present(arr)
+    elem = arr.children[0]
+    ne = elem.validity.shape[1]
+
+    if f == "array_sort":
+        # default comparator: ascending, null elements last (before padding)
+        key = _orderable_key(elem)
+        cls = jnp.where(~pres, 2, jnp.where(~elem.validity, 1, 0)).astype(jnp.int32)
+        order = jnp.argsort(key, axis=1, stable=True)
+        cls_s = jnp.take_along_axis(cls, order, axis=1)
+        order = jnp.take_along_axis(order, jnp.argsort(cls_s, axis=1, stable=True), axis=1)
+
+        def g(a):
+            if a is None:
+                return None
+            idx = order.reshape(order.shape + (1,) * (a.ndim - 2))
+            return jnp.take_along_axis(a, jnp.broadcast_to(idx, order.shape + a.shape[2:]), axis=1)
+
+        return _list_cv(arr.data, arr.validity, _map_elem(elem, g), e.dtype)
+
+    if f == "aggregate":
+        # fold over the static element axis: acc starts at init, each step
+        # applies the merge lambda where slot i is present
+        acc = ev(e.args[1], b, ctx)
+        acc_name, x_name = e.params[0], e.params[1]
+        for i in range(ne):
+            xi = _map_elem(elem, lambda a, _i=i: None if a is None else a[:, _i])
+            env = {acc_name: acc, x_name: xi}
+            stepped = ev(e.body, b, _body_ctx(ctx, env))
+            take = pres[:, i]
+            acc = ColumnVector(
+                jnp.where(take, stepped.data, acc.data)
+                if stepped.data.ndim == acc.data.ndim else stepped.data,
+                jnp.where(take, stepped.validity, acc.validity),
+                acc.lengths, acc.dtype, acc.children)
+        return acc.with_validity(acc.validity & arr.validity)
+
+    if f == "zip_with":
+        arr2 = ev(e.args[1], b, ctx)
+        pres2 = _present(arr2)
+        elem2 = arr2.children[0]
+        ne2 = elem2.validity.shape[1]
+        w = max(ne, ne2)
+
+        def widen(el, n):
+            if n == w:
+                return el
+            return _map_elem(el, lambda a: None if a is None else jnp.pad(
+                a, [(0, 0), (0, w - n)] + [(0, 0)] * (a.ndim - 2)))
+
+        elem = widen(elem, ne)
+        elem2 = widen(elem2, ne2)
+        presw = jnp.pad(pres, ((0, 0), (0, w - ne)))
+        pres2w = jnp.pad(pres2, ((0, 0), (0, w - ne2)))
+        out_pres = presw | pres2w  # result length = max(len1, len2)
+        xb = _expand_batch(b, w)
+        env = {
+            e.params[0]: _flatten_elem(elem, presw),
+            e.params[1]: _flatten_elem(elem2, pres2w),
+        }
+        body = ev(e.body, xb, _body_ctx(ctx, env))
+        out_elem = _unflatten(body, cap, w)
+        lens = jnp.maximum(jnp.where(arr.validity, arr.data, 0),
+                           jnp.where(arr2.validity, arr2.data, 0)).astype(jnp.int32)
+        return _list_cv(lens, arr.validity & arr2.validity, out_elem, e.dtype)
+
+    # transform / filter / exists / forall share the flattened-body shape
+    xb = _expand_batch(b, ne)
+    env = {e.params[0]: _flatten_elem(elem, pres)}
+    if len(e.params) > 1:  # (x, index) form
+        idx = jnp.broadcast_to(jnp.arange(ne, dtype=jnp.int32)[None, :],
+                               (cap, ne)).reshape(-1)
+        env[e.params[1]] = ColumnVector(idx, jnp.ones(cap * ne, bool), None, T.INT32)
+    body = ev(e.body, xb, _body_ctx(ctx, env))
+
+    if f == "transform":
+        return _list_cv(arr.data, arr.validity, _unflatten(body, cap, ne), e.dtype)
+    if f == "filter":
+        keep = (body.data.astype(bool) & body.validity).reshape(cap, ne) & pres
+        lens, out_elem = _compact(keep, elem)
+        return _list_cv(lens, arr.validity, out_elem, e.dtype)
+    # exists / forall with Spark three-valued logic: a null lambda result
+    # neither satisfies nor refutes
+    val = body.data.astype(bool).reshape(cap, ne)
+    ok = body.validity.reshape(cap, ne)
+    if f == "exists":
+        any_true = jnp.any(val & ok & pres, axis=1)
+        any_null = jnp.any(~ok & pres, axis=1)
+        return ColumnVector(any_true, arr.validity & (any_true | ~any_null),
+                            None, T.BOOL)
+    if f == "forall":
+        any_false = jnp.any(~val & ok & pres, axis=1)
+        any_null = jnp.any(~ok & pres, axis=1)
+        return ColumnVector(~any_false,
+                            arr.validity & (any_false | ~any_null), None, T.BOOL)
+    raise NotImplementedError(f"higher-order func {f}")

@@ -39,6 +39,8 @@ __all__ = [
     "StringFunc",
     "TemporalFunc",
     "MathFunc",
+    "LambdaVar",
+    "HigherOrderFunc",
     "HashFunc",
     "ArrayExpr",
     "StructExpr",
@@ -341,6 +343,42 @@ class MathFunc(Expr):
 
     def children(self):
         return self.args
+
+
+@_node
+class LambdaVar(Expr):
+    """A lambda-bound variable inside a higher-order function body; its
+    dtype is resolved from the enclosing HigherOrderFunc's element types at
+    bind time (reference: Spark NamedLambdaVariable)."""
+
+    var_name: str
+
+    def children(self):
+        return ()
+
+
+@_node
+class HigherOrderFunc(Expr):
+    """Array higher-order functions with scalar lambdas (reference:
+    spark-expr/src/array_funcs — ArrayTransform/Filter/Exists/ForAll/
+    Aggregate/ZipWith/ArraySort). ``args`` are the array inputs (plus the
+    init expression for ``aggregate``); ``params`` name the lambda
+    variables usable in ``body``.
+
+    funcs: transform | filter | exists | forall | aggregate | zip_with |
+    array_sort (default comparator; body unused)."""
+
+    func: str
+    args: Tuple[Expr, ...]
+    params: Tuple[str, ...] = ()
+    body: Optional[Expr] = None
+
+    def children(self):
+        return self.args + ((self.body,) if self.body is not None else ())
+
+
+# lambda-parameter type environment used while binding HOF bodies
+_LAMBDA_TYPES: List[Dict[str, T.DataType]] = []
 
 
 @_node
@@ -867,6 +905,49 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         else:
             dt = T.FLOAT64
         out = MathFunc(e.func, args, e.eval_mode)
+        object.__setattr__(out, "dtype", dt)
+        return out
+    if isinstance(e, LambdaVar):
+        for env in reversed(_LAMBDA_TYPES):
+            if e.var_name in env:
+                out = LambdaVar(e.var_name)
+                object.__setattr__(out, "dtype", env[e.var_name])
+                return out
+        raise KeyError(f"lambda variable {e.var_name!r} not in scope")
+    if isinstance(e, HigherOrderFunc):
+        args = tuple(_bind(a, schema) for a in e.args)
+        arr = args[0]
+        assert arr.dtype.is_list, f"{e.func} needs an array input"
+        elem_t = arr.dtype.element
+        f = e.func
+        if f == "zip_with":
+            assert args[1].dtype.is_list
+            ptypes = (elem_t, args[1].dtype.element)
+        elif f == "aggregate":
+            ptypes = (args[1].dtype, elem_t)  # (acc, x); init = args[1]
+        elif f == "array_sort":
+            ptypes = ()
+        else:  # transform/filter/exists/forall: (x) or (x, index)
+            ptypes = (elem_t, T.INT32)[: max(len(e.params), 1)]
+        body = None
+        if e.body is not None:
+            _LAMBDA_TYPES.append(dict(zip(e.params, ptypes)))
+            try:
+                body = _bind(e.body, schema)
+            finally:
+                _LAMBDA_TYPES.pop()
+        ne = max(arr.dtype.max_elems,
+                 args[1].dtype.max_elems if f == "zip_with" else 0)
+        dt = {
+            "transform": T.list_(body.dtype, ne) if body is not None else arr.dtype,
+            "filter": arr.dtype,
+            "exists": T.BOOL,
+            "forall": T.BOOL,
+            "aggregate": body.dtype if body is not None else elem_t,
+            "zip_with": T.list_(body.dtype, ne) if body is not None else arr.dtype,
+            "array_sort": arr.dtype,
+        }[f]
+        out = HigherOrderFunc(f, args, e.params, body)
         object.__setattr__(out, "dtype", dt)
         return out
     if isinstance(e, HashFunc):

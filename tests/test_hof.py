@@ -1,0 +1,101 @@
+"""Higher-order array functions: transform/filter/exists/forall/aggregate/
+zip_with/array_sort (reference: array_funcs ArrayTransform etc.), evaluated
+as the fused lambda body over the flattened element plane."""
+
+import numpy as np
+import pytest
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.exec.batch import from_numpy, to_numpy
+from datafusion_comet_tpu.exec.evaluator import evaluate
+from datafusion_comet_tpu.ir import expr as E
+
+LISTS = [[1, 2, 3], [], [5, None, 7], None, [10]]
+SCHEMA = T.Schema([T.Field("xs", T.list_(T.INT64, 4)), T.Field("k", T.INT64)])
+DATA = {"xs": LISTS, "k": np.array([100, 200, 300, 400, 500], np.int64)}
+
+
+def run(expr):
+    b = from_numpy(DATA, SCHEMA)
+    cv = evaluate(E.bind(expr, SCHEMA), b)
+    out = to_numpy(type(b)((cv,), b.row_mask, T.Schema([T.Field("o", cv.dtype)])))
+    return [v if ok else None for v, ok in zip(out["o"], out["o__valid"])]
+
+
+def hof(func, args, params, body):
+    return E.HigherOrderFunc(func, tuple(args), tuple(params), body)
+
+
+def test_transform():
+    got = run(hof("transform", (E.col("xs"),), ("x",),
+                  E.LambdaVar("x") * E.lit(2, T.INT64)))
+    assert got == [[2, 4, 6], [], [10, None, 14], None, [20]]
+
+
+def test_transform_with_outer_capture():
+    got = run(hof("transform", (E.col("xs"),), ("x",),
+                  E.LambdaVar("x") + E.col("k")))
+    assert got == [[101, 102, 103], [], [305, None, 307], None, [510]]
+
+
+def test_transform_with_index_param():
+    got = run(hof("transform", (E.col("xs"),), ("x", "i"),
+                  E.LambdaVar("x") + E.LambdaVar("i").cast(T.INT64)))
+    assert got == [[1, 3, 5], [], [5, None, 9], None, [10]]
+
+
+def test_filter():
+    got = run(hof("filter", (E.col("xs"),), ("x",),
+                  E.LambdaVar("x") > E.lit(2, T.INT64)))
+    assert got == [[3], [], [5, 7], None, [10]]
+
+
+def test_exists_three_valued():
+    got = run(hof("exists", (E.col("xs"),), ("x",),
+                  E.LambdaVar("x") > E.lit(6, T.INT64)))
+    # [1,2,3] -> false; [] -> false; [5,None,7] -> true; None -> None; [10] -> true
+    assert got == [False, False, True, None, True]
+    got = run(hof("exists", (E.col("xs"),), ("x",),
+                  E.LambdaVar("x") > E.lit(100, T.INT64)))
+    # [5,None,7]: no true but a null result -> null (Spark three-valued)
+    assert got == [False, False, None, None, False]
+
+
+def test_forall():
+    got = run(hof("forall", (E.col("xs"),), ("x",),
+                  E.LambdaVar("x") > E.lit(0, T.INT64)))
+    # [5,None,7]: no false but null -> null
+    assert got == [True, True, None, None, True]
+
+
+def test_aggregate():
+    got = run(hof("aggregate", (E.col("xs"), E.lit(0, T.INT64)), ("acc", "x"),
+                  E.LambdaVar("acc") + E.LambdaVar("x")))
+    assert got == [6, 0, None, None, 10]  # null element poisons the sum
+
+
+def test_zip_with():
+    s = T.Schema([T.Field("a", T.list_(T.INT64, 3)), T.Field("b", T.list_(T.INT64, 4))])
+    data = {"a": [[1, 2], [1, 2, 3]], "b": [[10, 20, 30], [5]]}
+    b = from_numpy(data, s)
+    expr = E.bind(hof("zip_with", (E.col("a"), E.col("b")), ("x", "y"),
+                      E.LambdaVar("x") + E.LambdaVar("y")), s)
+    cv = evaluate(expr, b)
+    out = to_numpy(type(b)((cv,), b.row_mask, T.Schema([T.Field("o", cv.dtype)])))
+    got = [v if ok else None for v, ok in zip(out["o"], out["o__valid"])]
+    # shorter side pads with null -> null elements
+    assert got == [[11, 22, None], [6, None, None]]
+
+
+def test_array_sort_default():
+    got = run(hof("array_sort", (E.col("xs"),), (), None))
+    assert got == [[1, 2, 3], [], [5, 7, None], None, [10]]
+
+
+def test_serde_roundtrip():
+    from datafusion_comet_tpu.ir.serde import expr_from_dict, expr_to_dict
+
+    e = hof("filter", (E.col("xs"),), ("x",), E.LambdaVar("x") > E.lit(1, T.INT64))
+    d = expr_to_dict(e)
+    e2 = expr_from_dict(d)
+    assert run(e2) == run(e)
