@@ -1955,7 +1955,9 @@ def _temporal_func(e: E.TemporalFunc, b: Batch, ctx: EvalContext) -> ColumnVecto
         # session-timezone extraction: shift instant to wall-clock first
         if e.tz and f not in ("from_utc_timestamp", "to_utc_timestamp",
                               "date_trunc", "from_unixtime", "unix_timestamp",
-                              "unix_micros", "unix_millis"):
+                              "unix_micros", "unix_millis", "unix_seconds",
+                              "convert_timezone", "timestampadd",
+                              "timestampdiff"):
             micros0 = micros0 + _tz_offset_micros(micros0, e.tz, local=False)
         days = jnp.floor_divide(micros0, np.int64(86_400_000_000))
         micros_in_day = micros0 - days * np.int64(86_400_000_000)
@@ -2096,6 +2098,65 @@ def _temporal_func(e: E.TemporalFunc, b: Batch, ctx: EvalContext) -> ColumnVecto
         nd = jnp.minimum(d.astype(jnp.int64), last)
         data = _days_from_civil(ny, nm, nd)
         return ColumnVector(data.astype(jnp.int32), validity & args[1].validity, None, T.DATE)
+    if f == "weekday":
+        # Spark weekday: 0 = Monday (1970-01-01 is Thursday = 3)
+        data = ((days + 3) % 7).astype(jnp.int32)
+        return ColumnVector(data, validity, None, T.INT32)
+    if f == "unix_seconds":
+        return ColumnVector(jnp.floor_divide(micros0, np.int64(1_000_000)),
+                            validity, None, T.INT64)
+    if f in ("timestampadd", "timestampdiff"):
+        unit = (e.unit or "SECOND").upper()
+        MICROS = {"MICROSECOND": 1, "MILLISECOND": 1_000, "SECOND": 1_000_000,
+                  "MINUTE": 60_000_000, "HOUR": 3_600_000_000,
+                  "DAY": 86_400_000_000, "WEEK": 7 * 86_400_000_000}
+        if f == "timestampadd":
+            qty = args[1].data.astype(jnp.int64)
+            ok = validity & args[1].validity
+            if unit in MICROS:
+                return ColumnVector(micros0 + qty * np.int64(MICROS[unit]),
+                                    ok, None, T.TIMESTAMP)
+            months = qty * np.int64({"MONTH": 1, "QUARTER": 3, "YEAR": 12}[unit])
+            y, m, d = _civil_from_days(days)
+            tot = (y.astype(jnp.int64) * 12 + (m.astype(jnp.int64) - 1)) + months
+            ny, nm = tot // 12, (tot % 12) + 1
+            nxt_y = jnp.where(nm == 12, ny + 1, ny)
+            nxt_m = jnp.where(nm == 12, 1, nm + 1)
+            last = _days_from_civil(nxt_y, nxt_m, jnp.ones_like(nm)) - _days_from_civil(ny, nm, jnp.ones_like(nm))
+            nd = jnp.minimum(d.astype(jnp.int64), last)
+            out_days = _days_from_civil(ny, nm, nd)
+            return ColumnVector(out_days * np.int64(86_400_000_000) + micros_in_day,
+                                ok, None, T.TIMESTAMP)
+        # timestampdiff(unit, start=args[0], end=args[1]) — whole units
+        end = args[1].data.astype(jnp.int64)
+        ok = validity & args[1].validity
+        if unit in MICROS:
+            diff = end - micros0  # whole units, truncated toward zero
+            q = jnp.sign(diff) * (jnp.abs(diff) // np.int64(MICROS[unit]))
+            return ColumnVector(q.astype(jnp.int64), ok, None, T.INT64)
+        # calendar months between, truncated toward zero (Spark semantics)
+        ed = jnp.floor_divide(end, np.int64(86_400_000_000))
+        y1, m1, d1 = _civil_from_days(days)
+        y2, m2, d2 = _civil_from_days(ed)
+        t1 = micros0 - days * np.int64(86_400_000_000)
+        t2 = end - ed * np.int64(86_400_000_000)
+        mdiff = (y2.astype(jnp.int64) - y1) * 12 + (m2.astype(jnp.int64) - m1)
+        # partial month: shrink toward zero when the day/time hasn't reached
+        before = (d2 < d1) | ((d2 == d1) & (t2 < t1))
+        after = (d2 > d1) | ((d2 == d1) & (t2 > t1))
+        mdiff = jnp.where((mdiff > 0) & before, mdiff - 1, mdiff)
+        mdiff = jnp.where((mdiff < 0) & after, mdiff + 1, mdiff)
+        div = np.int64({"MONTH": 1, "QUARTER": 3, "YEAR": 12}[unit])
+        q = jnp.sign(mdiff) * (jnp.abs(mdiff) // div)  # truncate toward zero
+        return ColumnVector(q.astype(jnp.int64), ok, None, T.INT64)
+    if f == "convert_timezone":
+        # convert_timezone(srcTz, tgtTz, ts_ntz): reinterpret the wall clock
+        # from source zone to target zone (Spark 3.4+)
+        src, tgt = e.tz, e.unit  # carried as (tz=src, unit=tgt) plan constants
+        wall = micros0
+        instant = wall - _tz_offset_micros(wall, src, local=True) if src else wall
+        out = instant + _tz_offset_micros(instant, tgt, local=False) if tgt else instant
+        return ColumnVector(out, validity, None, T.TIMESTAMP_NTZ)
     if f == "months_between":
         # Spark: whole months + day fraction over 31, 8-digit rounding;
         # same day-of-month (or both month-ends) → integral result

@@ -327,6 +327,7 @@ class TemporalFunc(Expr):
     func: str
     args: Tuple[Expr, ...]
     tz: Optional[str] = None
+    unit: Optional[str] = None  # timestampadd/timestampdiff calendar unit
 
     def children(self):
         return self.args
@@ -845,6 +846,11 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
             "minute": T.INT32,
             "second": T.INT32,
             "unix_date": T.INT32,
+            "weekday": T.INT32,
+            "unix_seconds": T.INT64,
+            "timestampadd": T.TIMESTAMP,
+            "timestampdiff": T.INT64,
+            "convert_timezone": T.TIMESTAMP_NTZ,
             "date_add": T.DATE,
             "date_sub": T.DATE,
             "last_day": T.DATE,
@@ -865,7 +871,7 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
             "months_between": T.FLOAT64,
             "from_unixtime": T.string(19),
         }[e.func]
-        out = TemporalFunc(e.func, args, e.tz)
+        out = TemporalFunc(e.func, args, e.tz, e.unit)
         object.__setattr__(out, "dtype", dt)
         return out
     if isinstance(e, MathFunc):

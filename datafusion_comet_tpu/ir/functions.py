@@ -47,6 +47,7 @@ __all__ = [
     "xpath_short",
     "xpath_float",
     "xpath_double",
+    "date_format",
     "python_udf",
 ]
 
@@ -519,6 +520,47 @@ def xpath_float(child: E.Expr, path: str) -> E.PythonUdf:
 
 def xpath_double(child: E.Expr, path: str) -> E.PythonUdf:
     return _xpath_numeric(child, path, T.FLOAT64, float, "xpath_double")
+
+
+_JAVA_FMT = [  # Java DateTimeFormatter tokens -> strftime (common subset)
+    ("yyyy", "%Y"), ("yy", "%y"), ("MMMM", "%B"), ("MMM", "%b"), ("MM", "%m"),
+    ("dd", "%d"), ("HH", "%H"), ("hh", "%I"), ("mm", "%M"), ("ss", "%S"),
+    ("EEEE", "%A"), ("EEE", "%a"), ("DDD", "%j"), ("a", "%p"),
+]
+
+
+def date_format(child: E.Expr, pattern: str, out_len: int = 0,
+                tz: str = "UTC") -> E.PythonUdf:
+    """Spark date_format(ts, javaPattern) — host bridge translating the
+    common Java DateTimeFormatter tokens to strftime (documented deviation:
+    exotic tokens — 'G', 'Q', zone names — are unsupported and raise at
+    plan time). Reference: datetime_funcs date_format."""
+    import re as _re
+
+    fmt = pattern
+    for j, s_ in _JAVA_FMT:
+        fmt = fmt.replace(j, s_)
+    leftover = _re.sub(r"%[A-Za-z]", "", fmt)
+    if _re.search(r"[A-Za-z]", leftover.replace("T", "")):
+        raise NotImplementedError(f"date_format pattern token in {pattern!r}")
+
+    from datetime import datetime, timedelta, timezone
+
+    def fn(v):
+        if v is None:
+            return None
+        if isinstance(v, (int,)):  # DATE days or TIMESTAMP micros
+            if abs(v) < 10_000_000:  # days since epoch
+                dt = datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(days=int(v))
+            else:
+                dt = datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(
+                    microseconds=int(v))
+        else:
+            return None
+        return dt.strftime(fmt)
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or max(len(pattern) * 2, 24)),
+                       "date_format")
 
 
 def python_udf(fn, args, out_dtype: T.DataType, name: str = "python_udf") -> E.PythonUdf:
