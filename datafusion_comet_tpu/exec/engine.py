@@ -176,6 +176,7 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
         unique_build=bool(getattr(plan, "unique_build_hint", False))
         and ctx.unique_join_ok,
         presorted_build=bool(getattr(plan, "presorted_build", False)),
+        key_pack=(getattr(plan, "key_pack", None) if ctx.unique_join_ok else None),
         ctx=ctx,
     )
     flags.append(ovf)

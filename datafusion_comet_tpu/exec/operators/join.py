@@ -251,6 +251,7 @@ def hash_join(
     max_build_matches: int = 4,
     unique_build: bool = False,
     presorted_build: bool = False,
+    key_pack: Optional[Tuple[Tuple[int, int], ...]] = None,
     ctx: EvalContext = _DEFAULT_CTX,
 ) -> Tuple[Batch, jax.Array]:
     """Returns (joined batch, overflow flag: True if any probe row had more
@@ -269,8 +270,33 @@ def hash_join(
     bkey_cols = [evaluate(k, build, ctx) for k in build_keys]
     pkey_cols = [evaluate(k, probe, ctx) for k in probe_keys]
     bcmp_cols, pcmp_cols = _harmonize_keys(bkey_cols, pkey_cols)
-    blimbs, bvalid = _key_limbs(bcmp_cols)
-    plimbs, pvalid = _key_limbs(pcmp_cols)
+    pack_oor = None
+    if key_pack is not None and len(key_pack) == len(bcmp_cols) and all(
+            not c.is_dict and (c.dtype.is_integer or c.dtype.type_id == "DATE")
+            for c in bcmp_cols + pcmp_cols):
+        # stats-derived composite-key packing: (k1-lo1) + (k2-lo2)*span1 + …
+        # is injective within the recorded ranges, so the multi-limb key
+        # tuple becomes ONE sort limb; a valid row outside its range raises
+        # the overflow flag (retry re-plans without packing)
+        def pack(cols):
+            acc = jnp.zeros(cols[0].capacity, jnp.int64)
+            oor = jnp.zeros(cols[0].capacity, bool)
+            valid = cols[0].validity
+            stride = 1
+            for cv, (lo, hi) in zip(cols, key_pack):
+                valid = valid & cv.validity
+                k = cv.data.astype(jnp.int64)
+                oor = oor | (k < lo) | (k > hi)
+                acc = acc + (jnp.clip(k, lo, hi) - lo) * np.int64(stride)
+                stride *= hi - lo + 1
+            return [acc], valid, oor & valid
+
+        blimbs, bvalid, boor = pack(bcmp_cols)
+        plimbs, pvalid, poor = pack(pcmp_cols)
+        pack_oor = jnp.any(boor & build.row_mask) | jnp.any(poor & probe.row_mask)
+    else:
+        blimbs, bvalid = _key_limbs(bcmp_cols)
+        plimbs, pvalid = _key_limbs(pcmp_cols)
     bvalid = bvalid & build.row_mask
     pvalid = pvalid & probe.row_mask
 
@@ -335,6 +361,9 @@ def hash_join(
         b_idx = bperm[b_sorted_idx]
 
         has_match = count > 0  # per probe row (before condition)
+
+    if pack_oor is not None:
+        overflow = overflow | pack_oor
 
     # probe side: each row repeats K times — a broadcast+reshape (pure
     # layout, no gather); build side: data-dependent gather (inherent)

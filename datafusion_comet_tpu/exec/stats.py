@@ -34,6 +34,9 @@ _SAMPLE = 65536
 class TableStats:
     rows: int
     ndv: Dict[str, int]  # per-column distinct-count estimate
+    # exact per-column (min, max) for integer/date columns — drives join
+    # multi-key packing (several key limbs -> one int64 limb)
+    ranges: Dict[str, tuple] = None
 
 
 def collect_stats(data: Dict[str, np.ndarray], schema: T.Schema) -> TableStats:
@@ -76,7 +79,24 @@ def collect_stats(data: Dict[str, np.ndarray], schema: T.Schema) -> TableStats:
         else:
             # mostly-unique column: scale linearly
             ndv[f.name] = min(n, int(u * (n / _SAMPLE)))
-    return TableStats(rows=n, ndv=ndv)
+    ranges: Dict[str, tuple] = {}
+    for f in schema.fields:
+        col = data.get(f.name)
+        if col is None or n == 0:
+            continue
+        if not (f.dtype.is_integer or f.dtype.type_id == "DATE"):
+            continue
+        try:
+            arr = np.asarray(col)
+        except (ValueError, TypeError):
+            continue
+        if arr.ndim != 1 or not np.issubdtype(arr.dtype, np.integer):
+            continue
+        vmask = data.get(f.name + "__valid")
+        vals = arr if vmask is None else arr[np.asarray(vmask, bool)]
+        if len(vals):
+            ranges[f.name] = (int(vals.min()), int(vals.max()))
+    return TableStats(rows=n, ndv=ndv, ranges=ranges)
 
 
 def _null_mask(arr: np.ndarray) -> np.ndarray:
@@ -125,6 +145,27 @@ def _pred_selectivity(pred: E.Expr, ndv: Dict[str, int]) -> float:
         else:
             sel *= _FILTER_SELECTIVITY
     return max(sel, 1e-6)
+
+
+def _column_range(plan: P.PlanNode, name: str, stats: Dict[str, TableStats]):
+    """Exact (min, max) of a named column within a subtree: the UNIQUE
+    source Scan whose output carries the name (ambiguity or a rename →
+    None; filters/joins only shrink value sets, so the base range stays a
+    sound bound)."""
+    hits = []
+
+    def walk(p):
+        if isinstance(p, P.Scan):
+            st = stats.get(p.table)
+            if st is not None and st.ranges and name in st.ranges and \
+                    any(f.name == name for f in p.out_schema().fields):
+                hits.append(st.ranges[name])
+            return
+        for c in p.children():
+            walk(c)
+
+    walk(plan)
+    return hits[0] if len(hits) == 1 else None
 
 
 def _conjuncts(e: E.Expr):
@@ -190,6 +231,32 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
         elif len(plan.left_keys) == 1 and build == "left" and lk and lk[0] in ln:
             if ln[lk[0]] >= int(0.8 * lr):
                 plan.unique_build_hint = True
+        # Multi-key packing hint: when every join key is a plain integer
+        # column whose exact (min, max) is known from its source table, the
+        # key tuple packs injectively into ONE int64 limb (sum of
+        # range-offset * stride) — halving the carry-range sort's key
+        # operands for composite-key joins (q9/q16 shape). Ranges merge
+        # across both sides so the pack is identical left/right; an
+        # out-of-range value at runtime raises the join overflow flag and
+        # the retry disables packing.
+        if (len(plan.left_keys) > 1 and getattr(plan, "key_pack", None) is None
+                and lk and rk and all(lk) and all(rk)):
+            spans = []
+            prod = 1
+            for a, b_ in zip(lk, rk):
+                ra = _column_range(plan.left, a, stats)
+                rb = _column_range(plan.right, b_, stats)
+                if ra is None or rb is None:
+                    spans = None
+                    break
+                lo, hi = min(ra[0], rb[0]), max(ra[1], rb[1])
+                spans.append((lo, hi))
+                prod *= (hi - lo + 1)
+                if prod >= (1 << 62):
+                    spans = None
+                    break
+            if spans:
+                plan.key_pack = tuple(spans)
         # Per-join fan-out hint: expected matches per probe row = build rows
         # / NDV(build keys). Attempt-0 capacity overflows force a full
         # recompile (minutes on the tunnel TPU), so size K from stats with a
