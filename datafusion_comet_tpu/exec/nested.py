@@ -627,6 +627,34 @@ def _ev_map(e: E.MapExpr, b: Batch, ctx, ev: Callable) -> ColumnVector:
         lens, ded = _dedup_keys_keep_last(entries, pres, kt)
         return _list_cv(lens, karr.validity & varr.validity, ded, e.dtype)
 
+    if f == "map_concat":
+        # entries of every input concatenated along the element axis, then
+        # LAST_WIN key dedup (later maps override earlier — Spark's
+        # LAST_WIN policy; the default EXCEPTION policy's duplicate error
+        # is the documented deviation, module docstring)
+        ms = [ev(a, b, ctx) for a in e.args]
+        kt = e.dtype.key_type
+        entries = ms[0].children[0]
+        pres = _present(ms[0])
+        valid = ms[0].validity
+        for mm in ms[1:]:
+            entries = _concat_elems(entries, mm.children[0], e.dtype.element)
+            pres = jnp.concatenate([pres, _present(mm)], axis=1)
+            valid = valid & mm.validity
+        lens, ded = _dedup_keys_keep_last(entries, pres, kt)
+        return _list_cv(lens, valid, ded, e.dtype)
+
+    if f == "map_from_entries":
+        arr = ev(e.args[0], b, ctx)
+        kt = e.dtype.key_type
+        entries = arr.children[0]
+        pres = _present(arr)
+        ctx.record_error(
+            jnp.any(pres & ~entries.children[0].validity, axis=1) & b.row_mask,
+            "Cannot use null as map key")
+        lens, ded = _dedup_keys_keep_last(entries, pres, kt)
+        return _list_cv(lens, arr.validity, ded, e.dtype)
+
     m = ev(e.args[0], b, ctx)
     if f == "size":
         return ColumnVector(m.data.astype(jnp.int32), m.validity, None, T.INT32)
@@ -704,6 +732,29 @@ def ev_hof(e: E.HigherOrderFunc, b: Batch, ctx, ev: Callable) -> ColumnVector:
     pres = _present(arr)
     elem = arr.children[0]
     ne = elem.validity.shape[1]
+
+    if f in ("transform_keys", "transform_values", "map_filter"):
+        # map lambdas: (key, value) planes flatten exactly like array
+        # elements; keys stay deduplicated (only values/membership change,
+        # and transform_keys re-dedups LAST_WIN per the module policy)
+        keys, vals = elem.children[0], elem.children[1]
+        xb = _expand_batch(b, ne)
+        env = {e.params[0]: _flatten_elem(keys, pres),
+               e.params[1]: _flatten_elem(vals, pres)}
+        body = ev(e.body, xb, _body_ctx(ctx, env))
+        if f == "map_filter":
+            keep = (body.data.astype(bool) & body.validity).reshape(cap, ne) & pres
+            lens, ded = _compact(keep, elem)
+            return _list_cv(lens, arr.validity, ded, e.dtype)
+        new_plane = _unflatten(body, cap, ne)
+        if f == "transform_values":
+            entries = ColumnVector(elem.data, elem.validity, None,
+                                   e.dtype.element, (keys, new_plane))
+            return _list_cv(arr.data, arr.validity, entries, e.dtype)
+        entries = ColumnVector(elem.data, elem.validity, None,
+                               e.dtype.element, (new_plane, vals))
+        lens, ded = _dedup_keys_keep_last(entries, pres, e.dtype.key_type)
+        return _list_cv(lens, arr.validity, ded, e.dtype)
 
     if f == "array_sort":
         # default comparator: ascending, null elements last (before padding)

@@ -923,9 +923,25 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
     if isinstance(e, HigherOrderFunc):
         args = tuple(_bind(a, schema) for a in e.args)
         arr = args[0]
+        f = e.func
+        if f in ("transform_keys", "transform_values", "map_filter"):
+            assert arr.dtype.is_map, f"{f} needs a map input"
+            kt, vt = arr.dtype.key_type, arr.dtype.value_type
+            _LAMBDA_TYPES.append(dict(zip(e.params, (kt, vt))))
+            try:
+                body = _bind(e.body, schema)
+            finally:
+                _LAMBDA_TYPES.pop()
+            dt = {
+                "transform_keys": T.map_(body.dtype, vt, arr.dtype.max_elems),
+                "transform_values": T.map_(kt, body.dtype, arr.dtype.max_elems),
+                "map_filter": arr.dtype,
+            }[f]
+            out = HigherOrderFunc(f, args, e.params, body)
+            object.__setattr__(out, "dtype", dt)
+            return out
         assert arr.dtype.is_list, f"{e.func} needs an array input"
         elem_t = arr.dtype.element
-        f = e.func
         if f == "zip_with":
             assert args[1].dtype.is_list
             ptypes = (elem_t, args[1].dtype.element)
@@ -1104,6 +1120,20 @@ def _map_func_type(func: str, args: Sequence[Expr]) -> T.DataType:
     if func == "map_entries":
         assert a0 is not None and a0.is_map
         return T.list_(a0.element, a0.max_elems)
+    if func == "map_concat":
+        assert a0 is not None and a0.is_map
+        kt, vt = a0.key_type, a0.value_type
+        total = 0
+        for a in args:
+            assert a.dtype.is_map
+            kt = T.common_type(kt, a.dtype.key_type)
+            vt = T.common_type(vt, a.dtype.value_type)
+            total += a.dtype.max_elems
+        return T.map_(kt, vt, total)
+    if func == "map_from_entries":
+        assert a0 is not None and a0.is_list and a0.element.is_struct
+        fs = a0.element.struct_fields
+        return T.map_(fs[0].dtype, fs[1].dtype, a0.max_elems)
     if func == "element_at":
         assert a0 is not None and a0.is_map
         return a0.value_type

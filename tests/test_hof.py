@@ -99,3 +99,49 @@ def test_serde_roundtrip():
     d = expr_to_dict(e)
     e2 = expr_from_dict(d)
     assert run(e2) == run(e)
+
+
+class TestMapFunctions:
+    """map_concat/map_from_entries + map HOFs (map_funcs analogs)."""
+
+    MS = T.Schema([T.Field("m", T.map_(T.string(4), T.INT64, 3)),
+                   T.Field("m2", T.map_(T.string(4), T.INT64, 3))])
+    MDATA = {"m": [{"a": 1, "b": 2}, {}, None],
+             "m2": [{"b": 20, "c": 30}, {"z": 9}, {"q": 1}]}
+
+    def _run(self, expr):
+        b = from_numpy(self.MDATA, self.MS)
+        cv = evaluate(E.bind(expr, self.MS), b)
+        out = to_numpy(type(b)((cv,), b.row_mask,
+                               T.Schema([T.Field("o", cv.dtype)])))
+        return [v if ok else None for v, ok in zip(out["o"], out["o__valid"])]
+
+    def test_map_concat_last_win(self):
+        got = self._run(E.MapExpr("map_concat", (E.col("m"), E.col("m2"))))
+        assert got[0] == {"a": 1, "b": 20, "c": 30}  # m2's b wins
+        assert got[1] == {"z": 9}
+        assert got[2] is None
+
+    def test_transform_values(self):
+        got = self._run(E.HigherOrderFunc(
+            "transform_values", (E.col("m"),), ("k", "v"),
+            E.LambdaVar("v") * E.lit(10, T.INT64)))
+        assert got[0] == {"a": 10, "b": 20}
+        assert got[1] == {} and got[2] is None
+
+    def test_map_filter(self):
+        got = self._run(E.HigherOrderFunc(
+            "map_filter", (E.col("m"),), ("k", "v"),
+            E.LambdaVar("v") > E.lit(1, T.INT64)))
+        assert got[0] == {"b": 2} and got[1] == {} and got[2] is None
+
+    def test_map_from_entries(self):
+        s = T.Schema([T.Field("xs", T.list_(
+            T.struct(("key", T.string(4)), ("value", T.INT64)), 3))])
+        data = {"xs": [[{"key": "a", "value": 1}, {"key": "a", "value": 5}],
+                       []]}
+        b = from_numpy(data, s)
+        cv = evaluate(E.bind(E.MapExpr("map_from_entries", (E.col("xs"),)), s), b)
+        out = to_numpy(type(b)((cv,), b.row_mask, T.Schema([T.Field("o", cv.dtype)])))
+        assert out["o"][0] == {"a": 5}  # LAST_WIN dedup
+        assert out["o"][1] == {}
