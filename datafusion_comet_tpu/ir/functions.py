@@ -48,6 +48,12 @@ __all__ = [
     "xpath_float",
     "xpath_double",
     "date_format",
+    "overlay",
+    "find_in_set",
+    "format_string",
+    "to_number",
+    "try_to_number",
+    "make_timestamp",
     "python_udf",
 ]
 
@@ -561,6 +567,124 @@ def date_format(child: E.Expr, pattern: str, out_len: int = 0,
 
     return E.PythonUdf(fn, (child,), T.string(out_len or max(len(pattern) * 2, 24)),
                        "date_format")
+
+
+def overlay(child: E.Expr, repl: str, pos: int, length: int = -1,
+            out_len: int = 0) -> E.PythonUdf:
+    """Spark overlay(input, replace, pos[, len]): 1-based splice."""
+
+    def fn(s):
+        if s is None:
+            return None
+        p = max(pos, 1) - 1
+        ln = len(repl) if length < 0 else length
+        return s[:p] + repl + s[p + ln:]
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "overlay")
+
+
+def find_in_set(child: E.Expr, str_list: E.Expr) -> E.PythonUdf:
+    """Spark find_in_set(s, csv): 1-based index, 0 when absent or s has a
+    comma."""
+
+    def fn(s, lst):
+        if s is None or lst is None:
+            return None
+        if "," in s:
+            return 0
+        parts = lst.split(",")
+        return parts.index(s) + 1 if s in parts else 0
+
+    return E.PythonUdf(fn, (child, str_list), T.INT32, "find_in_set")
+
+
+def format_string(fmt: str, *args: E.Expr, out_len: int = 0) -> E.PythonUdf:
+    """Spark format_string(javaFormat, args...) — %s/%d/%f family."""
+
+    def fn(*vals):
+        if any(v is None for v in vals):
+            return None
+        return fmt % tuple(vals)
+
+    return E.PythonUdf(fn, tuple(args), T.string(out_len or max(len(fmt) * 2, 32)),
+                       "format_string")
+
+
+def _parse_number(s, fmt: str):
+    neg = False
+    t = s.strip()
+    if fmt.endswith("MI"):
+        if t.endswith("-"):
+            neg, t = True, t[:-1]
+    elif fmt.startswith("S") or "S" in fmt:
+        if t.startswith("-"):
+            neg, t = True, t[1:]
+        elif t.startswith("+"):
+            t = t[1:]
+    t = t.replace(",", "").lstrip("$")
+    if not t or any(c not in "0123456789." for c in t):
+        raise ValueError(f"'{s}' does not match format '{fmt}'")
+    from decimal import Decimal
+
+    v = Decimal(t)
+    return -v if neg else v
+
+
+def _number_fmt_type(fmt: str) -> T.DataType:
+    digits = fmt.count("9") + fmt.count("0")
+    scale = len(fmt.rsplit("D", 1)[-1].replace("9", "x")) if "D" in fmt else 0
+    scale = fmt.rsplit("D", 1)[-1].count("9") if "D" in fmt else (
+        fmt.rsplit(".", 1)[-1].count("9") if "." in fmt else 0)
+    return T.decimal(max(digits, 1), scale)
+
+
+def to_number(child: E.Expr, fmt: str) -> E.PythonUdf:
+    """Spark to_number(str, fmt) — '9/0/D/./,/G/$/S/MI' subset; malformed
+    input raises (use try_to_number for null-on-error)."""
+    dt = _number_fmt_type(fmt)
+
+    def fn(s):
+        if s is None:
+            return None
+        v = _parse_number(s, fmt)
+        return int(v.scaleb(dt.scale))
+
+    return E.PythonUdf(fn, (child,), dt, "to_number")
+
+
+def try_to_number(child: E.Expr, fmt: str) -> E.PythonUdf:
+    dt = _number_fmt_type(fmt)
+
+    def fn(s):
+        if s is None:
+            return None
+        try:
+            return int(_parse_number(s, fmt).scaleb(dt.scale))
+        except (ValueError, ArithmeticError):
+            return None
+
+    return E.PythonUdf(fn, (child,), dt, "try_to_number")
+
+
+def make_timestamp(y: E.Expr, mo: E.Expr, d: E.Expr, h: E.Expr, mi: E.Expr,
+                   s: E.Expr) -> E.PythonUdf:
+    """Spark make_timestamp(y,m,d,h,min,sec) → timestamp (NULL on invalid
+    components; sec may carry a fraction)."""
+    from datetime import datetime, timezone
+
+    def fn(yy, mm, dd, hh, mn, ss):
+        if any(v is None for v in (yy, mm, dd, hh, mn, ss)):
+            return None
+        try:
+            whole = int(ss)
+            frac = float(ss) - whole
+            dt = datetime(int(yy), int(mm), int(dd), int(hh), int(mn), whole,
+                          tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1_000_000 + round(frac * 1e6))
+        except (ValueError, OverflowError):
+            return None
+
+    return E.PythonUdf(fn, (y, mo, d, h, mi, s), T.TIMESTAMP_NTZ, "make_timestamp")
 
 
 def python_udf(fn, args, out_dtype: T.DataType, name: str = "python_udf") -> E.PythonUdf:
