@@ -114,7 +114,8 @@ def _exec_hash_aggregate(plan, tables, ctx, flags, fanout, metrics) -> Batch:
     child = _exec(plan.child, tables, ctx, flags, fanout, metrics)
     return AGG.hash_aggregate(
         child, plan.group_exprs, plan.agg_exprs, plan.mode,
-        plan.max_groups or (1 << 16), plan.schema, ctx
+        plan.max_groups or (1 << 16), plan.schema, ctx,
+        key_ranges=getattr(plan, "group_key_ranges", None),
     )
 
 

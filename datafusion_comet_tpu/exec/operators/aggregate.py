@@ -318,6 +318,52 @@ def _try_pack_keys(key_cols: Sequence[ColumnVector]):
     return seg, 1 << total_bits
 
 
+def _pack_sort_limbs(key_cols: Sequence[ColumnVector], key_ranges) -> Optional[List[jax.Array]]:
+    """Pack ALL group keys into as few int64 sort limbs as possible while
+    preserving grouping_limbs order (per key: null flag then value; nulls
+    last; dict codes == string order; ints offset by their stats range).
+    Returns None when any key can't encode — the caller falls back to the
+    generic multi-limb path. Sort cost scales with total limb bytes, so a
+    6-key GROUP BY (q10 shape) drops from ~13 limbs to 1-2."""
+    key_ranges = key_ranges or (None,) * len(key_cols)
+    limbs: List[jax.Array] = []
+    acc = None
+    bits_used = 0
+    for cv, rng in zip(key_cols, key_ranges):
+        dt = cv.dtype
+        if dt.is_boolean:
+            enc, b = cv.data.astype(jnp.int64), 1
+        elif cv.is_dict:
+            k = cv.dictionary.size
+            enc = jnp.clip(cv.data, 0, max(k - 1, 0)).astype(jnp.int64)
+            b = max((max(k - 1, 0)).bit_length(), 1)
+        elif dt.type_id == "INT8":
+            enc, b = cv.data.astype(jnp.int64) + 128, 8
+        elif (dt.is_integer or dt.type_id == "DATE") and rng is not None:
+            lo, hi = rng
+            span = hi - lo
+            if span < 0 or span >= (1 << 62):
+                return None
+            enc = jnp.clip(cv.data.astype(jnp.int64), lo, hi) - np.int64(lo)
+            b = max(span.bit_length(), 1)
+        else:
+            return None
+        # per-key null flag (most significant; nulls group last, matching
+        # sortkeys.grouping_limbs) and null values neutralized to 0
+        enc = jnp.where(cv.validity, enc, 0)
+        nf = (~cv.validity).astype(jnp.int64)
+        b += 1
+        if bits_used + b > 62:
+            limbs.append(acc)
+            acc, bits_used = None, 0
+        piece = (nf << (b - 1)) | enc
+        acc = piece if acc is None else ((acc << b) | piece)
+        bits_used += b
+    if acc is not None:
+        limbs.append(acc)
+    return limbs
+
+
 def hash_aggregate(
     batch: Batch,
     group_exprs: Sequence[E.Expr],
@@ -326,6 +372,7 @@ def hash_aggregate(
     max_groups: int,
     out_schema: T.Schema,
     ctx: Optional[EvalContext] = None,
+    key_ranges=None,
 ) -> Batch:
     ctx = ctx or EvalContext()
     max_groups = min(max_groups * max(ctx.agg_scale, 1), batch.capacity)
@@ -365,7 +412,14 @@ def hash_aggregate(
             return out
     # packed but too many buckets for direct scatter: the packed int32 still
     # replaces multi-limb string keys as a single cheap sort key
-    key_limbs = [packed[0]] if packed is not None else None
+    if packed is not None:
+        key_limbs = [packed[0]]
+    else:
+        # bucket domain too large: still try to collapse the key tuple into
+        # 1-2 packed int64 SORT limbs (dict codes / bools / stats-ranged
+        # ints) — grouping order preserved, sort traffic divided by the
+        # per-key limb count
+        key_limbs = _pack_sort_limbs(key_cols, key_ranges) if key_cols else None
     merging = mode in (AggMode.FINAL, AggMode.PARTIAL_MERGE)
 
     # Pre-evaluate every aggregate input on the UNSORTED batch and carry the

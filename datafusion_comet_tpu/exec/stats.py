@@ -332,6 +332,16 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
             groups = min(max(est, 1) * DEFAULT_MAX_GROUPS, rows) if est > 1 else min(DEFAULT_MAX_GROUPS, rows)
         if plan.max_groups is None:
             plan.max_groups = _pad(groups)
+        # per-key exact integer ranges (where resolvable to one source
+        # Scan) so the aggregate can pack the whole key tuple into 1-2
+        # sort limbs (q10 shape: 6 keys -> 1 limb)
+        if plan.group_exprs and getattr(plan, "group_key_ranges", None) is None:
+            krs = []
+            for g in plan.group_exprs:
+                src = _source_column(g)
+                krs.append(_column_range(plan.child, src, stats) if src else None)
+            if any(r is not None for r in krs):
+                plan.group_key_ranges = tuple(krs)
         out = {}
         for g in plan.group_exprs:
             src = _source_column(g)
