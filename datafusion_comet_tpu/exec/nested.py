@@ -385,6 +385,87 @@ def _ev_array(e: E.ArrayExpr, b: Batch, ctx, ev: Callable) -> ColumnVector:
         valid = arr.validity & other.validity & (any_hit | ~(has_null & non_empty))
         return ColumnVector(any_hit, valid, None, T.BOOL)
 
+    if f == "array_insert":
+        # Spark array_insert(arr, pos, val): 1-based; pos beyond the end
+        # pads with nulls; negative pos counts from the end (Spark 3.4+)
+        arr = ev(e.args[0], b, ctx)
+        elem = arr.children[0]
+        ne_in = elem.validity.shape[1]
+        val = _coerced(ev, e.args[2], b, ctx, e.dtype.element)
+        pos_cv = ev(e.args[1], b, ctx)
+        pos = pos_cv.data.astype(jnp.int32)
+        lens = arr.data.astype(jnp.int32)
+        at = jnp.where(pos > 0, pos - 1, lens + pos + 1)  # 0-based slot
+        at = jnp.clip(at, 0, ne_in)  # ne_in == new last slot index
+        new_e = ne_in + 1
+        # widen planes by one slot, then shift items at >= `at` right by one
+        wide = _map_elem(elem, lambda a: None if a is None else jnp.pad(
+            a, [(0, 0), (0, 1)] + [(0, 0)] * (a.ndim - 2)))
+        slot = jnp.arange(new_e, dtype=jnp.int32)[None, :]
+        src = jnp.where(slot > at[:, None], slot - 1, slot)
+
+        def shift(a):
+            if a is None:
+                return None
+            i = src.reshape(src.shape + (1,) * (a.ndim - 2))
+            return jnp.take_along_axis(
+                a, jnp.broadcast_to(i, src.shape + a.shape[2:]), axis=1)
+
+        shifted = _map_elem(wide, shift)
+        ins = _scalar_to_elem(val, new_e)
+        hit = slot == at[:, None]
+
+        def put(sd, vd):
+            if sd is None:
+                return None
+            h = hit.reshape(hit.shape + (1,) * (sd.ndim - 2))
+            return jnp.where(h, vd, sd)
+
+        out_elem = ColumnVector(
+            put(shifted.data, ins.data),
+            jnp.where(hit, ins.validity, shifted.validity),
+            put(shifted.lengths, ins.lengths), shifted.dtype,
+            tuple(ColumnVector(put(sc.data, ic.data),
+                               jnp.where(hit, ic.validity, sc.validity),
+                               put(sc.lengths, ic.lengths), sc.dtype)
+                  for sc, ic in zip(shifted.children, ins.children)),
+        )
+        new_lens = jnp.maximum(lens + 1, at + 1)
+        ok = arr.validity & pos_cv.validity & (pos != 0)
+        ctx.record_error(pos_cv.validity & (pos == 0) & b.row_mask,
+                         "array_insert position 0 is invalid")
+        return _list_cv(jnp.minimum(new_lens, new_e), ok, out_elem, e.dtype)
+
+    if f == "arrays_zip":
+        arrs = [ev(a, b, ctx) for a in e.args]
+        w = max(a.children[0].validity.shape[1] for a in arrs)
+        valid = arrs[0].validity
+        kids = []
+        for a in arrs:
+            el = a.children[0]
+            n_ = el.validity.shape[1]
+            el = _map_elem(el, lambda x: None if x is None else jnp.pad(
+                x, [(0, 0), (0, w - n_)] + [(0, 0)] * (x.ndim - 2)))
+            # slots past this array's length are null fields (Spark pads)
+            within = _present(a)
+            within = jnp.pad(within, ((0, 0), (0, w - within.shape[1])))
+            kids.append(el.with_validity(el.validity & within))
+            valid = valid & a.validity
+        struct_elem = ColumnVector(
+            jnp.zeros((cap, w), jnp.int8), jnp.ones((cap, w), bool), None,
+            e.dtype.element, tuple(kids))
+        lens = arrs[0].data
+        for a in arrs[1:]:
+            lens = jnp.maximum(lens, a.data)
+        return _list_cv(lens, valid, struct_elem, e.dtype)
+
+    if f == "get_array_struct_field":
+        arr = ev(e.args[0], b, ctx)
+        idx = int(e.args[1].value)
+        field = arr.children[0].children[idx]
+        field = field.with_validity(field.validity & arr.children[0].validity)
+        return _list_cv(arr.data, arr.validity, field, e.dtype)
+
     if f == "slice":
         start = _coerced(ev, e.args[1], b, ctx, T.INT32)
         length = _coerced(ev, e.args[2], b, ctx, T.INT32)

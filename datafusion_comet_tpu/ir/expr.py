@@ -1076,6 +1076,20 @@ def _array_func_type(func: str, args: Sequence[Expr]) -> T.DataType:
         return a0
     if func in ("array_append", "array_prepend"):
         return T.list_(a0.element, a0.max_elems + 1)
+    if func == "array_insert":
+        return T.list_(a0.element, a0.max_elems + 1)
+    if func == "arrays_zip":
+        els = []
+        n = 0
+        for i, a in enumerate(args):
+            assert a.dtype.is_list
+            els.append((str(i), a.dtype.element))
+            n = max(n, a.dtype.max_elems)
+        return T.list_(T.struct(*els), n)
+    if func == "get_array_struct_field":
+        assert a0 is not None and a0.is_list and a0.element.is_struct
+        idx = int(args[1].value)
+        return T.list_(a0.element.struct_fields[idx].dtype, a0.max_elems)
     if func == "array_repeat":
         n = args[1]
         count = n.value if isinstance(n, Literal) else T.DEFAULT_LIST_ELEMS

@@ -48,6 +48,8 @@ __all__ = [
     "xpath_float",
     "xpath_double",
     "date_format",
+    "regexp_extract_all",
+    "json_object_keys",
     "overlay",
     "find_in_set",
     "format_string",
@@ -81,6 +83,45 @@ def regexp_extract(child: E.Expr, pattern: str, idx: int = 1, out_len: int = 0) 
         return g if g is not None else ""
 
     return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "regexp_extract")
+
+
+def regexp_extract_all(child: E.Expr, pattern: str, idx: int = 1,
+                       max_elems: int = 16, elem_len: int = 0) -> E.PythonUdf:
+    """Spark regexp_extract_all: every match's group ``idx`` as an array."""
+    rx = re.compile(pattern)
+
+    def fn(s):
+        if s is None:
+            return None
+        out = []
+        for m in rx.finditer(s):
+            g = m.group(idx) if idx <= (m.lastindex or 0) else (m.group(0) if idx == 0 else None)
+            out.append(g if g is not None else "")
+        return out[:max_elems]
+
+    return E.PythonUdf(
+        fn, (child,), T.list_(T.string(elem_len or T.DEFAULT_STRING_LEN), max_elems),
+        "regexp_extract_all")
+
+
+def json_object_keys(child: E.Expr, max_elems: int = 16, elem_len: int = 0) -> E.PythonUdf:
+    """Spark json_object_keys: top-level keys of a JSON object, null
+    otherwise."""
+
+    def fn(s):
+        if s is None:
+            return None
+        try:
+            doc = json.loads(s)
+        except ValueError:
+            return None
+        if not isinstance(doc, dict):
+            return None
+        return list(doc.keys())[:max_elems]
+
+    return E.PythonUdf(
+        fn, (child,), T.list_(T.string(elem_len or T.DEFAULT_STRING_LEN), max_elems),
+        "json_object_keys")
 
 
 def regexp_replace(child: E.Expr, pattern: str, replacement: str, out_len: int = 0) -> E.PythonUdf:

@@ -145,3 +145,48 @@ class TestMapFunctions:
         out = to_numpy(type(b)((cv,), b.row_mask, T.Schema([T.Field("o", cv.dtype)])))
         assert out["o"][0] == {"a": 5}  # LAST_WIN dedup
         assert out["o"][1] == {}
+
+
+class TestRound3ArrayAdditions:
+    def _run(self, expr, data, schema):
+        b = from_numpy(data, schema)
+        cv = evaluate(E.bind(expr, schema), b)
+        out = to_numpy(type(b)((cv,), b.row_mask, T.Schema([T.Field("o", cv.dtype)])))
+        return [v if ok else None for v, ok in zip(out["o"], out["o__valid"])]
+
+    def test_array_insert(self):
+        s = T.Schema([T.Field("xs", T.list_(T.INT64, 3))])
+        data = {"xs": [[1, 2, 3], [1], []]}
+        got = self._run(E.ArrayExpr("array_insert",
+                                    (E.col("xs"), E.lit(2, T.INT32), E.lit(9, T.INT64))),
+                        data, s)
+        assert got == [[1, 9, 2, 3], [1, 9], [None, 9]]
+
+    def test_arrays_zip(self):
+        s = T.Schema([T.Field("a", T.list_(T.INT64, 2)), T.Field("b", T.list_(T.INT64, 3))])
+        data = {"a": [[1, 2]], "b": [[10, 20, 30]]}
+        got = self._run(E.ArrayExpr("arrays_zip", (E.col("a"), E.col("b"))), data, s)
+        assert got == [[{"0": 1, "1": 10}, {"0": 2, "1": 20}, {"0": None, "1": 30}]]
+
+    def test_get_array_struct_field(self):
+        s = T.Schema([T.Field("xs", T.list_(
+            T.struct(("k", T.string(4)), ("v", T.INT64)), 2))])
+        data = {"xs": [[{"k": "a", "v": 1}, {"k": "b", "v": 2}], []]}
+        got = self._run(E.ArrayExpr("get_array_struct_field",
+                                    (E.col("xs"), E.lit(1, T.INT32))), data, s)
+        assert got == [[1, 2], []]
+
+    def test_regexp_extract_all_and_json_keys(self):
+        from datafusion_comet_tpu.exec.engine import Session
+        from datafusion_comet_tpu.ir import functions as F
+        from datafusion_comet_tpu.ir import plan as P
+
+        sch = T.Schema([T.Field("s", T.string(32))])
+        sess = Session()
+        sess.register_numpy("t", {"s": ["a1b22c333", '{"x":1,"y":2}']}, sch)
+        out = sess.collect(P.Scan("t", sch).project(
+            [F.regexp_extract_all(E.col("s"), r"(\d+)").alias("m"),
+             F.json_object_keys(E.col("s")).alias("k")]))
+        assert out["m"][0] == ["1", "22", "333"]
+        assert out["k"][1] == ["x", "y"]
+        assert not out["k__valid"][0]
