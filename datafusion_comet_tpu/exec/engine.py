@@ -164,6 +164,17 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
     # without a hint use the session-level fanout
     hint = getattr(plan, "fanout_hint", None)
     k = min(hint * max(ctx.agg_scale, 1), 256) if hint else fanout
+    # compacted pair-list capacity from the stats row estimate (2x margin,
+    # grown by the retry loop) — the join then never materializes the
+    # (probe x K) block
+    from datafusion_comet_tpu.exec.batch import pad_capacity as _padc
+
+    est = getattr(plan, "out_rows_hint", None)
+    compact_rows = None
+    if est:
+        lim = max(left.capacity, right.capacity) * 64
+        compact_rows = int(_padc(int(min(max(2 * est * max(ctx.agg_scale, 1),
+                                             4096), lim))))
     out, ovf = J.hash_join(
         left,
         right,
@@ -178,6 +189,7 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
         and ctx.unique_join_ok,
         presorted_build=bool(getattr(plan, "presorted_build", False)),
         key_pack=(getattr(plan, "key_pack", None) if ctx.unique_join_ok else None),
+        compact_rows=compact_rows,
         ctx=ctx,
     )
     flags.append(ovf)

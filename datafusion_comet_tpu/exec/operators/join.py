@@ -252,11 +252,21 @@ def hash_join(
     unique_build: bool = False,
     presorted_build: bool = False,
     key_pack: Optional[Tuple[Tuple[int, int], ...]] = None,
+    compact_rows: Optional[int] = None,
     ctx: EvalContext = _DEFAULT_CTX,
 ) -> Tuple[Batch, jax.Array]:
     """Returns (joined batch, overflow flag: True if any probe row had more
-    than max_build_matches matches — results are then incomplete and the
-    engine must re-plan with larger K)."""
+    than max_build_matches matches OR the compacted pair list overflowed
+    ``compact_rows`` — results are then incomplete and the engine must
+    re-plan with larger capacities).
+
+    ``compact_rows``: stats-estimated output capacity. When set (and the
+    carry-range path runs), the join emits a COMPACTED pair list instead of
+    the (probe × K) block: per-probe match counts cumsum into output
+    offsets, one tiny scatter + cummax assigns each output slot its probe
+    row, and every gather then runs at the estimated-output capacity —
+    downstream operators never see the K-expanded mostly-dead block (the
+    static-shape analog of DataFusion's exact-size join output batches)."""
     if build_side == "left":
         build, probe = left, right
         build_keys, probe_keys = left_keys, right_keys
@@ -265,6 +275,7 @@ def hash_join(
         build_keys, probe_keys = right_keys, left_keys
 
     K = max_build_matches
+    compact = False
     bcap, pcap = build.capacity, probe.capacity
 
     bkey_cols = [evaluate(k, build, ctx) for k in build_keys]
@@ -320,12 +331,40 @@ def hash_join(
         start, cnt, s_idx = _carry_probe_range(blimbs, bvalid, plimbs, pvalid)
         count = jnp.where(pvalid, cnt, 0)
         overflow = jnp.any(count > K)
-        j = jnp.tile(jnp.arange(K, dtype=jnp.int32), pcap)
-        p_idx = jnp.repeat(jnp.arange(pcap, dtype=jnp.int32), K)
-        pair_valid = j < jnp.repeat(jnp.minimum(count, K), K)
-        srt_pos = jnp.clip(jnp.repeat(start, K) + j, 0, bcap + pcap - 1)
-        b_idx = jnp.clip(s_idx[srt_pos], 0, bcap - 1)
         has_match = count > 0
+        if compact_rows is not None:
+            # compacted pair list: slot s belongs to probe row p with
+            # off[p] <= s < off[p]+slots[p]; p_of_s fills via one unique
+            # scatter at group starts + cummax (no K-expansion exists)
+            compact = True
+            outer_probe = join_type in (JoinType.LEFT, JoinType.RIGHT, JoinType.FULL)
+            slots = jnp.minimum(count, K).astype(jnp.int64)
+            if outer_probe:
+                slots = jnp.where(probe.row_mask, jnp.maximum(slots, 1), slots)
+            csum = jnp.cumsum(slots)
+            off = csum - slots  # exclusive prefix
+            total = csum[-1]
+            cap_out = compact_rows
+            overflow = overflow | (total > cap_out)
+            parange = jnp.arange(pcap, dtype=jnp.int32)
+            dest = jnp.where(slots > 0, jnp.minimum(off, cap_out), cap_out)
+            pfill = jnp.zeros(cap_out + 1, jnp.int32).at[dest].max(
+                parange + 1, mode="drop")[:cap_out]
+            p_of_s = jax.lax.cummax(pfill) - 1
+            pc = jnp.clip(p_of_s, 0, pcap - 1)
+            s_pos = jnp.arange(cap_out, dtype=jnp.int64)
+            j = (s_pos - jnp.take(off, pc)).astype(jnp.int32)
+            slot_live = (p_of_s >= 0) & (s_pos < total) & (j >= 0)                 & (j < jnp.take(slots, pc).astype(jnp.int32))
+            pair_valid = slot_live & (j < jnp.take(count, pc))
+            srt_pos = jnp.clip(jnp.take(start, pc) + j, 0, bcap + pcap - 1)
+            b_idx = jnp.clip(s_idx[srt_pos], 0, bcap - 1)
+            p_idx = pc
+        else:
+            j = jnp.tile(jnp.arange(K, dtype=jnp.int32), pcap)
+            p_idx = jnp.repeat(jnp.arange(pcap, dtype=jnp.int32), K)
+            pair_valid = j < jnp.repeat(jnp.minimum(count, K), K)
+            srt_pos = jnp.clip(jnp.repeat(start, K) + j, 0, bcap + pcap - 1)
+            b_idx = jnp.clip(s_idx[srt_pos], 0, bcap - 1)
     else:
         iota_b = jnp.arange(bcap, dtype=jnp.int32)
         if presorted_build:
@@ -365,9 +404,16 @@ def hash_join(
     if pack_oor is not None:
         overflow = overflow | pack_oor
 
-    # probe side: each row repeats K times — a broadcast+reshape (pure
-    # layout, no gather); build side: data-dependent gather (inherent)
-    probe_cols = [_repeat_cv(c, K) for c in probe.columns]
+    if compact:
+        # every per-probe flag reaches its output slots via ONE gather at
+        # the compacted capacity; dead slots mask through slot_live
+        per_probe = lambda x: jnp.take(x, p_idx) & slot_live
+        probe_cols = [c.take(p_idx) for c in probe.columns]
+    else:
+        per_probe = lambda x: jnp.repeat(x, K)
+        probe_cols = [_repeat_cv(c, K) for c in probe.columns]
+
+    # build side: data-dependent gather (inherent)
     build_cols = [c.take(b_idx) for c in build.columns]
 
     if condition is not None:
@@ -405,9 +451,9 @@ def hash_join(
             )
         # unmatched probe rows surface in slot j=0 with null build side
         unmatched = probe.row_mask & ~has_match
-        un_slot = (j == 0) & jnp.repeat(unmatched, K)
+        un_slot = (j == 0) & per_probe(unmatched)
         mask = pair_valid | un_slot
-        null_build = jnp.repeat(~has_match & probe.row_mask, K) & (j == 0)
+        null_build = per_probe(~has_match & probe.row_mask) & (j == 0)
         build_cols = [c.with_validity(c.validity & ~null_build) for c in build_cols]
         out_cols = _assemble(probe_cols, build_cols, build_side)
         return Batch(tuple(out_cols), mask, out_schema), overflow
@@ -415,9 +461,9 @@ def hash_join(
     if join_type == JoinType.FULL:
         # probe-side part as LEFT; plus unmatched build rows appended
         unmatched_p = probe.row_mask & ~has_match
-        un_slot = (j == 0) & jnp.repeat(unmatched_p, K)
+        un_slot = (j == 0) & per_probe(unmatched_p)
         mask_pairs = pair_valid | un_slot
-        null_build = jnp.repeat(unmatched_p, K) & (j == 0)
+        null_build = per_probe(unmatched_p) & (j == 0)
         build_cols_pairs = [c.with_validity(c.validity & ~null_build) for c in build_cols]
         # build rows that matched no probe row: count probe hits per build row
         hit = jnp.zeros(bcap, jnp.int32).at[b_idx].add(pair_valid.astype(jnp.int32), mode="drop")

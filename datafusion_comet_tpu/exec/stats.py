@@ -288,6 +288,15 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
             rows = max(int(rr * ratio), 1)
             if rk and rk[0]:
                 ndv[rk[0]] = min(ndv.get(rk[0], lr), lr)
+        # the join's own output-row estimate sizes the compacted pair list
+        # (outer joins keep at least every preserved-side row)
+        est = rows
+        if jt in (P.JoinType.LEFT, P.JoinType.FULL):
+            est = max(est, lr)
+        if jt in (P.JoinType.RIGHT, P.JoinType.FULL):
+            est = max(est, rr)
+        if getattr(plan, "out_rows_hint", None) is None:
+            plan.out_rows_hint = est
         return rows, ndv
 
     if isinstance(plan, P.BroadcastNestedLoopJoin):
