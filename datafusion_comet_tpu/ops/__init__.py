@@ -15,6 +15,9 @@ Layout:
 - parquet decode:        decode (bit-unpack, RLE/dict pages on device)
 - random:                random_xorshift (Spark-exact rand/randn/sampling)
 - pallas:                pallas_kernels (fused bucket-count histogram)
+- float formatting:      ryu (Java shortest-repr double/float -> chars)
+- parquet page index:    pageindex (hand-parsed ColumnIndex/OffsetIndex)
+- iceberg write:         iceberg_write (snapshot append + O_EXCL commit)
 """
 
 from datafusion_comet_tpu.exec import bytes_funcs, decimal_wide, decode
@@ -30,6 +33,12 @@ from datafusion_comet_tpu.exec.random_xorshift import (
     rand_column,
     randn_column,
 )
+from datafusion_comet_tpu.exec import ryu
+from datafusion_comet_tpu.exec.ryu import double_to_string, float_to_string, shortest_digits
+from datafusion_comet_tpu.io import pageindex
+from datafusion_comet_tpu.io.pageindex import compute_page_masks, read_page_index
+from datafusion_comet_tpu.io import iceberg_write
+from datafusion_comet_tpu.exec.decode import decode_byte_stream_split, decode_delta_binary_device
 from datafusion_comet_tpu.exec.sortkeys import (
     column_limbs,
     grouping_limbs,
@@ -58,4 +67,14 @@ __all__ = [
     "init_seed_host",
     "rand_column",
     "randn_column",
+    "ryu",
+    "double_to_string",
+    "float_to_string",
+    "shortest_digits",
+    "pageindex",
+    "read_page_index",
+    "compute_page_masks",
+    "iceberg_write",
+    "decode_byte_stream_split",
+    "decode_delta_binary_device",
 ]
