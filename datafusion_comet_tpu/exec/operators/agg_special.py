@@ -166,11 +166,12 @@ def percentile_agg(
     """Spark exact percentile: linear interpolation at rank (n-1)*p.
     median(x) = percentile(x, 0.5)."""
     if a.func == E.AggFunc.MEDIAN:
-        p = 0.5
+        ps, is_array = [0.5], False
     else:
         lit = a.extra[0]
         assert isinstance(lit, E.Literal), "percentile percentage must be literal"
-        p = float(lit.value)
+        is_array = isinstance(lit.value, (list, tuple))
+        ps = [float(v) for v in lit.value] if is_array else [float(lit.value)]
     cap = valid.shape[0]
     gor = _group_of_row(perm, seg, cap)
     limbs = [jnp.where(valid, gor, m).astype(jnp.int64)] + sortkeys.column_limbs(cv)
@@ -181,22 +182,28 @@ def percentile_agg(
     n = _seg_sum(sv.astype(jnp.int32), g2, m)
     # rank of each sorted row within its group
     rank = _running_count(g2, sv.astype(jnp.int32), m, cap) - 1
-    target = (n.astype(jnp.float64) - 1.0) * p
-    lo = jnp.floor(target).astype(jnp.int32)
-    hi = jnp.ceil(target).astype(jnp.int32)
-    frac = target - lo.astype(jnp.float64)
-
     def value_at(k):  # (m,) k per group → value of that rank
         k_per_row = jnp.take(jnp.concatenate([k, jnp.zeros(1, k.dtype)]), jnp.minimum(g2, m))
         hit = sv & (rank == k_per_row)
         contrib = jnp.where(hit, x2, 0.0)
         return _seg_sum(contrib, g2, m)
 
-    vlo = value_at(lo)
-    vhi = value_at(hi)
-    res = vlo + (vhi - vlo) * frac
+    per_p = []
+    for p in ps:
+        target = (n.astype(jnp.float64) - 1.0) * p
+        lo = jnp.floor(target).astype(jnp.int32)
+        hi = jnp.ceil(target).astype(jnp.int32)
+        frac = target - lo.astype(jnp.float64)
+        per_p.append(value_at(lo) + (value_at(hi) - value_at(lo)) * frac)
     has = (n > 0) & group_mask
-    return [ColumnVector(res, has, None, T.FLOAT64)]
+    if not is_array:
+        return [ColumnVector(per_p[0], has, None, T.FLOAT64)]
+    # percentile(x, array(p1..pk)) → ARRAY<double> result (Spark semantics)
+    elem = ColumnVector(jnp.stack(per_p, axis=1),
+                        jnp.broadcast_to(has[:, None], (m, len(ps))),
+                        None, T.FLOAT64)
+    return [ColumnVector(jnp.full(m, len(ps), jnp.int32), has, None,
+                         T.list_(T.FLOAT64, len(ps)), (elem,))]
 
 
 # -------------------------------------------------------------------------------------

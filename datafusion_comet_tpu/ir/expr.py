@@ -633,6 +633,9 @@ class AggExpr:
             # Spark returns an element of the input (same type)
             assert cd is not None
             return cd
+        if f == AggFunc.PERCENTILE and self.extra and isinstance(self.extra[0], Literal) \
+                and isinstance(self.extra[0].value, (list, tuple)):
+            return T.list_(T.FLOAT64, len(self.extra[0].value))
         # variance/covariance family, percentile, median → double
         return T.FLOAT64
 

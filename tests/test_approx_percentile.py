@@ -143,3 +143,22 @@ class TestSketchMergeUnits:
         with pytest.raises(ValueError):
             sess, plan = _run({"v": np.ones(10)}, p=1.5)
             sess.collect(plan)
+
+
+def test_percentile_array_of_percentages():
+    """percentile(x, array(p...)) returns ARRAY<double> (Spark semantics)."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    v = rng.normal(size=3001)
+    s = T.Schema([T.Field("v", T.FLOAT64)])
+    sess = Session()
+    sess.register_numpy("t", {"v": v}, s)
+    a = E.AggExpr(E.AggFunc.PERCENTILE, E.col("v"), "p",
+                  extra=(E.Literal((0.25, 0.5, 0.9), T.list_(T.FLOAT64, 3)),))
+    plan = P.bind_plan(P.HashAggregate(P.Scan(table="t", source_schema=s),
+                                       (), (a,), P.AggMode.SINGLE))
+    out = sess.collect(plan)
+    got = out["p"][0]
+    want = [np.percentile(v, q, method="linear") for q in (25, 50, 90)]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
