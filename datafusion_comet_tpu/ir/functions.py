@@ -49,6 +49,11 @@ __all__ = [
     "xpath_double",
     "date_format",
     "regexp_extract_all",
+    "regexp_instr",
+    "schema_of_json",
+    "schema_of_csv",
+    "to_char",
+    "empty2null",
     "json_object_keys",
     "overlay",
     "find_in_set",
@@ -102,6 +107,115 @@ def regexp_extract_all(child: E.Expr, pattern: str, idx: int = 1,
     return E.PythonUdf(
         fn, (child,), T.list_(T.string(elem_len or T.DEFAULT_STRING_LEN), max_elems),
         "regexp_extract_all")
+
+
+def regexp_instr(child: E.Expr, pattern: str, idx: int = 0) -> E.PythonUdf:
+    """Spark regexp_instr: 1-based position of the first match (0 = none)."""
+    rx = re.compile(pattern)
+
+    def fn(s):
+        if s is None:
+            return None
+        m = rx.search(s)
+        return (m.start() + 1) if m else 0
+
+    return E.PythonUdf(fn, (child,), T.INT32, "regexp_instr")
+
+
+def _schema_of_value(v) -> str:
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        return "BIGINT"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, list):
+        inner = _schema_of_value(v[0]) if v else "STRING"
+        return f"ARRAY<{inner}>"
+    if isinstance(v, dict):
+        fields = ", ".join(f"{k}: {_schema_of_value(x)}" for k, x in v.items())
+        return f"STRUCT<{fields}>"
+    return "STRING"
+
+
+def schema_of_json(child: E.Expr, out_len: int = 128) -> E.PythonUdf:
+    """Spark schema_of_json: DDL-ish schema string of a JSON value."""
+
+    def fn(s):
+        if s is None:
+            return None
+        try:
+            return _schema_of_value(json.loads(s))
+        except ValueError:
+            return None
+
+    return E.PythonUdf(fn, (child,), T.string(out_len), "schema_of_json")
+
+
+def schema_of_csv(child: E.Expr, sep: str = ",", out_len: int = 128) -> E.PythonUdf:
+    """Spark schema_of_csv: STRUCT<_c0: ..., ...> inferred from one line."""
+
+    def fn(s):
+        if s is None:
+            return None
+        import csv as _csv
+        import io as _io
+
+        try:
+            row = next(_csv.reader(_io.StringIO(s), delimiter=sep))
+        except (StopIteration, _csv.Error):
+            return None
+
+        def t(x):
+            try:
+                int(x)
+                return "BIGINT"
+            except ValueError:
+                pass
+            try:
+                float(x)
+                return "DOUBLE"
+            except ValueError:
+                return "STRING"
+
+        fields = ", ".join(f"_c{i}: {t(x)}" for i, x in enumerate(row))
+        return f"STRUCT<{fields}>"
+
+    return E.PythonUdf(fn, (child,), T.string(out_len), "schema_of_csv")
+
+
+def to_char(child: E.Expr, fmt: str, out_len: int = 0) -> E.PythonUdf:
+    """Spark to_char(numeric, fmt): the '9/0/D/,/$/S/MI' subset inverted —
+    format a number per the template."""
+    int_fmt, _, frac_fmt = fmt.partition("D")
+    scale = frac_fmt.count("9") + frac_fmt.count("0")
+    grouping = "," in int_fmt or "G" in int_fmt
+
+    def fn(v):
+        if v is None:
+            return None
+        x = float(v)
+        body = f"{abs(x):,.{scale}f}" if grouping else f"{abs(x):.{scale}f}"
+        sign = ""
+        if fmt.endswith("MI"):
+            return body + ("-" if x < 0 else "")
+        if fmt.startswith("S"):
+            sign = "-" if x < 0 else "+"
+        elif x < 0:
+            sign = "-"
+        dollar = "$" if "$" in fmt else ""
+        return sign + dollar + body
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or max(len(fmt) * 2, 24)), "to_char")
+
+
+def empty2null(child: E.Expr, out_len: int = 0) -> E.PythonUdf:
+    """Spark Empty2Null (write-path partition normalization): '' -> NULL."""
+
+    def fn(s):
+        return None if s is None or s == "" else s
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "empty2null")
 
 
 def json_object_keys(child: E.Expr, max_elems: int = 16, elem_len: int = 0) -> E.PythonUdf:

@@ -108,3 +108,22 @@ def test_xpath_numeric_and_boolean():
     assert run(F.xpath_double(E.col("x"), "//b/n"), {"x": [XML]}, schema) == [42.0]
     assert run(F.xpath_boolean(E.col("x"), "//b"), {"x": [XML]}, schema) == [True]
     assert run(F.xpath_boolean(E.col("x"), "//zzz"), {"x": [XML]}, schema) == [False]
+
+
+def test_round3_misc_host_funcs():
+    schema = T.Schema([T.Field("s", T.string(32))])
+    got = run(F.regexp_instr(E.col("s"), r"\d+"), {"s": ["ab12c", "none"]}, schema)
+    assert got == [3, 0]
+    got = run(F.schema_of_json(E.col("s")), {"s": ['{"a":1,"b":"x"}']}, schema)
+    assert got == ["STRUCT<a: BIGINT, b: STRING>"]
+    got = run(F.schema_of_csv(E.col("s")), {"s": ["1,abc,2.5"]}, schema)
+    assert got == ["STRUCT<_c0: BIGINT, _c1: STRING, _c2: DOUBLE>"]
+    got = run(F.empty2null(E.col("s")), {"s": ["", "x"]}, schema)
+    assert got == [None, "x"]
+
+
+def test_to_char():
+    schema = T.Schema([T.Field("v", T.FLOAT64)])
+    got = run(F.to_char(E.col("v"), "999,999D99"),
+              {"v": np.array([12345.678, -7.1])}, schema)
+    assert got == ["12,345.68", "-7.10"]
