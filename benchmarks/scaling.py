@@ -76,9 +76,19 @@ def main() -> None:
         for qn in qnames:
             plan = tpch.QUERIES[qn]()
             t0 = time.time()
-            dplan, fn = sess.compile(plan)
-            out, ovf = fn(sess.tables)
-            jax.block_until_ready(out.row_mask)
+            # the same skew re-plan loop as DistributedSession.execute, but
+            # keeping the final compiled fn for the timing reps
+            slack, fanout, scale = 2, 4, 1
+            for attempt in range(4):
+                dplan, fn = sess.compile(plan, shuffle_slack=slack,
+                                         join_fanout=fanout, agg_scale=scale)
+                out, ovf = fn(sess.tables)
+                jax.block_until_ready(out.row_mask)
+                if not bool(np.asarray(ovf).any()):
+                    break
+                slack *= 2
+                fanout *= 4
+                scale *= 4
             compile_s = time.time() - t0
             assert not bool(np.asarray(ovf).any()), f"{qn}@{n}: overflow"
             times = []

@@ -88,9 +88,14 @@ def _stat_range(rg_meta, col_idx):
     return st.min, st.max
 
 
-def prune_row_groups(pf, predicate: Optional[E.Expr]) -> List[int]:
+def prune_row_groups(pf, predicate: Optional[E.Expr],
+                     path: Optional[str] = None) -> List[int]:
     """Keep row groups whose min/max stats may satisfy the predicate.
-    Supports conjunctions of col <op> literal (the common pushdown shape)."""
+    Supports conjunctions of col <op> literal (the common pushdown shape).
+    With a local ``path``, equality conjuncts the stats could not exclude
+    additionally consult the column's parquet bloom filter (SBBF,
+    io/bloom.py) — a definite miss prunes the row group (the reference runs
+    bloom pruning whenever filter pushdown is on)."""
     n = pf.metadata.num_row_groups
     keep = list(range(n))
     if predicate is None:
@@ -108,18 +113,22 @@ def prune_row_groups(pf, predicate: Optional[E.Expr]) -> List[int]:
             if col_name not in names:
                 continue
             r = _stat_range(meta, names.index(col_name))
-            if r is None:
-                continue
-            mn, mx = r
-            try:
-                if op == "eq" and (value < mn or value > mx):
+            if r is not None:
+                mn, mx = r
+                try:
+                    if op == "eq" and (value < mn or value > mx):
+                        return False
+                    if op in ("lt", "le") and mn > value:
+                        return False
+                    if op in ("gt", "ge") and mx < value:
+                        return False
+                except TypeError:
+                    continue
+            if op == "eq" and path is not None:
+                from datafusion_comet_tpu.io.bloom import row_group_may_contain
+
+                if not row_group_may_contain(path, pf, rg, col_name, value):
                     return False
-                if op in ("lt", "le") and mn > value:
-                    return False
-                if op in ("gt", "ge") and mx < value:
-                    return False
-            except TypeError:
-                continue
         return True
 
     return [rg for rg in keep if rg_may_match(rg)]
@@ -297,7 +306,7 @@ def read_parquet(
     for p in paths:
         src = fs.open_input_file(p) if fs is not None else p
         pf = pq.ParquetFile(src, decryption_properties=dec_props)
-        rgs = prune_row_groups(pf, predicate)
+        rgs = prune_row_groups(pf, predicate, path=p if fs is None else None)
         if not rgs:
             continue
         cols = list(columns) if columns is not None else None

@@ -122,3 +122,65 @@ class TestPageIndexPruning:
         pred = (E.col("k") < E.lit(1000, T.INT64))
         got = to_numpy(read_parquet(p, predicate=pred, device_decode=True))
         np.testing.assert_array_equal(np.sort(got["k"]), np.arange(1000))
+
+
+class TestBloomFilterPruning:
+    """SBBF row-group pruning (reference: bloom pruning runs whenever filter
+    pushdown is on; parquet spec BloomFilter.md split-block filter)."""
+
+    def test_xxhash64_reference_vectors(self):
+        from datafusion_comet_tpu.io.bloom import xxhash64
+
+        # spec/reference vectors (xxhash64 seed 0)
+        assert xxhash64(b"") == 0xEF46DB3751D8E999
+        assert xxhash64(b"a") == 0xD24EC4F1A98C6E5B
+        assert xxhash64(b"abc") == 0x44BC2CF5AD770999
+        assert xxhash64(b"0123456789abcdef0123456789abcdef") == xxhash64(
+            b"0123456789abcdef0123456789abcdef")
+
+    def test_sbbf_insert_check_roundtrip(self):
+        """Spec-level self-consistency: values inserted per the parquet SBBF
+        algorithm are always found; absent values are (almost) all rejected.
+        (pyarrow 25 cannot WRITE bloom filters, so the bitset is built here
+        with the same spec mask; the file-reader path is covered by the
+        no-bloom passthrough test below.)"""
+        import struct as _s
+
+        from datafusion_comet_tpu.io.bloom import (
+            _SALT,
+            sbbf_might_contain,
+            xxhash64,
+        )
+
+        num_blocks = 32
+        words = [0] * (num_blocks * 8)
+
+        def insert(h):
+            blk = ((h >> 32) * num_blocks) >> 32
+            h32 = h & 0xFFFFFFFF
+            for i in range(8):
+                bit = ((h32 * _SALT[i]) & 0xFFFFFFFF) >> 27
+                words[blk * 8 + i] |= 1 << bit
+
+        present = [_s.pack("<q", v) for v in range(0, 2000, 2)]
+        for enc in present:
+            insert(xxhash64(enc))
+        bitset = b"".join(_s.pack("<I", w) for w in words)
+        for enc in present:
+            assert sbbf_might_contain(bitset, xxhash64(enc))
+        absent = [_s.pack("<q", v) for v in range(100001, 104001, 2)]
+        fp = sum(sbbf_might_contain(bitset, xxhash64(e)) for e in absent)
+        assert fp < len(absent) * 0.1, f"false-positive rate too high: {fp}"
+
+    def test_no_bloom_written_keeps_all(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from datafusion_comet_tpu.io.parquet import prune_row_groups
+
+        t = pa.table({"id": pa.array(np.arange(100, dtype=np.int64))})
+        p = str(tmp_path / "nobloom.parquet")
+        pq.write_table(t, p)
+        pf = pq.ParquetFile(p)
+        kept = prune_row_groups(pf, (E.col("id") == E.lit(5, T.INT64)), path=p)
+        assert kept == [0]
