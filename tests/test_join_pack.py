@@ -60,3 +60,53 @@ def test_left_join_with_packing_matches_oracle():
     assert len(out["v"]) == len(o)
     wv = out["w__valid"]
     assert int(out["w"][wv].sum()) == int(o["w"].sum())
+
+
+class TestCompactPairList:
+    """Direct hash_join(compact_rows=...) contract: output capacity equals
+    the requested compact capacity, results match the oracle, and an
+    undersized capacity raises the overflow flag."""
+
+    def _batches(self, n_probe=5000, n_build=800):
+        from datafusion_comet_tpu.exec.batch import from_numpy
+
+        rng = np.random.default_rng(9)
+        probe = {"pk": rng.integers(0, 300, n_probe).astype(np.int64),
+                 "pv": np.arange(n_probe, dtype=np.int64)}
+        build = {"bk": rng.integers(100, 400, n_build).astype(np.int64),
+                 "bv": np.arange(n_build, dtype=np.int64)}
+        ps = T.Schema([T.Field("pk", T.INT64), T.Field("pv", T.INT64)])
+        bs = T.Schema([T.Field("bk", T.INT64), T.Field("bv", T.INT64)])
+        return (from_numpy(probe, ps), ps, probe,
+                from_numpy(build, bs), bs, build)
+
+    def test_inner_compact_matches_oracle(self):
+        import pandas as pd
+
+        from datafusion_comet_tpu.exec.batch import to_numpy
+        from datafusion_comet_tpu.exec.operators.join import hash_join
+
+        pb, ps, pdata, bb, bs, bdata = self._batches()
+        out_schema = T.Schema(list(ps.fields) + list(bs.fields))
+        out, ovf = hash_join(
+            pb, bb, (E.bind(E.col("pk"), ps),), (E.bind(E.col("bk"), bs),),
+            P.JoinType.INNER, "right", out_schema,
+            max_build_matches=16, compact_rows=1 << 15)
+        assert out.capacity == 1 << 15
+        assert not bool(ovf)
+        got = to_numpy(out)
+        o = pd.DataFrame(pdata).merge(pd.DataFrame(bdata),
+                                      left_on="pk", right_on="bk")
+        assert len(got["pv"]) == len(o)
+        assert int(got["bv"].sum()) == int(o["bv"].sum())
+
+    def test_undersized_capacity_overflows(self):
+        from datafusion_comet_tpu.exec.operators.join import hash_join
+
+        pb, ps, _, bb, bs, _ = self._batches()
+        out_schema = T.Schema(list(ps.fields) + list(bs.fields))
+        _, ovf = hash_join(
+            pb, bb, (E.bind(E.col("pk"), ps),), (E.bind(E.col("bk"), bs),),
+            P.JoinType.INNER, "right", out_schema,
+            max_build_matches=16, compact_rows=64)
+        assert bool(ovf)
