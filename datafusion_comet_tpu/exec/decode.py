@@ -129,7 +129,6 @@ def decode_delta_binary_device(payload: bytes, num_values: int) -> jax.Array:
     blocks: List[jax.Array] = [jnp.zeros(1, jnp.int64)]  # delta slot for first
     for min_delta, w, off, take in minis:
         if w:
-            nbytes = (take * w + 7) // 8
             groups = -(-take // 8)
             raw = np.frombuffer(payload, np.uint8, min(len(payload) - off, groups * w), off)
             raw = np.pad(raw, (0, groups * w - len(raw)))

@@ -887,7 +887,6 @@ def ev_hof(e: E.HigherOrderFunc, b: Batch, ctx, ev: Callable) -> ColumnVector:
         elem2 = widen(elem2, ne2)
         presw = jnp.pad(pres, ((0, 0), (0, w - ne)))
         pres2w = jnp.pad(pres2, ((0, 0), (0, w - ne2)))
-        out_pres = presw | pres2w  # result length = max(len1, len2)
         xb = _expand_batch(b, w)
         env = {
             e.params[0]: _flatten_elem(elem, presw),
