@@ -330,22 +330,23 @@ def hash_join(
         # count) range through two sorts + scans instead of binary search
         start, cnt, s_idx = _carry_probe_range(blimbs, bvalid, plimbs, pvalid)
         count = jnp.where(pvalid, cnt, 0)
-        overflow = jnp.any(count > K)
         has_match = count > 0
         if compact_rows is not None:
             # compacted pair list: slot s belongs to probe row p with
             # off[p] <= s < off[p]+slots[p]; p_of_s fills via one unique
-            # scatter at group starts + cummax (no K-expansion exists)
+            # scatter at group starts + cummax. No K-expansion exists, so
+            # the per-probe fan-out cap K is irrelevant here — the ONLY
+            # capacity contract is the total pair count
             compact = True
             outer_probe = join_type in (JoinType.LEFT, JoinType.RIGHT, JoinType.FULL)
-            slots = jnp.minimum(count, K).astype(jnp.int64)
+            slots = count.astype(jnp.int64)
             if outer_probe:
                 slots = jnp.where(probe.row_mask, jnp.maximum(slots, 1), slots)
             csum = jnp.cumsum(slots)
             off = csum - slots  # exclusive prefix
             total = csum[-1]
             cap_out = compact_rows
-            overflow = overflow | (total > cap_out)
+            overflow = total > cap_out
             parange = jnp.arange(pcap, dtype=jnp.int32)
             dest = jnp.where(slots > 0, jnp.minimum(off, cap_out), cap_out)
             pfill = jnp.zeros(cap_out + 1, jnp.int32).at[dest].max(
@@ -360,6 +361,7 @@ def hash_join(
             b_idx = jnp.clip(s_idx[srt_pos], 0, bcap - 1)
             p_idx = pc
         else:
+            overflow = jnp.any(count > K)
             j = jnp.tile(jnp.arange(K, dtype=jnp.int32), pcap)
             p_idx = jnp.repeat(jnp.arange(pcap, dtype=jnp.int32), K)
             pair_valid = j < jnp.repeat(jnp.minimum(count, K), K)
