@@ -101,7 +101,22 @@ def _exec_scan(plan, tables, ctx, flags, fanout, metrics) -> Batch:
 
 @REG.OPERATORS.register(P.Filter)
 def _exec_filter(plan, tables, ctx, flags, fanout, metrics) -> Batch:
-    return B.filter_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.predicate, ctx)
+    out = B.filter_op(_exec(plan.child, tables, ctx, flags, fanout, metrics), plan.predicate, ctx)
+    # drastic-selectivity shrink: when stats say the filter keeps a tiny
+    # fraction, compact to a small capacity so every downstream operator
+    # (join concat sorts, aggregates) runs at the estimate, not the input
+    # capacity (q18's qty>300 keeps ~60 rows of a 2M-capacity aggregate).
+    # Only >=8x reductions pay for the compaction sort; the overflow flag
+    # rides the usual retry loop when the estimate is wrong.
+    est = getattr(plan, "out_rows_hint", None)
+    if est:
+        from datafusion_comet_tpu.exec.batch import pad_capacity
+
+        target = pad_capacity(max(4 * est * max(ctx.agg_scale, 1), 1024))
+        if target * 8 <= out.capacity:
+            out, covf = B.compact_batch(out, target)
+            flags.append(covf)
+    return out
 
 
 @REG.OPERATORS.register(P.Projection)
@@ -650,6 +665,25 @@ class Session:
         scan.schema = schema
         return scan
 
+    def _aqe_shrink(self, b: Batch):
+        """Stage-boundary adaptive compaction (the AQE analog): the staged
+        runner is already at a host sync point, so read the temp table's
+        LIVE row count and compact it to 2x that (padded) when the win is
+        >=4x — every downstream stage's concat sorts and gathers then run
+        at the runtime size, not the static estimate (q18's qty>300 filter
+        keeps ~60 of 2M slots). Returns (batch, jitted_shrink_fn or None);
+        the runner re-applies the same jitted compaction on later calls."""
+        import functools
+
+        live = int(np.asarray(b.num_rows()))
+        from datafusion_comet_tpu.exec.batch import pad_capacity
+
+        target = int(pad_capacity(max(2 * live, 1024)))
+        if target * 4 > b.capacity:
+            return b, None
+        fn = _shrink_jit(target)
+        return fn(b), fn
+
     def execute(self, plan: P.PlanNode) -> Batch:
         """Execute with automatic join-fanout re-planning and (for join-heavy
         plans) staged compilation: at most ``comet.exec.stage.
@@ -677,6 +711,7 @@ class Session:
                     # with no host fallback the reason IS the failure)
                     raise UnsupportedPlanError([f"unsupported: {e}"]) from e
                 if name:
+                    out, _ = self._aqe_shrink(out)
                     self.tables[name] = out
             return out
         finally:
@@ -690,13 +725,15 @@ class Session:
         retrace, no recompile) — the benchmarking/serving entry point."""
         stage_list = self._plan_stages(plan)
         temp_names = [n for n, _ in stage_list if n]
-        steps: List[Tuple[Optional[str], Callable]] = []
+        steps: List[Tuple[Optional[str], Callable, Optional[Callable]]] = []
         try:
             for name, sub in stage_list:
                 out, fn = self._execute_retry(sub, return_fn=True)
-                steps.append((name, fn))
+                shrink = None
                 if name:
+                    out, shrink = self._aqe_shrink(out)
                     self.tables[name] = out
+                steps.append((name, fn, shrink))
         finally:
             for n in temp_names:
                 self.tables.pop(n, None)
@@ -704,9 +741,11 @@ class Session:
         def run() -> Batch:
             res: Optional[Batch] = None
             try:
-                for name, fn in steps:
+                for name, fn, shrink in steps:
                     res, ovf = fn(self.tables)
                     if name:
+                        if shrink is not None:
+                            res = shrink(res)
                         self.tables[name] = res
             finally:
                 for n in temp_names:
@@ -975,6 +1014,16 @@ class Session:
             return mine
 
         walk(tree, plan)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=128)
+def _shrink_jit(target: int):
+    """Jitted stage-boundary compaction to a fixed capacity (per-target
+    cache so the settle-time compile is reused by every runner call)."""
+    return jax.jit(lambda b: B.compact_batch(b, target)[0])
 
 
 def _needs_bind(plan: P.PlanNode) -> bool:

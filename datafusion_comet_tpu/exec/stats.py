@@ -188,6 +188,8 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
     if isinstance(plan, P.Filter):
         rows, ndv = kids[0]
         rows = max(int(rows * _pred_selectivity(plan.predicate, ndv)), 1)
+        if getattr(plan, "out_rows_hint", None) is None:
+            plan.out_rows_hint = rows  # drives post-filter capacity shrink
         return rows, ndv
 
     if isinstance(plan, P.Projection):
