@@ -142,3 +142,57 @@ def test_scalar_subquery_reuse():
     out = s.collect(P.Scan("t", sch).project([(E.col("v") + a).alias("x"),
                                               (E.col("v") + b).alias("y")]))
     assert list(out["x"]) == list(out["y"]) == [15 + i for i in range(16)]
+
+
+class TestAqeStageShrink:
+    """Stage-boundary adaptive compaction: a drastically-selective filter
+    between stages shrinks the temp table to its runtime size, and the
+    prepared runner reproduces the same results through the cached jitted
+    compaction (q18's qty>300 shape)."""
+
+    def test_prepare_shrinks_and_stays_correct(self):
+        import numpy as np
+
+        from datafusion_comet_tpu import types as T
+        from datafusion_comet_tpu.conf import CONF, STAGE_MAX_JOINS
+        from datafusion_comet_tpu.exec.engine import Session
+        from datafusion_comet_tpu.ir import expr as E
+        from datafusion_comet_tpu.ir import plan as P
+
+        rng = np.random.default_rng(3)
+        n = 60_000
+        fact = {"k": rng.integers(0, 5000, n).astype(np.int64),
+                "v": rng.integers(0, 100, n).astype(np.int64)}
+        dim = {"k2": np.arange(5000, dtype=np.int64),
+               "w": rng.integers(0, 9, 5000).astype(np.int64)}
+        fs = T.Schema([T.Field("k", T.INT64), T.Field("v", T.INT64)])
+        ds = T.Schema([T.Field("k2", T.INT64), T.Field("w", T.INT64)])
+        sess = Session()
+        sess.register_numpy("fact", fact, fs)
+        sess.register_numpy("dim", dim, ds)
+        # per-key agg -> filter keeping a handful -> join back -> join dim
+        per = P.Scan("fact", fs).aggregate(
+            [E.col("k")], [E.AggExpr("sum", E.col("v"), "sv")])
+        big = P.Filter(per, E.col("sv") > E.lit(4600, T.INT64))  # ~top few
+        j1 = P.HashJoin(P.Scan("fact", fs), big, (E.col("k"),), (E.col("k"),),
+                        P.JoinType.LEFT_SEMI, "right")
+        j2 = P.HashJoin(j1, P.Scan("dim", ds), (E.col("k"),), (E.col("k2"),),
+                        P.JoinType.INNER, "right")
+        plan = j2.aggregate([], [E.AggExpr("count", None, "c"),
+                                 E.AggExpr("sum", E.col("w"), "sw")])
+        prev = CONF.get(STAGE_MAX_JOINS)
+        try:
+            CONF.set(STAGE_MAX_JOINS, 1)  # force stage boundaries
+            direct = sess.collect(plan)
+            run = sess.prepare(plan)
+            import jax
+
+            out1 = run()
+            out2 = run()  # the cached jitted shrink must reproduce
+            from datafusion_comet_tpu.exec.batch import to_numpy
+
+            for got in (to_numpy(out1), to_numpy(out2)):
+                assert got["c"][0] == direct["c"][0]
+                assert got["sw"][0] == direct["sw"][0]
+        finally:
+            CONF.set(STAGE_MAX_JOINS, prev)
