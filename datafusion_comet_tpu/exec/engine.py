@@ -323,7 +323,12 @@ class Session:
         self._subquery_values: Dict[int, Tuple[object, bool]] = {}
         self._in_materialize = False
         self._next_subquery_id = 0
-        self._next_stage_id = 0
+        # atomic monotone id source: parallel compile threads (tpcbench
+        # --compile-workers) prepare() plans on ONE session concurrently —
+        # a plain int counter raced and could collide temp-table names
+        import itertools as _it
+
+        self._stage_ids = _it.count()
         self._cache: Dict[Tuple[int, int], Callable] = {}
         self._spill_streams: Dict[str, Tuple[object, T.Schema]] = {}
         self._host_pool = None
@@ -608,15 +613,13 @@ class Session:
         new_cols = list(batch.columns)
         new_fields = list(child.schema.fields)
         for u in box:
-            name = f"__udf{self._next_stage_id}"
-            self._next_stage_id += 1
+            name = f"__udf{next(self._stage_ids)}"
             cv = host_eval_udf(u, batch)
             new_cols.append(cv)
             new_fields.append(T.Field(name, u.out_dtype))
             mapping[id(u)] = name
         temp_schema = T.Schema(new_fields)
-        temp_name = f"__stage{self._next_stage_id}"
-        self._next_stage_id += 1
+        temp_name = f"__stage{next(self._stage_ids)}"
         self.tables[temp_name] = Batch(tuple(new_cols), batch.row_mask, temp_schema)
         scan = P.Scan(temp_name, temp_schema)
         scan.schema = temp_schema
@@ -658,8 +661,7 @@ class Session:
             else list(out_df[f.name])
             for f in schema.fields
         }
-        temp_name = f"__stage{self._next_stage_id}"
-        self._next_stage_id += 1
+        temp_name = f"__stage{next(self._stage_ids)}"
         self.tables[temp_name] = from_numpy(data, schema)
         scan = P.Scan(temp_name, schema)
         scan.schema = schema
@@ -838,15 +840,13 @@ class Session:
         result = execute_tiled_aggregate(
             agg, _slice_tiles(batch, tile_cap), table)
         if agg is stage:
-            tmp = f"__budget{self._next_stage_id}"
-            self._next_stage_id += 1
+            tmp = f"__budget{next(self._stage_ids)}"
             temp_names.append(tmp)
             self.tables[tmp] = result
             scan = P.Scan(tmp, result.schema)
             scan.schema = result.schema
             return scan
-        tmp = f"__budget{self._next_stage_id}"
-        self._next_stage_id += 1
+        tmp = f"__budget{next(self._stage_ids)}"
         temp_names.append(tmp)
         self.tables[tmp] = result
         scan = P.Scan(tmp, result.schema)
@@ -891,8 +891,7 @@ class Session:
         for child in order:
             if total <= max_joins or _count_joins(child) == 0:
                 break
-            name = f"__stage{self._next_stage_id}"
-            self._next_stage_id += 1
+            name = f"__stage{next(self._stage_ids)}"
             stages.append((name, child))
             scan = P.Scan(name, child.schema)
             scan.schema = child.schema

@@ -68,10 +68,18 @@ _SPECIAL_FUNCS = (
     E.AggFunc.APPROX_PERCENTILE,
 )
 
-# current aggregate mode, visible to mode-sensitive kernels (approx_percentile
-# emits exact values in SINGLE mode but sketch state in PARTIAL) — set by
-# hash_aggregate around its per-aggregate loop, _SORTED_SEG-style
-_AGG_MODE = "single"
+# Per-THREAD aggregate trace state (mode for mode-sensitive kernels like
+# approx_percentile, sorted-segment flag, dense key domain). Thread-local
+# because parallel compile workers (tpcbench --compile-workers) trace
+# different queries concurrently — module globals raced and corrupted
+# sibling traces.
+import threading as _threading
+
+_TLS = _threading.local()
+
+
+def _tls(name: str, default):
+    return getattr(_TLS, name, default)
 
 
 def _sum_state_dtype(a: E.AggExpr) -> T.DataType:
@@ -197,8 +205,7 @@ def _segments(
 #   reduction over a virtual (cap, m) broadcast that XLA fuses into ONE
 #   bandwidth pass with the m-axis on vector lanes. No row sort, no scatter,
 #   no group-capacity hints: the TPU answer to perfect-hash aggregation.
-_SORTED_SEG = False
-_DENSE_M: Optional[int] = None
+
 
 
 def _dense_eq(seg: jax.Array, m: int) -> jax.Array:
@@ -231,9 +238,9 @@ def _seg_bounds(seg, m):
 
 
 def _seg_sum(x, seg, m):
-    if _DENSE_M is not None and m <= _DENSE_M:
+    if _tls('dense_m', None) is not None and m <= _tls('dense_m', None):
         return _dense_sum(x, seg, m)
-    if _SORTED_SEG:
+    if _tls('sorted_seg', False):
         acc = jnp.cumsum(x, axis=0)
         starts, ends = _seg_bounds(seg, m)
         cap = x.shape[0]
@@ -244,15 +251,15 @@ def _seg_sum(x, seg, m):
 
 
 def _seg_min(x, seg, m):
-    if _DENSE_M is not None and m <= _DENSE_M:
+    if _tls('dense_m', None) is not None and m <= _tls('dense_m', None):
         return _dense_minmax(x, seg, m, is_min=True)
     return jax.ops.segment_min(x, seg, num_segments=m + 1)[:m]
 
 
 def _seg_max(x, seg, m):
-    if _DENSE_M is not None and m <= _DENSE_M:
+    if _tls('dense_m', None) is not None and m <= _tls('dense_m', None):
         return _dense_minmax(x, seg, m, is_min=False)
-    if _SORTED_SEG and x.dtype == jnp.bool_:
+    if _tls('sorted_seg', False) and x.dtype == jnp.bool_:
         # boolean "any" per segment: count of Trues > 0 via the cumsum path
         return _seg_sum(x.astype(jnp.int32), seg, m) > 0
     return jax.ops.segment_max(x, seg, num_segments=m + 1)[:m]
@@ -398,15 +405,14 @@ def hash_aggregate(
         if dense or (
             packed[1] <= (1 << _BUCKET_BITS_CAP) and batch.capacity <= (1 << 18)
         ):
-            global _DENSE_M
-            prev = _DENSE_M
-            _DENSE_M = packed[1] if dense else None
+            prev = _tls('dense_m', None)
+            _TLS.dense_m = packed[1] if dense else None
             try:
                 out = _bucket_aggregate(
                     batch, key_cols, agg_exprs, mode, packed, out_schema, ctx
                 )
             finally:
-                _DENSE_M = prev
+                _TLS.dense_m = prev
             if out.capacity > max_groups:
                 out = _compact_groups(out, max_groups)
             return out
@@ -496,9 +502,10 @@ def hash_aggregate(
     for kc in key_cols:
         out_cols.append(kc.take(first_orig))
 
-    global _SORTED_SEG, _AGG_MODE
-    _SORTED_SEG = True  # seg from _segments is nondecreasing → cumsum reductions
-    prev_mode, _AGG_MODE = _AGG_MODE, mode
+    prev_sorted = _tls('sorted_seg', False)
+    _TLS.sorted_seg = True  # seg from _segments is nondecreasing → cumsum reductions
+    prev_mode = _tls('agg_mode', "single")
+    _TLS.agg_mode = mode
     try:
         for a in agg_exprs:
             if merging:
@@ -516,8 +523,8 @@ def hash_aggregate(
             else:
                 out_cols.extend(vals)
     finally:
-        _SORTED_SEG = False
-        _AGG_MODE = prev_mode
+        _TLS.sorted_seg = prev_sorted
+        _TLS.agg_mode = prev_mode
 
     # pad/trim columns dtypes already correct; assemble
     return Batch(tuple(out_cols), group_mask, out_schema)
@@ -549,7 +556,7 @@ def _bucket_aggregate(
     # perm=None: segment ops accept unsorted ids and read buffers in place
     # (an identity-perm gather costs ~180ms per 8M-row column on v5e)
     perm = None
-    if _DENSE_M is not None and n_buckets <= _DENSE_M:
+    if _tls('dense_m', None) is not None and n_buckets <= _tls('dense_m', None):
         present = _dense_sum(jnp.ones(cap, jnp.int32), seg, n_buckets) > 0
     else:
         present = (
@@ -754,7 +761,7 @@ def _input_agg(
 
         raw_valid = cv.validity & active  # original row order
         if f == E.AggFunc.APPROX_PERCENTILE:
-            if _AGG_MODE == AggMode.PARTIAL:
+            if _tls('agg_mode', "single") == AggMode.PARTIAL:
                 return SP.approx_percentile_partial(a, cv, raw_valid, perm, seg, m, group_mask)
             return SP.approx_percentile_exact(a, cv, raw_valid, perm, seg, m, group_mask)
         fn = {
@@ -956,7 +963,7 @@ def _merge_agg(
         live = batch.row_mask if perm is None else jnp.take(batch.row_mask, perm)
         return SP.approx_percentile_merge(
             a, sketch, cnt, live, seg, m, group_mask,
-            finalize=(_AGG_MODE == AggMode.FINAL),
+            finalize=(_tls('agg_mode', "single") == AggMode.FINAL),
         )
 
     raise NotImplementedError(f"merge {f}")
