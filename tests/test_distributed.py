@@ -25,7 +25,8 @@ SF = 0.001
 @pytest.fixture(scope="module")
 def data():
     return tpch.generate_tables(
-        ["lineitem", "orders", "customer", "supplier", "nation", "region"], SF
+        ["lineitem", "orders", "customer", "supplier", "nation", "region",
+         "part", "partsupp"], SF
     )
 
 
@@ -74,6 +75,14 @@ class TestDistributedQueries:
 
     def test_q5_matches_single_device(self, dsess, ssess):
         assert_same(dsess.collect(tpch.q5()), ssess.collect(tpch.q5()))
+
+    def test_q13_matches_single_device(self, dsess, ssess):
+        # LEFT join + dup build keys through the distributed broadcast path
+        assert_same(dsess.collect(tpch.q13()), ssess.collect(tpch.q13()))
+
+    def test_q16_matches_single_device(self, dsess, ssess):
+        # composite-key join + anti join distributed
+        assert_same(dsess.collect(tpch.q16()), ssess.collect(tpch.q16()))
 
 
 class TestShuffle:
