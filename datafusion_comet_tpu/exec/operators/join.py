@@ -4,17 +4,21 @@ Reference contract: planner.rs:2161-2233 (HashJoin: NullEquality::
 NullEqualsNothing — null keys never match; null-aware anti join semantics
 :2175-2184) and :2095-2160 (SortMergeJoin). Join types operator.proto:502-534.
 
-TPU-first formulation: a chained hash table would be pointer-chasing; instead
-the build side is **sorted by key limbs** once, and every probe row finds its
-match range via a vectorized multi-limb binary search (log2(cap) vector
-compares — pure VPU work). Matches expand with a static fan-out cap
-``max_build_matches`` (K); the operator reports overflow so the engine can
-re-plan with a larger K (the static-shape analog of DataFusion's dynamic
-output batching).
-
-Output layout (capacity = probe_cap * K [+ build_cap for FULL]):
-row i*K+j = (probe row i, its j-th match). Unmatched outer rows use slot j=0
-with null build-side columns.
+TPU-first formulation: a chained hash table would be pointer-chasing; the
+DEFAULT path is the **carry-range join** — ONE stable concat sort of
+(build, probe) by (invalid, key limbs, side) carries every key group's
+build range (start, count) to its probe rows through cumulative scans, so
+duplicate-key probing costs two sorts + one gather instead of ~2·log2(build)
+sequential binary-search gathers. With a stats output-row estimate the
+matches then emit as a **compacted pair list**: per-probe counts cumsum
+into output offsets, one unique scatter + cummax assigns each slot its
+probe row, and every pair-level gather runs at the estimated-output
+capacity (capacity overflow rides the engine's retry loop). Fallbacks:
+the expanded (probe × K) block when no estimate exists (row i*K+j =
+probe i's j-th match; K overflow re-plans), and the vectorized multi-limb
+binary search behind comet.exec.join.carryRange.enabled=false. Unmatched
+outer probe rows surface in their j=0 slot with null build columns; FULL
+appends unmatched build rows as a build-capacity tail.
 """
 
 from __future__ import annotations
