@@ -72,6 +72,15 @@ JOIN_CARRY_RANGE = _entry(
     "sequential binary-search gathers (latency-bound on TPU). Off = the "
     "vectorized binary-search probe.",
 )
+JOIN_SEMI_MINMAX = _entry(
+    "comet.exec.join.semiMinMax.enabled", True, "exec",
+    "Rewrite semi/anti/existence joins whose extra condition is a single "
+    "comparison against one build column (q21's `l2.suppkey <> l1.suppkey` "
+    "shape) into a per-key-group min/max carry: EXISTS(b: b.c > e) == "
+    "group_max(c) > e, so no matched-pair list is ever materialized — the "
+    "probe side gets its answer from two sorts + one segmented scan at "
+    "build+probe capacity. Off = the generic pair-materializing path.",
+)
 JOIN_MAX_RETRIES = _entry(
     "comet.exec.join.maxRetries", 4, "exec",
     "Max join fan-out re-planning attempts before failing.",

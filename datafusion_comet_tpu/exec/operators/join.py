@@ -184,6 +184,114 @@ def _carry_probe_range(blimbs, bvalid, plimbs, pvalid):
     return back[2][:pcap], back[3][:pcap], s_idx
 
 
+def _carry_probe_group_minmax(blimbs, bvalid, plimbs, pvalid, bpay, bpay_valid):
+    """Carry each key group's (any, min, max) over a build payload to its
+    probe rows — the semi/anti condition-pushdown primitive.
+
+    Same concat-sort skeleton as ``_carry_probe_range`` (ONE stable sort by
+    (invalid, key limbs, side) puts a group's build rows before its probe
+    rows), but instead of a (start, count) range it runs one segmented
+    associative scan carrying (group id, min, max, any-valid) — so
+    ``EXISTS(b in group: b.payload CMP probe_expr)`` answers per probe row
+    with NO pair materialization at all. Payload is a single int64 limb
+    (integer/date family).
+
+    Returns (any (pcap,) bool, minv (pcap,) int64, maxv (pcap,) int64) in
+    probe original order; min/max are over build rows with valid keys AND
+    valid payload; ``any`` is whether the group has such a row."""
+    bcap = bvalid.shape[0]
+    pcap = pvalid.shape[0]
+    n = bcap + pcap
+    limbs_cat = [jnp.concatenate([b, p]) for b, p in zip(blimbs, plimbs)]
+    side = jnp.concatenate([jnp.zeros(bcap, jnp.int32), jnp.ones(pcap, jnp.int32)])
+    valid_cat = jnp.concatenate([bvalid, pvalid])
+    idx = jnp.concatenate([jnp.arange(bcap, dtype=jnp.int32),
+                           jnp.arange(pcap, dtype=jnp.int32)])
+    pay_cat = jnp.concatenate([bpay.astype(jnp.int64), jnp.zeros(pcap, jnp.int64)])
+    payv_cat = jnp.concatenate(
+        [(bpay_valid & bvalid), jnp.zeros(pcap, bool)]).astype(jnp.int32)
+    keys = [(~valid_cat).astype(jnp.int32)] + limbs_cat + [side]
+    sorted_all = jax.lax.sort(
+        tuple(keys) + (idx, pay_cat, payv_cat), num_keys=len(keys), is_stable=True)
+    s_valid = sorted_all[0] == 0
+    s_limbs = list(sorted_all[1: 1 + len(limbs_cat)])
+    s_side = sorted_all[1 + len(limbs_cat)]
+    s_idx, s_pay, s_payv = sorted_all[-3], sorted_all[-2], sorted_all[-1]
+    same = jnp.ones(n - 1, bool)
+    for l in s_limbs:
+        same = same & (l[1:] == l[:-1])
+    newkey = jnp.concatenate([jnp.ones(1, bool), ~same]) | ~s_valid
+    gid = jnp.cumsum(newkey.astype(jnp.int32))
+    INT_MIN = jnp.int64(-(2 ** 63))
+    INT_MAX = jnp.int64(2 ** 63 - 1)
+    live = s_payv == 1
+    lo0 = jnp.where(live, s_pay, INT_MAX)
+    hi0 = jnp.where(live, s_pay, INT_MIN)
+
+    def combine(a, b):
+        ga, lo_a, hi_a, any_a = a
+        gb, lo_b, hi_b, any_b = b
+        stay = ga == gb
+        return (gb,
+                jnp.where(stay, jnp.minimum(lo_a, lo_b), lo_b),
+                jnp.where(stay, jnp.maximum(hi_a, hi_b), hi_b),
+                jnp.where(stay, jnp.maximum(any_a, any_b), any_b))
+
+    _, lo2, hi2, any2 = jax.lax.associative_scan(
+        combine, (gid, lo0, hi0, s_payv))
+    # probe rows follow their group's build rows, so the inclusive prefix at
+    # a probe row covers the whole build side of its group; restore order
+    k1 = jnp.where(s_side == 1, 0, 1).astype(jnp.int32)
+    back = jax.lax.sort((k1, s_idx, any2, lo2, hi2), num_keys=2, is_stable=True)
+    return back[2][:pcap].astype(bool), back[3][:pcap], back[4][:pcap]
+
+
+_SEMI_MINMAX_FLIP = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le", "ne": "ne"}
+
+
+def _bound_ref_indices(e: E.Expr, out: set) -> None:
+    if isinstance(e, E.BoundRef):
+        out.add(e.index)
+    for c in e.children():
+        _bound_ref_indices(c, out)
+
+
+def _semi_minmax_dtype_ok(dt: T.DataType) -> bool:
+    return dt.is_integer or dt.type_id == "DATE"
+
+
+def _semi_cond_decompose(cond: E.Expr, nprobe: int):
+    """Detect ``cmp(build_col, probe_expr)`` (either orientation) in a
+    pair-schema-bound condition. Returns (op oriented as build OP probe,
+    build column index in the BUILD schema, probe-side expr — bindable
+    against the probe batch since probe fields lead the pair schema) or
+    None when the shape/types don't admit the min/max pushdown."""
+    e = cond
+    while isinstance(e, E.Alias):
+        e = e.child
+    if not isinstance(e, E.BinaryOp) or e.op not in _SEMI_MINMAX_FLIP:
+        return None
+
+    def bare_build(x):
+        return isinstance(x, E.BoundRef) and x.index >= nprobe
+
+    def probe_only(x):
+        refs: set = set()
+        _bound_ref_indices(x, refs)
+        return all(i < nprobe for i in refs)
+
+    if bare_build(e.left) and probe_only(e.right):
+        op, bref, pexpr = e.op, e.left, e.right
+    elif bare_build(e.right) and probe_only(e.left):
+        op, bref, pexpr = _SEMI_MINMAX_FLIP[e.op], e.right, e.left
+    else:
+        return None
+    if not (_semi_minmax_dtype_ok(bref.ref_dtype)
+            and pexpr.dtype is not None and _semi_minmax_dtype_ok(pexpr.dtype)):
+        return None
+    return op, bref.index - nprobe, pexpr
+
+
 def _carry_probe_match(blimbs, bvalid, plimbs, pvalid):
     """Gather-free probe matching for a UNIQUE-key build side.
 
@@ -315,7 +423,52 @@ def hash_join(
     bvalid = bvalid & build.row_mask
     pvalid = pvalid & probe.row_mask
 
-    from datafusion_comet_tpu.conf import CONF, JOIN_CARRY_RANGE
+    from datafusion_comet_tpu.conf import CONF, JOIN_CARRY_RANGE, JOIN_SEMI_MINMAX
+
+    if (condition is not None and build_side != "left" and not unique_build
+            and join_type in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI,
+                              JoinType.EXISTENCE)
+            and CONF.get(JOIN_SEMI_MINMAX)):
+        # condition pushdown: a single comparison against one build column
+        # answers per-group via a min/max carry — no pair list exists
+        # (q21's self-join `l2.suppkey <> l1.suppkey` shape)
+        pair_schema = T.Schema(
+            list(probe.schema.fields) + list(build.schema.fields))
+        cond_b = (E.bind(_unbind_ok(condition), pair_schema)
+                  if condition.dtype is None else condition)
+        fast = _semi_cond_decompose(cond_b, len(probe.schema.fields))
+        if fast is not None:
+            op, b_col_idx, pexpr = fast
+            bcv = build.columns[b_col_idx]
+            pcv = evaluate(pexpr, probe, ctx)
+            if not bcv.is_dict and not pcv.is_dict:
+                anyv, minv, maxv = _carry_probe_group_minmax(
+                    blimbs, bvalid, plimbs, pvalid,
+                    bcv.data, bcv.validity)
+                pe = pcv.data.astype(jnp.int64)
+                if op == "ne":
+                    exists = (minv != pe) | (maxv != pe)
+                elif op == "lt":
+                    exists = minv < pe
+                elif op == "le":
+                    exists = minv <= pe
+                elif op == "gt":
+                    exists = maxv > pe
+                else:  # ge
+                    exists = maxv >= pe
+                has_match = pvalid & pcv.validity & anyv & exists
+                overflow = (pack_oor if pack_oor is not None
+                            else jnp.zeros((), bool))
+                if join_type == JoinType.LEFT_SEMI:
+                    return Batch(probe.columns, probe.row_mask & has_match,
+                                 out_schema), overflow
+                if join_type == JoinType.LEFT_ANTI:
+                    return Batch(probe.columns, probe.row_mask & ~has_match,
+                                 out_schema), overflow
+                exists_cv = ColumnVector(
+                    has_match, jnp.ones(pcap, bool), None, T.BOOL)
+                return Batch(tuple(probe.columns) + (exists_cv,),
+                             probe.row_mask, out_schema), overflow
 
     if unique_build:
         # PK-FK fast path: ≤1 match per probe row, no binary-search gathers;
