@@ -338,6 +338,10 @@ def test_q91(sess, data):
 
 def test_q17(sess, data):
     out = sess.collect(tpcds.q17())
+    # Flake triage (docs/known_issues.md): on the rare full-suite mismatch,
+    # dump both sides + the raw engine output so the failing run is
+    # diagnosable post-hoc instead of just "lists differ".
+    import json as _json
     ss, sr, cs, dt, st, it = (df(data, x) for x in
                               ("store_sales", "store_returns", "catalog_sales",
                                "date_dim", "store", "item"))
@@ -376,7 +380,16 @@ def test_q17(sess, data):
                                        kind="stable").head(100)
     cols = ["i_item_id", "i_item_desc", "s_state", "cnt1",
             "store_avg", "store_stdev", "ret_avg", "ret_stdev", "cat_avg", "cat_stdev"]
-    assert canon(out, cols) == canon_df(o, cols)
+    got, want = canon(out, cols), canon_df(o, cols)
+    if got != want:
+        extra = [r for r in got if r not in want]
+        missing = [r for r in want if r not in got]
+        dump = {"extra_in_engine": extra[:50], "missing_from_engine": missing[:50],
+                "n_got": len(got), "n_want": len(want)}
+        with open("/tmp/q17_flake_dump.json", "w") as f:
+            _json.dump({**dump, "got": got, "want": want}, f, default=str)
+        raise AssertionError(
+            f"q17 mismatch (full dump: /tmp/q17_flake_dump.json): {dump}")
 
 
 def test_q64(sess, data):
