@@ -38,7 +38,7 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", "5"))
 
     t_gen = time.time()
-    cache = f"/tmp/tpch_lineitem_sf{sf:g}.npz"
+    cache = f"/tmp/tpch_lineitem_sf{sf:g}_v{getattr(tpch, 'DATA_VERSION', 1)}.npz"
     if os.path.exists(cache):
         data = dict(np.load(cache, allow_pickle=True))
     else:

@@ -92,7 +92,8 @@ def main() -> None:
     sess = Session()
     t0 = time.time()
     for t in tables:
-        cache = f"/tmp/{args.suite}_{t}_sf{args.sf:g}.npz"
+        cache = (f"/tmp/{args.suite}_{t}_sf{args.sf:g}"
+                 f"_v{getattr(model, 'DATA_VERSION', 1)}.npz")
         if os.path.exists(cache):
             data = dict(np.load(cache, allow_pickle=True))
         else:

@@ -29,7 +29,7 @@ def run_backend(queries, sf, platform):
 
     sess = Session()
     for t in tpch.SCHEMAS:
-        cache = f"/tmp/tpch_{t}_sf{sf:g}.npz"
+        cache = f"/tmp/tpch_{t}_sf{sf:g}_v{getattr(tpch, 'DATA_VERSION', 1)}.npz"
         if os.path.exists(cache):
             data = dict(np.load(cache, allow_pickle=True))
         else:

@@ -145,9 +145,45 @@ def table_rows(name: str, sf: float) -> int:
     return max(int(base * sf), 1)
 
 
+# Spec P_NAME word list (TPC-H v3 clause 4.2.3 "colors" grammar): P_NAME is
+# five words drawn from this 92-word list, so `LIKE '%green%'` (q9) matches
+# ~5.3% of parts and `LIKE 'forest%'` (q20) ~1.1% — with a synthetic
+# "part {k}" name both filters matched ZERO rows and q9/q20 benchmarked
+# empty pipelines (round-3 data-realism fix; DATA_VERSION bumped).
+_P_NAME_WORDS = (
+    "almond antique aquamarine azure beige bisque black blanched blue blush "
+    "brown burlywood burnished chartreuse chiffon chocolate coral cornflower "
+    "cornsilk cream cyan dark deep dim dodger drab firebrick floral forest "
+    "frosted gainsboro ghost goldenrod green grey honeydew hot indian ivory "
+    "khaki lace lavender lawn lemon light lime linen magenta maroon medium "
+    "metallic midnight mint misty moccasin navajo navy olive orange orchid "
+    "pale papaya peach peru pink plum powder puff purple red rose rosy royal "
+    "saddle salmon sandy seashell sienna sky slate smoke snow spring steel "
+    "tan thistle tomato turquoise violet wheat white yellow"
+).split()
+_CONTAINER_SIZES = ("SM", "LG", "MED", "JUMBO", "WRAP")
+_CONTAINER_KINDS = ("CASE", "BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "DRUM")
+
+# Bump when generated data semantics change: benchmark/profile scripts key
+# their /tmp npz caches on this so stale data never feeds a measurement.
+DATA_VERSION = 2
+
+
+def _p_names(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Five words from the 92-word spec list per part (vectorized draw; the
+    spec wants distinct words — duplicates don't change LIKE selectivity
+    materially, so we allow them for O(n) generation)."""
+    idx = rng.integers(0, len(_P_NAME_WORDS), (n, 5))
+    w = [_P_NAME_WORDS[j] for j in range(len(_P_NAME_WORDS))]
+    return np.array(
+        [" ".join(w[a] for a in row) for row in idx], object)
+
+
 def generate_table(name: str, sf: float, seed: int = 19920401) -> Dict[str, np.ndarray]:
-    """Deterministic TPC-H-shaped data (value ranges per the spec; simplified
-    text columns). Decimals are returned pre-scaled int64 (engine physical)."""
+    """Deterministic TPC-H-shaped data (value ranges per the spec; text
+    columns follow the spec's selectivity-bearing grammars: 92-word p_name,
+    40 containers, custkeys ≡ 0 (mod 3) receive no orders so q22's anti join
+    is non-empty). Decimals are returned pre-scaled int64 (engine physical)."""
     n = table_rows(name, sf)
     rng = np.random.default_rng(seed + hash(name) % (2**31))
     if name == "region":
@@ -201,11 +237,13 @@ def generate_table(name: str, sf: float, seed: int = 19920401) -> Dict[str, np.n
         )
         return {
             "p_partkey": pk,
-            "p_name": np.array([f"part {k}" for k in pk], object),
+            "p_name": _p_names(rng, n),
             "p_brand": np.array([f"Brand#{i}{j}" for i, j in zip(rng.integers(1, 6, n), rng.integers(1, 6, n))], object),
             "p_type": types_[rng.integers(0, len(types_), n)],
             "p_size": rng.integers(1, 51, n).astype(np.int32),
-            "p_container": np.array(["SM CASE", "LG BOX", "MED BAG", "JUMBO JAR", "WRAP PKG"], object)[rng.integers(0, 5, n)],
+            "p_container": np.array(
+                [f"{s} {k}" for s in _CONTAINER_SIZES for k in _CONTAINER_KINDS],
+                object)[rng.integers(0, 40, n)],
             "p_retailprice": (90000 + pk % 20001).astype(np.int64),
         }
     if name == "partsupp":
@@ -219,9 +257,16 @@ def generate_table(name: str, sf: float, seed: int = 19920401) -> Dict[str, np.n
         }
     if name == "orders":
         ok = np.arange(1, n + 1, dtype=np.int64) * 4 - 3  # sparse keys like dbgen
+        # Spec: custkeys divisible by 3 never appear in orders, so 1/3 of
+        # customers are order-less (q22's anti join is non-trivial). Draw a
+        # dense index over the valid keys 1,2,4,5,7,8,… and expand.
+        ncust = table_rows("customer", sf)
+        m = ncust - ncust // 3
+        i = rng.integers(0, m, n)
+        custkey = 3 * (i // 2) + 1 + (i % 2)
         return {
             "o_orderkey": ok,
-            "o_custkey": rng.integers(1, table_rows("customer", sf) + 1, n).astype(np.int64),
+            "o_custkey": custkey.astype(np.int64),
             "o_orderstatus": np.array(["F", "O", "P"], object)[rng.integers(0, 3, n)],
             "o_totalprice": rng.integers(85700, 55558485, n).astype(np.int64),
             "o_orderdate": (_d("1992-01-01") + rng.integers(0, 2406, n)).astype(np.int32),
