@@ -186,7 +186,10 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
 
     est = getattr(plan, "out_rows_hint", None)
     compact_rows = None
-    if est:
+    semi_like = plan.join_type in (
+        P.JoinType.LEFT_SEMI, P.JoinType.LEFT_ANTI,
+        P.JoinType.LEFT_ANTI_NULL_AWARE, P.JoinType.EXISTENCE)
+    if est and not semi_like:
         lim = max(left.capacity, right.capacity) * 64
         compact_rows = int(_padc(int(min(max(2 * est * max(ctx.agg_scale, 1),
                                              4096), lim))))
@@ -206,13 +209,30 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
         key_pack=(getattr(plan, "key_pack", None) if ctx.unique_join_ok else None),
         compact_rows=compact_rows,
         ctx=ctx,
+        dense_range=getattr(plan, "rf_dense_range", None),
+        build_key_range=getattr(plan, "build_key_range", None),
     )
     flags.append(ovf)
+    from datafusion_comet_tpu.exec.batch import pad_capacity
+
+    if plan.join_type in (P.JoinType.LEFT_SEMI, P.JoinType.LEFT_ANTI,
+                          P.JoinType.LEFT_ANTI_NULL_AWARE):
+        # semi/anti output keeps the probe capacity with a thinned mask;
+        # with a stats row estimate, compact so downstream sorts/aggregates
+        # run at the post-filter size (same >=8x rule as the Filter shrink)
+        if est:
+            # 2x margin when the estimate derives from an exact
+            # host-evaluated runtime-filter key set; 4x for sketch-based
+            # stats (overflow retry covers the rest either way)
+            margin = 2 if getattr(plan, "rf_dense_range", None) else 4
+            starget = pad_capacity(max(margin * est * max(ctx.agg_scale, 1), 1024))
+            if starget * 8 <= out.capacity:
+                out, covf = B.compact_batch(out, starget)
+                flags.append(covf)
+        return out
     # Compact the (probe × K) pair block: without this, chained joins
     # multiply their K factors (a 5-join chain would carry 4^5 = 1024×
     # mostly-dead capacity). Target grows with the re-plan loop.
-    from datafusion_comet_tpu.exec.batch import pad_capacity
-
     grow = max(2, k // 2) * (1 if hint else max(ctx.agg_scale, 1))
     target = pad_capacity(max(left.capacity, right.capacity) * grow)
     if target < out.capacity:
@@ -766,6 +786,14 @@ class Session:
         from datafusion_comet_tpu.conf import CONF, STAGE_MAX_JOINS
 
         self._resolve_deferred(plan)  # stage lazy parquet w/ partition pruning
+        if _needs_bind(plan):
+            # runtime semi-join filters (bloom-filter join pushdown analog):
+            # host-evaluated dim key sets injected as dense-lookup semi
+            # joins on the fact side (exec/runtime_filter.py)
+            from datafusion_comet_tpu.exec.runtime_filter import (
+                inject_runtime_filters)
+
+            plan = inject_runtime_filters(plan, self)
         if _needs_bind(plan):
             # column pruning BEFORE binding: without it every join carries
             # every input column through its sort/gather (and bloats the

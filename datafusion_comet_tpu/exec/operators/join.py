@@ -366,6 +366,8 @@ def hash_join(
     key_pack: Optional[Tuple[Tuple[int, int], ...]] = None,
     compact_rows: Optional[int] = None,
     ctx: EvalContext = _DEFAULT_CTX,
+    dense_range: Optional[Tuple[int, int]] = None,
+    build_key_range: Optional[Tuple[int, int]] = None,
 ) -> Tuple[Batch, jax.Array]:
     """Returns (joined batch, overflow flag: True if any probe row had more
     than max_build_matches matches OR the compacted pair list overflowed
@@ -423,6 +425,45 @@ def hash_join(
     bvalid = bvalid & build.row_mask
     pvalid = pvalid & probe.row_mask
 
+    _dense_rng = dense_range if dense_range is not None else build_key_range
+    _dense_ok = (
+        len(bcmp_cols) == 1 and not bcmp_cols[0].is_dict
+        and not pcmp_cols[0].is_dict
+        and (bcmp_cols[0].dtype.is_integer
+             or bcmp_cols[0].dtype.type_id == "DATE")
+        and _dense_rng is not None
+        and 0 < int(_dense_rng[1]) - int(_dense_rng[0]) + 1 <= (1 << 24)
+    )
+
+    if (_dense_ok and condition is None
+            and join_type in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI,
+                              JoinType.EXISTENCE)):
+        # sortless dense-bitmap membership (runtime-filter fast path and
+        # any semi/anti whose single int key has an exact stats range):
+        # one scatter at the key-domain span + one probe gather — no
+        # concat sort, no pair list
+        lo, hi = _dense_rng
+        span = int(hi) - int(lo) + 1
+        bk = bcmp_cols[0].data.astype(jnp.int64) - np.int64(lo)
+        table = jnp.zeros(span + 1, bool).at[
+            jnp.where(bvalid & (bk >= 0) & (bk < span), bk, span)
+        ].set(True, mode="drop")
+        pk = pcmp_cols[0].data.astype(jnp.int64) - np.int64(lo)
+        in_rng = (pk >= 0) & (pk < span)
+        # slot `span` is the dead-row sink and may have been scattered to;
+        # out-of-range or invalid probe keys must never read it as a hit
+        hit = jnp.take(table, jnp.where(in_rng, pk, span)) & pvalid & in_rng
+        overflow = pack_oor if pack_oor is not None else jnp.zeros((), bool)
+        if join_type == JoinType.LEFT_SEMI:
+            return Batch(probe.columns, probe.row_mask & hit,
+                         out_schema), overflow
+        if join_type == JoinType.LEFT_ANTI:
+            return Batch(probe.columns, probe.row_mask & ~hit,
+                         out_schema), overflow
+        exists_cv = ColumnVector(hit, jnp.ones(pcap, bool), None, T.BOOL)
+        return Batch(tuple(probe.columns) + (exists_cv,),
+                     probe.row_mask, out_schema), overflow
+
     from datafusion_comet_tpu.conf import CONF, JOIN_CARRY_RANGE, JOIN_SEMI_MINMAX
 
     if (condition is not None and build_side != "left" and not unique_build
@@ -442,9 +483,31 @@ def hash_join(
             bcv = build.columns[b_col_idx]
             pcv = evaluate(pexpr, probe, ctx)
             if not bcv.is_dict and not pcv.is_dict:
-                anyv, minv, maxv = _carry_probe_group_minmax(
-                    blimbs, bvalid, plimbs, pvalid,
-                    bcv.data, bcv.validity)
+                if _dense_ok:
+                    # dense variant: scatter-min/max the condition column
+                    # into the key-domain table (no concat sort)
+                    lo, hi = _dense_rng
+                    span = int(hi) - int(lo) + 1
+                    bk = bcmp_cols[0].data.astype(jnp.int64) - np.int64(lo)
+                    bslot = jnp.where(
+                        bvalid & bcv.validity & (bk >= 0) & (bk < span),
+                        bk, span)
+                    bv64 = bcv.data.astype(jnp.int64)
+                    big = jnp.iinfo(jnp.int64).max
+                    tmin = jnp.full(span + 1, big, jnp.int64).at[bslot].min(
+                        bv64, mode="drop")
+                    tmax = jnp.full(span + 1, -big - 1, jnp.int64).at[bslot].max(
+                        bv64, mode="drop")
+                    pk = pcmp_cols[0].data.astype(jnp.int64) - np.int64(lo)
+                    in_rng = (pk >= 0) & (pk < span)
+                    slot = jnp.where(in_rng, pk, span)
+                    minv = jnp.take(tmin, slot)
+                    maxv = jnp.take(tmax, slot)
+                    anyv = (minv != big) & in_rng
+                else:
+                    anyv, minv, maxv = _carry_probe_group_minmax(
+                        blimbs, bvalid, plimbs, pvalid,
+                        bcv.data, bcv.validity)
                 pe = pcv.data.astype(jnp.int64)
                 if op == "ne":
                     exists = (minv != pe) | (maxv != pe)
@@ -475,7 +538,28 @@ def hash_join(
         # a duplicate build key raises the overflow flag (the engine then
         # re-plans with the general path)
         K = 1
-        b_idx, matched, dup = _carry_probe_match(blimbs, bvalid, plimbs, pvalid)
+        if _dense_ok:
+            # dense variant: scatter build positions into the exact key
+            # domain, probe with one gather — replaces the concat sort
+            # entirely (sort ≈ 0.5-1.5 s vs gather ≈ 0.2 s at 8M rows)
+            lo, hi = _dense_rng
+            span = int(hi) - int(lo) + 1
+            bk = bcmp_cols[0].data.astype(jnp.int64) - np.int64(lo)
+            bslot = jnp.where(bvalid & (bk >= 0) & (bk < span), bk, span)
+            biota = jnp.arange(bcap, dtype=jnp.int32)
+            tpos = jnp.zeros(span + 1, jnp.int32).at[bslot].max(
+                biota + 1, mode="drop")
+            tcnt = jnp.zeros(span + 1, jnp.int32).at[bslot].add(
+                jnp.ones(bcap, jnp.int32), mode="drop")
+            dup = jnp.any(tcnt[:span] > 1)
+            pk = pcmp_cols[0].data.astype(jnp.int64) - np.int64(lo)
+            in_rng = (pk >= 0) & (pk < span)
+            pos = jnp.take(tpos, jnp.where(in_rng & pvalid, pk, span))
+            # slot `span` is the dead-row sink (may hold scattered junk)
+            matched = (pos > 0) & in_rng & pvalid
+            b_idx = jnp.clip(pos - 1, 0, bcap - 1)
+        else:
+            b_idx, matched, dup = _carry_probe_match(blimbs, bvalid, plimbs, pvalid)
         count = matched.astype(jnp.int32)
         overflow = dup
         j = jnp.zeros(pcap, jnp.int32)

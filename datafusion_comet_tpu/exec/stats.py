@@ -73,12 +73,7 @@ def collect_stats(data: Dict[str, np.ndarray], schema: T.Schema) -> TableStats:
         except TypeError:
             ndv[f.name] = min(n, DEFAULT_MAX_GROUPS)
             continue
-        if u < _SAMPLE // 2:
-            # saturating column: the sample very likely saw every value
-            ndv[f.name] = u
-        else:
-            # mostly-unique column: scale linearly
-            ndv[f.name] = min(n, int(u * (n / _SAMPLE)))
+        ndv[f.name] = _invert_coupon(u, _SAMPLE, n)
     ranges: Dict[str, tuple] = {}
     for f in schema.fields:
         col = data.get(f.name)
@@ -97,6 +92,28 @@ def collect_stats(data: Dict[str, np.ndarray], schema: T.Schema) -> TableStats:
         if len(vals):
             ranges[f.name] = (int(vals.min()), int(vals.max()))
     return TableStats(rows=n, ndv=ndv, ranges=ranges)
+
+
+def _invert_coupon(u: int, s: int, n: int) -> int:
+    """Distinct-count estimate from a size-s sample showing u distinct
+    values over an n-row column: invert E[u] = d·(1-(1-1/d)^s) by binary
+    search (the coupon-collector expectation; replaces the old piecewise
+    saturating/linear heuristic that overestimated mid-cardinality FK
+    columns by >20x — e.g. lineitem.l_partkey, domain 200k, 65k-row sample
+    shows ~55k distinct which linear scaling blew up to ~5M)."""
+    if u >= s:  # every sampled row distinct: assume mostly-unique column
+        return n
+    lo, hi = u, n
+    for _ in range(60):
+        if hi - lo <= max(1, lo // 1000):
+            break
+        d = (lo + hi) / 2
+        exp_u = d * (1.0 - math.exp(s * math.log1p(-1.0 / d)))
+        if exp_u < u:
+            lo = d
+        else:
+            hi = d
+    return max(int((lo + hi) / 2), 1)
 
 
 def _null_mask(arr: np.ndarray) -> np.ndarray:
@@ -204,8 +221,40 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
     if isinstance(plan, (P.HashJoin, P.SortMergeJoin)):
         (lr, ln), (rr, rn) = kids
         jt = plan.join_type
+
+        def _set_build_range():
+            # single-key build-side exact value range → the join's
+            # dense-domain paths (unique-build position table, semi
+            # membership bitmap, minmax condition tables — join.py) replace
+            # their concat sorts with one scatter + one gather over the span
+            if (len(plan.right_keys) != 1
+                    or getattr(plan, "build_key_range", None) is not None):
+                return
+            bsd = getattr(plan, "build_side", "right")
+            bside = plan.left if bsd == "left" else plan.right
+            bkey = _source_column((plan.left_keys if bsd == "left"
+                                   else plan.right_keys)[0])
+            if bkey:
+                r = _column_range(bside, bkey, stats)
+                if r is not None:
+                    plan.build_key_range = r
+
         if jt in (P.JoinType.LEFT_SEMI, P.JoinType.LEFT_ANTI,
                   P.JoinType.LEFT_ANTI_NULL_AWARE, P.JoinType.EXISTENCE):
+            _set_build_range()
+            if jt == P.JoinType.LEFT_SEMI:
+                # probe rows surviving ≈ lr × (build keys / probe key NDV);
+                # drives the engine's semi-output compaction (>=8x rule, so
+                # a mild overestimate costs nothing)
+                lk0 = _source_column(plan.left_keys[0]) if plan.left_keys else None
+                if lk0 and lk0 in ln:
+                    ratio = min(1.0, rr / max(ln[lk0], 1))
+                    est = max(int(lr * ratio), 1)
+                    if getattr(plan, "out_rows_hint", None) is None:
+                        plan.out_rows_hint = est
+                    ln = dict(ln)
+                    ln[lk0] = min(ln[lk0], max(rr, 1))
+                    return est, ln
             return lr, ln
         lk = [_source_column(k) for k in plan.left_keys]
         rk = [_source_column(k) for k in plan.right_keys]
@@ -223,6 +272,7 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
             and lr * 2 <= rr
         ):
             plan.build_side = "left"
+        _set_build_range()  # after the build-side swap: range follows build
         # PK-like build side (single key, NDV ≈ rows): hint the gather-free
         # unique-build join; a wrong hint is caught by the in-graph
         # duplicate-key flag and re-planned with the general path
