@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Per-kernel micro-benchmarks with roofline accounting.
+
+The analog of the reference's criterion benches
+(/root/reference/native/spark-expr/benches/, native/shuffle/benches/) for
+the TPU engine's primitive kernels: the variadic sort (join/aggregate
+backbone), gathers, scatters (dense-domain joins/aggregates), cumsum
+(sorted-segment reductions), stream compaction, and a fused elementwise
+pass (the bandwidth ceiling probe).
+
+Each result reports bytes-touched / elapsed as GB/s and % of the HBM
+roofline (v5e ≈ 819 GB/s). Output: one JSON doc with every kernel, plus a
+summary line. Run on the TPU:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/kernels.py \
+        --rows 8388608 --out benchmarks/results/kernels-tpu.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+ROOFLINE_GBPS = {"tpu": 819.0, "cpu": 50.0}
+
+
+def bench(fn, *args, reps=5, warmup=2):
+    import jax
+
+    jitted = jax.jit(fn)
+    out = jitted(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup - 1):
+        jax.block_until_ready(jitted(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(jitted(*args))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1 << 23)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = args.rows
+    backend = jax.default_backend()
+    roof = ROOFLINE_GBPS.get(backend, 819.0)
+    rng = np.random.default_rng(0)
+
+    key64 = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.int64))
+    key_small = jnp.asarray(rng.integers(0, n // 4, n).astype(np.int64))
+    pay = [jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int64))
+           for _ in range(4)]
+    f64 = jnp.asarray(rng.random(n))
+    idx_rand = jnp.asarray(rng.integers(0, n, n).astype(np.int32))
+    small_m = 1 << 18
+    idx_small = jnp.asarray(rng.integers(0, small_m, n).astype(np.int32))
+    small_tab = jnp.asarray(rng.integers(0, 100, small_m).astype(np.int32))
+    mask = jnp.asarray(rng.random(n) < 0.01)
+
+    results = {}
+
+    def rec(name, secs, bytes_touched, note=""):
+        gbps = bytes_touched / secs / 1e9
+        results[name] = {
+            "best_s": round(secs, 5),
+            "bytes": int(bytes_touched),
+            "gb_per_s": round(gbps, 1),
+            "pct_roofline": round(100.0 * gbps / roof, 1),
+            "note": note,
+        }
+        print(f"{name:34s} {secs*1e3:9.2f} ms  {gbps:8.1f} GB/s "
+              f"{100.0*gbps/roof:6.1f}%  {note}", flush=True)
+
+    # bandwidth ceiling probe: one fused elementwise pass over 8 i64 cols
+    cols8 = pay + [key64, key_small, idx_rand.astype(jnp.int64),
+                   key_small * 7]
+    t = bench(lambda *cs: sum(c * 3 + 1 for c in cs), *cols8, reps=args.reps)
+    rec("fused_elementwise_8col", t, 16 * 8 * n, "read+write 8 i64 cols")
+
+    # variadic sort: 1 key limb + k payloads (the join/agg backbone)
+    for k in (0, 2, 4):
+        ops = (key64,) + tuple(pay[:k])
+
+        def srt(*xs):
+            return jax.lax.sort(xs, num_keys=1, is_stable=True)
+
+        t = bench(srt, *ops, reps=args.reps)
+        rec(f"sort_1key_{k}payload", t, 8 * (1 + k) * n,
+            "lax.sort is_stable")
+
+    # 2-limb key sort (multi-column keys after packing)
+    t = bench(lambda a, b, c: jax.lax.sort((a, b, c), num_keys=2,
+                                           is_stable=True),
+              key64, key_small, pay[0], reps=args.reps)
+    rec("sort_2key_1payload", t, 8 * 3 * n, "")
+
+    # argsort-style compaction: sort (mask, iota) then take at small target
+    target = 1 << 15
+
+    def compact(m, *cols):
+        iota = jnp.arange(n, dtype=jnp.int32)
+        srt = jax.lax.sort(((~m).astype(jnp.int32), iota), num_keys=1,
+                           is_stable=True)
+        sel = srt[1][:target]
+        return tuple(jnp.take(c, sel) for c in cols)
+
+    t = bench(compact, mask, *pay, reps=args.reps)
+    rec("compact_to_32k_4col", t, 8 * 4 * n + 5 * n, "sort idx + tiny takes")
+
+    # gathers
+    t = bench(lambda tab, i: jnp.take(tab, i), pay[0], idx_rand,
+              reps=args.reps)
+    rec("gather_n_from_n_i64", t, 8 * 2 * n, "random indices")
+    t = bench(lambda tab, i: jnp.take(tab, i), small_tab, idx_small,
+              reps=args.reps)
+    rec("gather_n_from_256k_i32", t, 4 * 2 * n, "dense-domain probe")
+
+    # scatters (dense-domain build side / aggregates)
+    for m_name, m in (("256k", 1 << 18), ("n", n), ("16M", 1 << 24)):
+        seg = jnp.asarray(rng.integers(0, m, n).astype(np.int32))
+
+        t = bench(lambda s, x, _m=m: jnp.zeros(_m, jnp.int32).at[s].add(x),
+                  seg, pay[0].astype(jnp.int32), reps=args.reps)
+        rec(f"scatter_add_n_to_{m_name}", t, 4 * 2 * n + 4 * m,
+            "~1 hit/slot" if m >= n else f"~{n//m} hits/slot")
+        t = bench(lambda s, x, _m=m: jnp.zeros(_m, jnp.int32).at[s].max(x),
+                  seg, pay[0].astype(jnp.int32), reps=args.reps)
+        rec(f"scatter_max_n_to_{m_name}", t, 4 * 2 * n + 4 * m, "")
+
+    # cumsum (sorted-segment reduction backbone)
+    t = bench(lambda x: jnp.cumsum(x), pay[0], reps=args.reps)
+    rec("cumsum_n_i64", t, 8 * 2 * n, "")
+
+    # segment_sum via jax.ops (unsorted scatter path)
+    seg_u = jnp.asarray(rng.integers(0, n // 4, n).astype(np.int32))
+    t = bench(lambda x, s: jax.ops.segment_sum(x, s, num_segments=n // 4),
+              pay[0], seg_u, reps=args.reps)
+    rec("segment_sum_n_to_nq", t, 8 * 2 * n + 4 * n, "unsorted ids")
+
+    doc = {
+        "rows": n,
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "roofline_gb_per_s": roof,
+        "kernels": results,
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+    print(json.dumps({"metric": "kernel_bench_done", "kernels": len(results)}))
+
+
+if __name__ == "__main__":
+    main()

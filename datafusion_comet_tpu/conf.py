@@ -218,6 +218,15 @@ EXPLAIN_NATIVE = _entry(
     "(spark.comet.explain.native.enabled analog).",
 )
 # ---- scan ---------------------------------------------------------------------------
+OBJECT_STORE_CREDENTIAL_PROVIDER = _entry(
+    "comet.scan.objectStore.credentialProvider", "", "scan",
+    "``module:callable`` path of the object-store credential/filesystem "
+    "provider SPI (the CometS3CredentialProvider analog, reference "
+    "objectstore/s3.rs + cloud/s3/credential_bridge.rs): called with the "
+    "scan URI, returns (pyarrow_filesystem, fs_local_path) built with "
+    "session credentials, or None for ambient pyarrow.fs resolution. "
+    "Empty = ambient credentials only.",
+)
 SCAN_PRUNING = _entry(
     "comet.scan.parquet.pruning.enabled", True, "scan",
     "Row-group min/max pruning on Parquet footers (page-index analog).",

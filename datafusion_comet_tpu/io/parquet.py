@@ -538,13 +538,57 @@ def encryption_properties(footer_key: bytes, column_keys=None, kms=None):
     return factory.file_encryption_properties(conn, cfg)
 
 
+_CREDENTIAL_PROVIDER = None
+
+
+def set_credential_provider(fn) -> None:
+    """Install the object-store credential/filesystem provider (the
+    CometS3CredentialProvider SPI analog, reference:
+    native/core/src/parquet/objectstore/s3.rs +
+    cloud/s3/credential_bridge.rs and the s3-credential-provider design
+    doc). ``fn(uri)`` is consulted for every ``scheme://`` path and may
+    return ``(pyarrow_filesystem, fs_local_path)`` — e.g. an S3FileSystem
+    built with session credentials — or None to fall through to
+    ``pyarrow.fs.FileSystem.from_uri`` (ambient credentials). Configured
+    per-session via conf key ``comet.scan.objectStore.credentialProvider``
+    (a ``module:callable`` path) or directly through this function."""
+    global _CREDENTIAL_PROVIDER
+    _CREDENTIAL_PROVIDER = fn
+
+
+_CONF_PROVIDER_CACHE: dict = {}
+
+
+def _provider():
+    if _CREDENTIAL_PROVIDER is not None:
+        return _CREDENTIAL_PROVIDER
+    from datafusion_comet_tpu.conf import CONF, OBJECT_STORE_CREDENTIAL_PROVIDER
+
+    spec = CONF.get(OBJECT_STORE_CREDENTIAL_PROVIDER)
+    if spec:
+        if spec not in _CONF_PROVIDER_CACHE:
+            import importlib
+
+            mod, _, attr = spec.partition(":")
+            _CONF_PROVIDER_CACHE[spec] = getattr(
+                importlib.import_module(mod), attr)
+        return _CONF_PROVIDER_CACHE[spec]
+    return None
+
+
 def resolve_filesystem(path: str):
     """URI → (pyarrow filesystem, fs-local path). s3://, gs://, hdfs://,
     file:// route through pyarrow.fs (the reference's object-store layer:
-    native/core/src/parquet/objectstore/s3.rs + object_store crate); bare
+    native/core/src/parquet/objectstore/s3.rs + object_store crate), first
+    consulting the credential-provider SPI (set_credential_provider); bare
     paths stay on the local FS with None filesystem (plain open())."""
     if "://" not in path:
         return None, path
+    prov = _provider()
+    if prov is not None:
+        out = prov(path)
+        if out is not None:
+            return out
     from pyarrow import fs as pafs
 
     return pafs.FileSystem.from_uri(path)
