@@ -222,6 +222,26 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
             return _eval_on_dict(cv, _dfa_small, ctx)
         m = dfa_match(cv.data, cv.lengths, trans, accepting)
         return ColumnVector(~m if e.negated else m, cv.validity, None, T.BOOL)
+    if isinstance(e, E.RegexpExtract):
+        from datafusion_comet_tpu.exec.regex_extract import (
+            extract_device, linearize)
+
+        cv = _ev(e.child, b, ctx)
+        lp = linearize(e.pattern, e.group_idx)
+        if lp is None:
+            raise NotImplementedError(
+                f"regexp_extract pattern {e.pattern!r} needs the host bridge")
+        if cv.is_dict:
+            def _rx_small(s, _lp=lp):
+                ob, ol, ov = extract_device(
+                    s.data, s.lengths, s.validity, _lp, e.group_idx,
+                    e.dtype.byte_width)
+                return ColumnVector(ob, ov, ol, e.dtype)
+
+            return _eval_on_dict(cv, _rx_small, ctx)
+        ob, ol, ov = extract_device(cv.data, cv.lengths, cv.validity, lp,
+                                    e.group_idx, e.dtype.byte_width)
+        return ColumnVector(ob, ov, ol, e.dtype)
     if isinstance(e, E.PythonUdf):
         from datafusion_comet_tpu.exec.host_udf import eval_python_udf
 

@@ -47,6 +47,7 @@ __all__ = [
     "GetStructField",
     "MapExpr",
     "RLike",
+    "RegexpExtract",
     "PythonUdf",
     "BloomMightContain",
     "SortOrder",
@@ -406,6 +407,23 @@ class RLike(Expr):
     child: Expr
     pattern: str
     negated: bool = False
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class RegexpExtract(Expr):
+    """Device regexp_extract for linear backtracking-free patterns
+    (exec/regex_extract.py; reference:
+    spark-expr/src/string_funcs/regexp_extract.rs). ir/functions.py only
+    builds this node when the pattern linearizes — everything else keeps
+    the host bridge."""
+
+    child: Expr
+    pattern: str
+    group_idx: int = 1
+    out_len: int = 0  # 0 = child width
 
     def children(self):
         return (self.child,)
@@ -990,6 +1008,13 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         c = _bind(e.child, schema)
         out = RLike(c, e.pattern, e.negated)
         object.__setattr__(out, "dtype", T.BOOL)
+        return out
+    if isinstance(e, RegexpExtract):
+        c = _bind(e.child, schema)
+        out = RegexpExtract(c, e.pattern, e.group_idx, e.out_len)
+        width = e.out_len or (c.dtype.byte_width if c.dtype.is_binary
+                              else T.DEFAULT_STRING_LEN)
+        object.__setattr__(out, "dtype", T.string(width))
         return out
     if isinstance(e, PythonUdf):
         args = tuple(_bind(a, schema) for a in e.args)

@@ -74,8 +74,14 @@ def _java_replacement(repl: str) -> str:
     return re.sub(r"\$(\d+)", r"\\\1", repl)
 
 
-def regexp_extract(child: E.Expr, pattern: str, idx: int = 1, out_len: int = 0) -> E.PythonUdf:
-    """Spark regexp_extract: empty string when no match / unmatched group."""
+def regexp_extract(child: E.Expr, pattern: str, idx: int = 1, out_len: int = 0):
+    """Spark regexp_extract: empty string when no match / unmatched group.
+    Linear backtracking-free patterns run fully on device
+    (exec/regex_extract.py); everything else keeps the host bridge."""
+    from datafusion_comet_tpu.exec.regex_extract import linearize
+
+    if linearize(pattern, idx) is not None:
+        return E.RegexpExtract(child, pattern, idx, out_len)
     rx = re.compile(pattern)
 
     def fn(s):
