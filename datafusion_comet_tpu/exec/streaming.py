@@ -33,7 +33,59 @@ from datafusion_comet_tpu.exec.operators import aggregate as AGG
 from datafusion_comet_tpu.ir import expr as E
 from datafusion_comet_tpu.ir import plan as P
 
-__all__ = ["execute_tiled_aggregate", "numpy_tiles"]
+__all__ = ["execute_tiled_aggregate", "numpy_tiles", "prefetch_tiles"]
+
+from datafusion_comet_tpu.conf import register_entry
+
+STREAMING_PREFETCH_DEPTH = register_entry(
+    "comet.exec.streaming.prefetchDepth", 2, "exec",
+    "Producer/consumer channel depth for tiled streaming: host staging "
+    "(numpy slicing, string packing, H2D issue) of tile N+1..N+depth runs "
+    "in a worker thread while the device computes tile N — the analog of "
+    "the reference's 2-deep channel overlapping native compute with "
+    "consumption (jni_api.rs:822-859, 'decreasing to 1 would serialize "
+    "production and consumption'). 0 = fully synchronous staging.",
+)
+
+
+def prefetch_tiles(tiles: Iterator[Batch], depth: Optional[int] = None):
+    """Wrap a tile iterator in a bounded producer thread (the 2-deep
+    producer/consumer channel of the reference, jni_api.rs:822-859): the
+    producer stages tiles (host slicing + device_put dispatch) up to
+    ``depth`` ahead while the consumer's device step runs. jax dispatch is
+    async, so together the H2D transfer of tile N+1 overlaps the compute
+    of tile N."""
+    from datafusion_comet_tpu.conf import CONF
+
+    if depth is None:
+        depth = CONF.get(STREAMING_PREFETCH_DEPTH)
+    if depth <= 0:
+        yield from tiles
+        return
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def produce():
+        try:
+            for t in tiles:
+                q.put(t)
+            q.put(_END)
+        except BaseException as e:  # surface generator errors to consumer
+            q.put(e)
+
+    th = threading.Thread(target=produce, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    th.join()
 
 
 def numpy_tiles(data: Dict[str, np.ndarray], schema: T.Schema, tile_rows: int):
@@ -135,7 +187,7 @@ def execute_tiled_aggregate(
 
     acc: Optional[Batch] = None
     pending = 0
-    for tile in tiles:
+    for tile in prefetch_tiles(tiles):
         part = run_partial(tile)
         acc = part if acc is None else _concat(acc, part)
         pending += 1
