@@ -25,20 +25,65 @@ import time
 ROOFLINE_GBPS = {"tpu": 819.0, "cpu": 50.0}
 
 
-def bench(fn, *args, reps=5, warmup=2):
-    import jax
+INNER = 8  # kernel iterations per program (amortizes tunnel dispatch)
 
-    jitted = jax.jit(fn)
-    out = jitted(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        jax.block_until_ready(jitted(*args))
+
+def bench(fn, *args, reps=5, warmup=2):
+    try:
+        return _bench(fn, *args, reps=reps, warmup=warmup)
+    except Exception as e:  # one kernel failing must not kill the doc
+        import traceback
+
+        traceback.print_exc()
+        return None
+
+
+def _bench(fn, *args, reps=5, warmup=2):
+    """Time a jitted kernel honestly on the tunneled TPU:
+
+    - completion is forced bench.py-style — every output reduces to ONE
+      scalar INSIDE the program (full sums, so XLA cannot dead-code the
+      body) and that scalar is fetched per call;
+    - the kernel body runs INNER times inside one program via fori_loop,
+      each iteration's first arg perturbed by a value data-dependent on the
+      previous checksum (0 at runtime, unprovable at compile time — no
+      hoisting/CSE); reported time = total / INNER, which amortizes the
+      ~30-50 ms per-call tunnel overhead that would otherwise dominate any
+      sub-100 ms kernel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def csum(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        acc = jnp.zeros((), jnp.float32)
+        for l in leaves:
+            acc = acc + (jnp.sum(l.astype(jnp.float32)) if l.ndim
+                         else l.astype(jnp.float32))
+        return acc
+
+    def wrapped(*a):
+        first = csum(fn(*a))
+
+        def body(_, carry):
+            bump = jnp.where(jnp.isinf(carry), 1, 0)
+            a0 = a[0] + bump.astype(a[0].dtype)
+            return csum(fn(a0, *a[1:]))
+
+        return jax.lax.fori_loop(0, INNER - 1, body, first)
+
+    jitted = jax.jit(wrapped)
+    for _ in range(warmup):
+        float(np.asarray(jitted(*args)))
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        jax.block_until_ready(jitted(*args))
+        float(np.asarray(jitted(*args)))
         best = min(best, time.time() - t0)
-    return best
+    return best / INNER
+
+
+
 
 
 def main() -> None:
@@ -48,6 +93,7 @@ def main() -> None:
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
+    import datafusion_comet_tpu  # noqa: F401  (enables jax x64)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -71,6 +117,10 @@ def main() -> None:
     results = {}
 
     def rec(name, secs, bytes_touched, note=""):
+        if secs is None:
+            results[name] = {"error": "failed (see log)"}
+            print(f"{name:34s} FAILED", flush=True)
+            return
         gbps = bytes_touched / secs / 1e9
         results[name] = {
             "best_s": round(secs, 5),
@@ -138,9 +188,13 @@ def main() -> None:
                   seg, pay[0].astype(jnp.int32), reps=args.reps)
         rec(f"scatter_max_n_to_{m_name}", t, 4 * 2 * n + 4 * m, "")
 
-    # cumsum (sorted-segment reduction backbone)
-    t = bench(lambda x: jnp.cumsum(x), pay[0], reps=args.reps)
-    rec("cumsum_n_i64", t, 8 * 2 * n, "")
+    # cumsum (sorted-segment reduction backbone); int64 cumsum at 8M hits
+    # a scoped-vmem ceiling inside the fori_loop wrapper, so measure the
+    # widths the engine's hot paths use (i32 counts, f64 sums)
+    t = bench(lambda x: jnp.cumsum(x), pay[0].astype(jnp.int32), reps=args.reps)
+    rec("cumsum_n_i32", t, 4 * 2 * n, "")
+    t = bench(lambda x: jnp.cumsum(x), f64, reps=args.reps)
+    rec("cumsum_n_f64", t, 8 * 2 * n, "")
 
     # segment_sum via jax.ops (unsorted scatter path)
     seg_u = jnp.asarray(rng.integers(0, n // 4, n).astype(np.int32))

@@ -211,6 +211,7 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
         ctx=ctx,
         dense_range=getattr(plan, "rf_dense_range", None),
         build_key_range=getattr(plan, "build_key_range", None),
+        cond_col_ranges=getattr(plan, "cond_col_ranges", None),
     )
     flags.append(ovf)
     from datafusion_comet_tpu.exec.batch import pad_capacity

@@ -231,10 +231,32 @@ def _dense_minmax(x: jax.Array, seg: jax.Array, m: int, is_min: bool) -> jax.Arr
 
 
 def _seg_bounds(seg, m):
-    gids = jnp.arange(m, dtype=seg.dtype)
-    starts = jnp.searchsorted(seg, gids, side="left")
-    ends = jnp.searchsorted(seg, gids, side="right")
-    return starts, ends  # [start, end) per group; empty → start == end
+    """[start, end) of each group in the SORTED row order (empty group →
+    start == end). Cached per traced seg array (hash_aggregate scopes the
+    cache): every reduction of the same aggregate shares one computation.
+    Large m switches from searchsorted (log2(cap) binary-search rounds,
+    each an m-wide gather — ~seconds when m is millions, the q18 GROUP BY
+    l_orderkey sink) to two one-pass scatter-min/max tables."""
+    cache = _tls('seg_bounds', None)
+    key = (id(seg), m)
+    if cache is not None and key in cache:
+        return cache[key]
+    cap = seg.shape[0]
+    if m >= (1 << 16):
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        slot = jnp.minimum(seg, m)  # dead rows (seg == max_groups) → sink
+        starts = jnp.full(m + 1, cap, jnp.int32).at[slot].min(
+            iota, mode="drop")[:m]
+        ends = jnp.zeros(m + 1, jnp.int32).at[slot].max(
+            iota + 1, mode="drop")[:m]
+        ends = jnp.maximum(ends, starts)  # empty group: start == end == cap
+    else:
+        gids = jnp.arange(m, dtype=seg.dtype)
+        starts = jnp.searchsorted(seg, gids, side="left")
+        ends = jnp.searchsorted(seg, gids, side="right")
+    if cache is not None:
+        cache[key] = (starts, ends)
+    return starts, ends
 
 
 def _seg_sum(x, seg, m):
@@ -465,6 +487,20 @@ def hash_aggregate(
             payloads.append(cv.data)
             payloads.append(cv.validity)
 
+    prev_bounds = _tls('seg_bounds', None)
+    _TLS.seg_bounds = {}  # per-aggregate (start, end) cache — see _seg_bounds
+    try:
+        return _sorted_aggregate(
+            batch, key_cols, agg_exprs, mode, max_groups, out_schema, ctx,
+            key_limbs, payloads, pre, names, index_of, slot_of, merging)
+    finally:
+        _TLS.seg_bounds = prev_bounds
+
+
+def _sorted_aggregate(batch, key_cols, agg_exprs, mode, max_groups,
+                      out_schema, ctx, key_limbs, payloads, pre, names,
+                      index_of, slot_of, merging):
+    group_exprs = key_cols  # group-key COLUMNS (already evaluated)
     perm, seg, num_groups, first_orig, sp, sorted_mask = _segments(
         key_cols, batch.row_mask, max_groups, key_limbs, payloads
     )

@@ -165,24 +165,50 @@ def _pred_selectivity(pred: E.Expr, ndv: Dict[str, int]) -> float:
 
 
 def _column_range(plan: P.PlanNode, name: str, stats: Dict[str, TableStats]):
-    """Exact (min, max) of a named column within a subtree: the UNIQUE
-    source Scan whose output carries the name (ambiguity or a rename →
-    None; filters/joins only shrink value sets, so the base range stays a
-    sound bound)."""
+    """Exact (min, max) of a named column within a subtree, following
+    Projection/group-key renames down to source Scans (q21's
+    ``l_suppkey AS ls2``). Distinct conflicting ranges → None; identical
+    hits from several scan sites (self-joins) agree and stay usable.
+    Filters/joins only shrink value sets, so the base range is a sound
+    bound."""
     hits = []
 
-    def walk(p):
+    def walk(p, nm):
         if isinstance(p, P.Scan):
             st = stats.get(p.table)
-            if st is not None and st.ranges and name in st.ranges and \
-                    any(f.name == name for f in p.out_schema().fields):
-                hits.append(st.ranges[name])
+            if st is not None and st.ranges and nm in st.ranges and \
+                    any(f.name == nm for f in p.out_schema().fields):
+                hits.append(st.ranges[nm])
             return
+        if isinstance(p, P.Projection):
+            for e in p.exprs:
+                try:
+                    n2 = e.name
+                except Exception:
+                    continue
+                if n2 == nm:
+                    src = _source_column(e)
+                    if src:
+                        walk(p.child, src)
+                    return
+            return
+        if isinstance(p, P.HashAggregate):
+            for g in p.group_exprs:
+                try:
+                    if g.name == nm:
+                        src = _source_column(g)
+                        if src:
+                            walk(p.child, src)
+                        return
+                except Exception:
+                    continue
+            return  # aggregate values are computed, not source columns
         for c in p.children():
-            walk(c)
+            walk(c, nm)
 
-    walk(plan)
-    return hits[0] if len(hits) == 1 else None
+    walk(plan, name)
+    uniq = set(hits)
+    return hits[0] if len(uniq) == 1 else None
 
 
 def _conjuncts(e: E.Expr):
@@ -242,6 +268,27 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
         if jt in (P.JoinType.LEFT_SEMI, P.JoinType.LEFT_ANTI,
                   P.JoinType.LEFT_ANTI_NULL_AWARE, P.JoinType.EXISTENCE):
             _set_build_range()
+            # exact ranges of condition columns (q21's `ls2 <> l_suppkey`):
+            # lets the dense minmax-carry scatter run in int32 (a 64-bit
+            # scatter is ~19x slower on v5e — kernels bench)
+            if (plan.condition is not None
+                    and getattr(plan, "cond_col_ranges", None) is None):
+                crs: Dict[str, tuple] = {}
+
+                def refs(e):
+                    nm = _source_column(e)
+                    if nm:
+                        yield nm
+                    for c in e.children():
+                        yield from refs(c)
+
+                for cname in set(refs(plan.condition)):
+                    r = (_column_range(plan.right, cname, stats)
+                         or _column_range(plan.left, cname, stats))
+                    if r is not None:
+                        crs[cname] = r
+                if crs:
+                    plan.cond_col_ranges = crs
             if jt == P.JoinType.LEFT_SEMI:
                 # probe rows surviving ≈ lr × (build keys / probe key NDV);
                 # drives the engine's semi-output compaction (>=8x rule, so

@@ -166,7 +166,7 @@ _CONTAINER_KINDS = ("CASE", "BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "DRUM")
 
 # Bump when generated data semantics change: benchmark/profile scripts key
 # their /tmp npz caches on this so stale data never feeds a measurement.
-DATA_VERSION = 2
+DATA_VERSION = 3  # v3: process-stable per-table rng seeding (crc32)
 
 
 def _p_names(rng: np.random.Generator, n: int) -> np.ndarray:
@@ -185,7 +185,14 @@ def generate_table(name: str, sf: float, seed: int = 19920401) -> Dict[str, np.n
     40 containers, custkeys ≡ 0 (mod 3) receive no orders so q22's anti join
     is non-empty). Decimals are returned pre-scaled int64 (engine physical)."""
     n = table_rows(name, sf)
-    rng = np.random.default_rng(seed + hash(name) % (2**31))
+    # stable per-table stream: hash() is PYTHONHASHSEED-randomized per
+    # process, which made generated data differ run-to-run — the root
+    # cause of the test_tpcds9::test_q17 cross-run flake (engine and
+    # oracle both correct, but knife-edge float/tie comparisons moved
+    # with the data). crc32 is process-stable.
+    import zlib
+
+    rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % (2**31))
     if name == "region":
         return {
             "r_regionkey": np.arange(5, dtype=np.int64),

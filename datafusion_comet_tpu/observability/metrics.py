@@ -33,12 +33,42 @@ class MetricsNode:
     output_bytes: Optional[int] = None  # static HBM footprint of the output
     capacity: Optional[int] = None      # static row capacity of the output
 
+    ROOFLINE_GBPS = {"tpu": 819.0, "cpu": 50.0}
+
+    @property
+    def bytes_touched(self) -> Optional[int]:
+        """Bytes-touched estimate for THIS operator: read every child's
+        output + write own output (the roofline numerator; scans read what
+        they emit)."""
+        if self.output_bytes is None:
+            return None
+        total = self.output_bytes
+        for c in self.children:
+            if c.output_bytes is not None:
+                total += c.output_bytes
+        return total
+
+    def roofline(self, roof_gbps: Optional[float] = None):
+        """(gb_per_s, pct_of_roofline) from the marginal elapsed time and
+        the bytes-touched estimate; None without profile_ops timings."""
+        if roof_gbps is None:
+            import jax
+
+            roof_gbps = self.ROOFLINE_GBPS.get(jax.default_backend(), 819.0)
+        bt = self.bytes_touched
+        if bt is None or not self.elapsed_ms:
+            return None
+        gbps = bt / (self.elapsed_ms * 1e-3) / 1e9
+        return round(gbps, 2), round(100.0 * gbps / roof_gbps, 2)
+
     def render(self, indent: int = 0) -> str:
         rows = f" rows={self.output_rows}" if self.output_rows is not None else ""
         t = f" time={self.elapsed_ms:.1f}ms" if self.elapsed_ms is not None else ""
         by = f" bytes={_human_bytes(self.output_bytes)}" if self.output_bytes is not None else ""
         cap = f" cap={self.capacity}" if self.capacity is not None else ""
-        lines = ["  " * indent + f"{self.op}[{self.detail}]{rows}{cap}{by}{t}"]
+        rl = self.roofline()
+        rls = f" {rl[0]}GB/s({rl[1]}%roof)" if rl else ""
+        lines = ["  " * indent + f"{self.op}[{self.detail}]{rows}{cap}{by}{t}{rls}"]
         for c in self.children:
             lines.append(c.render(indent + 1))
         return "\n".join(lines)
@@ -49,9 +79,26 @@ class MetricsNode:
             v = getattr(self, k)
             if v is not None:
                 d[k] = round(v, 3) if isinstance(v, float) else v
+        rl = self.roofline()
+        if rl:
+            d["gb_per_s"], d["pct_roofline"] = rl
         if self.children:
             d["children"] = [c.to_dict() for c in self.children]
         return d
+
+    def top_sinks(self, k: int = 3) -> List["MetricsNode"]:
+        """The k slowest operators by marginal elapsed time (the bandwidth
+        sinks a tuning pass should attack first)."""
+        flat: List[MetricsNode] = []
+
+        def walk(n: "MetricsNode"):
+            flat.append(n)
+            for c in n.children:
+                walk(c)
+
+        walk(self)
+        return sorted([n for n in flat if n.elapsed_ms],
+                      key=lambda n: -n.elapsed_ms)[:k]
 
 
 def _human_bytes(n: int) -> str:

@@ -376,10 +376,13 @@ def test_q17(sess, data):
             float((g.sr_return_quantity.astype(np.int64)**2 * g.n3).sum()))
         row["cat_avg"], row["cat_stdev"] = stats(float(g.s3.sum()), float(g.ss3.sum()))
         rows.append(row)
-    o = pd.DataFrame(rows).sort_values(["i_item_id", "i_item_desc", "s_state"],
-                                       kind="stable").head(100)
     cols = ["i_item_id", "i_item_desc", "s_state", "cnt1",
             "store_avg", "store_stdev", "ret_avg", "ret_stdev", "cat_avg", "cat_stdev"]
+    if not rows:  # legitimately-empty join at tiny SF: expect empty output
+        assert canon(out, cols) == []
+        return
+    o = pd.DataFrame(rows).sort_values(["i_item_id", "i_item_desc", "s_state"],
+                                       kind="stable").head(100)
     got, want = canon(out, cols), canon_df(o, cols)
     if got != want:
         extra = [r for r in got if r not in want]
