@@ -112,7 +112,7 @@ def _exec_filter(plan, tables, ctx, flags, fanout, metrics) -> Batch:
     if est:
         from datafusion_comet_tpu.exec.batch import pad_capacity
 
-        target = pad_capacity(max(4 * est * max(ctx.agg_scale, 1), 1024))
+        target = pad_capacity(max(4 * est, 1024) * max(ctx.agg_scale, 1))
         if target * 8 <= out.capacity:
             out, covf = B.compact_batch(out, target)
             flags.append(covf)
@@ -191,8 +191,12 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
         P.JoinType.LEFT_ANTI_NULL_AWARE, P.JoinType.EXISTENCE)
     if est and not semi_like:
         lim = max(left.capacity, right.capacity) * 64
-        compact_rows = int(_padc(int(min(max(2 * est * max(ctx.agg_scale, 1),
-                                             4096), lim))))
+        # the retry scale multiplies OUTSIDE the floor: with a tiny (wrong)
+        # estimate, max(2*est*scale, 4096) stalls at the floor and the
+        # overflow retry never converges (the q17 stage-1 infinite-retry
+        # bug); (floor * scale) grows every attempt unconditionally
+        compact_rows = int(_padc(int(min(
+            max(2 * est, 4096) * max(ctx.agg_scale, 1), lim))))
     out, ovf = J.hash_join(
         left,
         right,
@@ -226,7 +230,8 @@ def _exec_hash_join(plan, tables, ctx, flags, fanout, metrics) -> Batch:
             # host-evaluated runtime-filter key set; 4x for sketch-based
             # stats (overflow retry covers the rest either way)
             margin = 2 if getattr(plan, "rf_dense_range", None) else 4
-            starget = pad_capacity(max(margin * est * max(ctx.agg_scale, 1), 1024))
+            starget = pad_capacity(
+                max(margin * est, 1024) * max(ctx.agg_scale, 1))
             if starget * 8 <= out.capacity:
                 out, covf = B.compact_batch(out, starget)
                 flags.append(covf)
@@ -580,6 +585,10 @@ class Session:
 
         msg_box: List[str] = []
 
+        import os as _os
+
+        debug_ovf = bool(_os.environ.get("COMET_DEBUG_OVERFLOW"))
+
         def fn(tables):
             flags: List[jax.Array] = []
             errs: List[Tuple[jax.Array, str]] = []
@@ -591,12 +600,28 @@ class Session:
             err_flags = (
                 jnp.stack([jnp.any(f) for f, _ in errs]) if errs else jnp.zeros(0, bool)
             )
-            return out, (jnp.any(jnp.stack(flags)) if flags else jnp.zeros((), bool)), err_flags
+            ovf = jnp.any(jnp.stack(flags)) if flags else jnp.zeros((), bool)
+            if debug_ovf:
+                vec = (jnp.stack([jnp.any(f) for f in flags])
+                       if flags else jnp.zeros(0, bool))
+                return out, ovf, err_flags, vec
+            return out, ovf, err_flags
 
         jitted = jax.jit(fn)
 
         def wrapped(tables):
-            out, ovf, err_flags = jitted(tables)
+            if debug_ovf:
+                out, ovf, err_flags, vec = jitted(tables)
+                import numpy as _np
+
+                fired = _np.asarray(vec)
+                if fired.any():
+                    print(f"[overflow-debug] flags fired at indices "
+                          f"{list(_np.nonzero(fired)[0])} of {len(fired)} "
+                          "(append order: per-operator, depth-first)",
+                          flush=True)
+            else:
+                out, ovf, err_flags = jitted(tables)
             if err_flags.shape[0]:
                 fired = np.asarray(err_flags)
                 if fired.any():
@@ -788,21 +813,18 @@ class Session:
 
         self._resolve_deferred(plan)  # stage lazy parquet w/ partition pruning
         if _needs_bind(plan):
-            # runtime semi-join filters (bloom-filter join pushdown analog):
-            # host-evaluated dim key sets injected as dense-lookup semi
-            # joins on the fact side (exec/runtime_filter.py)
-            from datafusion_comet_tpu.exec.runtime_filter import (
-                inject_runtime_filters)
-
-            plan = inject_runtime_filters(plan, self)
-        if _needs_bind(plan):
             # column pruning BEFORE binding: without it every join carries
             # every input column through its sort/gather (and bloats the
             # compiled program) — the execute path must prune, not just the
-            # legacy direct-compile path
+            # legacy direct-compile path. Runtime-filter injection runs
+            # AFTER pruning: prune_columns rebuilds join nodes, which would
+            # drop the injector's hint attributes (rf_dense_range /
+            # out_rows_hint).
+            from datafusion_comet_tpu.exec.runtime_filter import (
+                inject_runtime_filters)
             from datafusion_comet_tpu.ir.pruning import prune_columns
 
-            bound0 = P.bind_plan(prune_columns(plan))
+            bound0 = P.bind_plan(inject_runtime_filters(prune_columns(plan), self))
         else:
             bound0 = plan
         from datafusion_comet_tpu.exec.stats import derive_capacities

@@ -110,6 +110,15 @@ def _try_filter_join(j: P.HashJoin, session) -> P.HashJoin:
         if new_target is None:
             continue
         out = _swap_child(out, target, new_target)
+        # the join's own output estimate: the dim selectivity is now ALREADY
+        # applied inside the filtered side, so the stats walk must not apply
+        # it again (independence would collapse the estimate ~ratio² — the
+        # q17 est=1 bug); fact rows × ratio is the right join-output size
+        # for a PK-dim equi join
+        if getattr(out, "out_rows_hint", None) is None:
+            trows = _subtree_scan_rows(target, tkey, session)
+            if trows:
+                out.out_rows_hint = max(int(trows * rf.est_ratio), 1)
         break  # one filter per join is plenty
     return out
 

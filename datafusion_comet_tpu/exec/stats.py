@@ -396,6 +396,11 @@ def _walk(plan: P.PlanNode, stats: Dict[str, TableStats]) -> Tuple[int, Dict[str
             est = max(est, rr)
         if getattr(plan, "out_rows_hint", None) is None:
             plan.out_rows_hint = est
+        else:
+            # a pre-set hint (runtime-filter injector's exact-ratio value)
+            # beats the independence-assuming formula — and must propagate
+            # upward, or correlated filters collapse ancestor estimates
+            rows = max(int(plan.out_rows_hint), 1)
         return rows, ndv
 
     if isinstance(plan, P.BroadcastNestedLoopJoin):

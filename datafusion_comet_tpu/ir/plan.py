@@ -362,10 +362,31 @@ def _expr_nullable(e: E.Expr, schema: T.Schema) -> bool:
     return True
 
 
+# planner-hint attributes set outside the dataclass fields (stats-derived
+# capacities, runtime-filter metadata). bind_plan rebuilds nodes, so these
+# must be copied forward explicitly or silently vanish (the round-4
+# rf_dense_range loss bug).
+HINT_ATTRS = (
+    "out_rows_hint", "rf_dense_range", "build_key_range", "key_pack",
+    "fanout_hint", "unique_build_hint", "cond_col_ranges",
+    "presorted_build", "group_key_ranges",
+)
+
+
 def bind_plan(plan: PlanNode) -> PlanNode:
     """Bottom-up: bind expressions against child schemas, compute output
     schemas. Mutates ``schema`` slots in place and returns new nodes with
-    bound expressions."""
+    bound expressions; planner-hint attributes (HINT_ATTRS) carry over."""
+    out = _bind_plan_impl(plan)
+    if out is not plan:
+        for a in HINT_ATTRS:
+            v = getattr(plan, a, None)
+            if v is not None and getattr(out, a, None) is None:
+                setattr(out, a, v)
+    return out
+
+
+def _bind_plan_impl(plan: PlanNode) -> PlanNode:
     if isinstance(plan, Scan):
         plan.schema = plan.out_schema()
         return plan
