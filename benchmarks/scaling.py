@@ -22,31 +22,74 @@ import json
 import time
 
 
-def exchange_profile(plan) -> dict:
-    """Count exchange/broadcast nodes by kind in a distributed plan."""
+ICI_GBPS = 186.0  # v5e per-direction ICI link bandwidth model (2D torus
+# link ≈ 1.6 Tbps aggregate / ~186 GB/s per direction per link); used only
+# to MODEL exchange cost — the virtual CPU mesh cannot measure ICI, so the
+# scaling json reports modeled collective time next to measured wall-clock
+# (addresses the r3 'FLAT = ideal is under-evidenced' finding with an
+# explicit cost account instead of an unfalsifiable flat curve).
+
+
+def _row_bytes(schema) -> int:
+    total = 1  # row mask bit ≈ 1 byte
+    for f in schema.fields:
+        dt = f.dtype
+        if dt.is_binary:
+            total += dt.byte_width + 5  # bytes + length + validity
+        elif dt.is_wide_decimal:
+            total += 17
+        else:
+            total += 9
+    return total
+
+
+def exchange_profile(plan, np_: int = 8) -> dict:
+    """Exchange/broadcast census of a distributed plan: node counts per
+    kind, estimated bytes crossing the interconnect, and modeled ICI time
+    (all-to-all moves cap×(np-1)/np rows off-device; broadcast replicates
+    cap×(np-1))."""
     from datafusion_comet_tpu.ir import plan as P
     from datafusion_comet_tpu.parallel.executor import Broadcast
 
-    prof = {"hash": 0, "range": 0, "single": 0, "round_robin": 0, "broadcast": 0}
+    prof = {"hash": 0, "range": 0, "single": 0, "round_robin": 0,
+            "broadcast": 0, "bytes_alltoall": 0, "bytes_broadcast": 0}
+
+    def cap_of(n):
+        sub = n.children()[0] if n.children() else n
+        mg = getattr(sub, "max_groups", None)
+        return mg or (1 << 16)
 
     def walk(n):
         if isinstance(n, Broadcast):
             prof["broadcast"] += 1
+            if n.schema is not None:
+                prof["bytes_broadcast"] += (
+                    _row_bytes(n.schema) * cap_of(n) * (np_ - 1))
         elif isinstance(n, P.ShuffleExchange):
             prof[n.partitioning] = prof.get(n.partitioning, 0) + 1
+            if n.schema is not None:
+                prof["bytes_alltoall"] += int(
+                    _row_bytes(n.schema) * cap_of(n) * (np_ - 1) / np_)
         for c in n.children():
             walk(c)
 
     walk(plan)
+    prof["modeled_ici_ms"] = round(
+        (prof["bytes_alltoall"] + prof["bytes_broadcast"]) / ICI_GBPS / 1e6, 3)
     return prof
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", choices=["tpch", "tpcds"], default="tpch")
     ap.add_argument("--sf", type=float, default=0.05)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--queries", default="q1,q3,q6,q12")
     ap.add_argument("--sizes", default="1,2,4,8")
+    ap.add_argument("--skew", type=float, default=0.0,
+                    help="fraction of fact-table join-key values collapsed "
+                    "onto ONE hot key (BASELINE configs[3]: skewed join "
+                    "keys exercising the shuffle-slack re-plan loop)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -57,14 +100,47 @@ def main() -> None:
 
     import numpy as np
 
-    from datafusion_comet_tpu.models import tpch
     from datafusion_comet_tpu.parallel.executor import DistributedSession
     from datafusion_comet_tpu.parallel.mesh import make_mesh
 
+    if args.suite == "tpch":
+        from datafusion_comet_tpu.models import tpch as model
+
+        tables = ("lineitem", "orders", "customer", "part", "supplier",
+                  "nation", "region", "partsupp")
+    else:
+        from datafusion_comet_tpu.models import tpcds as model
+
+        tables = tuple(model.SCHEMAS)
+    tpch = model  # query lookup below
     qnames = [q.strip() for q in args.queries.split(",")]
     sizes = [int(s) for s in args.sizes.split(",")]
-    tables = ("lineitem", "orders", "customer", "part", "supplier", "nation", "region", "partsupp")
-    data = {t: tpch.generate_table(t, args.sf) for t in tables}
+    data = {t: model.generate_table(t, args.sf) for t in tables}
+    if args.skew > 0:
+        # collapse a fraction of fact join keys onto one hot value: the
+        # AQE-skew analog workload (reference: CometShuffleExchangeExec
+        # implements ShuffleExchangeLike so Spark AQE can split skewed
+        # partitions; here the engine answers with shuffle-slack re-plans)
+        rng = np.random.default_rng(7)
+        skew_cols = {
+            "store_sales": ["ss_item_sk", "ss_customer_sk"],
+            "catalog_sales": ["cs_item_sk", "cs_bill_customer_sk"],
+            "store_returns": ["sr_item_sk"],
+            "lineitem": ["l_orderkey", "l_partkey"],
+        }
+        for t, cols in skew_cols.items():
+            if t not in data:
+                continue
+            for c in cols:
+                col = data[t].get(c)
+                if col is None or not hasattr(col, "astype"):
+                    continue
+                n_rows = len(col)
+                hot = col[0]
+                m = rng.random(n_rows) < args.skew
+                col = np.array(col)
+                col[m] = hot
+                data[t][c] = col
 
     results: dict = {}
     for n in sizes:
@@ -101,7 +177,7 @@ def main() -> None:
                 "best_s": round(min(times), 4),
                 "times_s": [round(t, 4) for t in times],
                 "compile_s": round(compile_s, 1),
-                "exchanges": exchange_profile(dplan),
+                "exchanges": exchange_profile(dplan, n),
             }
             print(f"n={n} {qn} best={per_q[qn]['best_s']}s "
                   f"exchanges={per_q[qn]['exchanges']}", flush=True)
