@@ -1,3 +1,4 @@
+
 #!/usr/bin/env python
 """Per-kernel micro-benchmarks with roofline accounting.
 
@@ -17,6 +18,9 @@ summary line. Run on the TPU:
 """
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import json

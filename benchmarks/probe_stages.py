@@ -1,3 +1,4 @@
+
 #!/usr/bin/env python
 """Verbose per-stage probe for one TPC query: prints compile/execute/
 overflow timing for EVERY retry attempt of every stage as it happens —
@@ -9,6 +10,9 @@ hides.
 """
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import time

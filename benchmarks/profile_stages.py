@@ -1,3 +1,4 @@
+
 #!/usr/bin/env python
 """Per-stage wall-clock profiler: where did a query's time go?
 
@@ -12,6 +13,9 @@ Usage:
 """
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import json

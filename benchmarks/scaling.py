@@ -1,3 +1,4 @@
+
 #!/usr/bin/env python
 """Multi-chip scaling harness: the same queries at 1/2/4/8 mesh devices.
 
@@ -16,6 +17,9 @@ Usage:
 """
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import json

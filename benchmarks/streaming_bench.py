@@ -1,3 +1,4 @@
+
 #!/usr/bin/env python
 """Streaming-aggregate overlap bench (VERDICT r3 #8): tiled aggregate with
 the producer/consumer prefetch channel vs fully synchronous staging.
@@ -12,6 +13,9 @@ while the device runs the partial-aggregate step for the previous tile.
 """
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import json

@@ -1,3 +1,4 @@
+
 #!/usr/bin/env python
 """TPC benchmark driver: per-query wall-clock timings as JSON.
 
@@ -15,6 +16,9 @@ discipline — measures compute, not result egress).
 """
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import json

@@ -1,3 +1,4 @@
+
 #!/usr/bin/env python
 """TPU correctness attestation: run queries on the TPU backend and compare
 FULL results (not checksums) against the CPU oracle session.
@@ -10,6 +11,9 @@ benchmarks/results/tpu-correctness.json.
 """
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import json

@@ -28,7 +28,9 @@ import numpy as np
 
 from datafusion_comet_tpu.io import pages as PG
 
-__all__ = ["unpack_bits_device", "decode_rle_hybrid_device", "decode_column_chunk"]
+__all__ = ["unpack_bits_device", "decode_rle_hybrid_device",
+           "decode_column_chunk", "decode_list_column_chunk",
+           "scan_list_levels"]
 
 
 def unpack_bits_device(packed: jax.Array, bit_width: int) -> jax.Array:
@@ -153,6 +155,161 @@ def _expand_def_levels(values: jax.Array, def_bytes: bytes, n_slots: int,
     out = jnp.take(values, jnp.clip(idx, 0, max(nv - 1, 0)), axis=0)
     out = jnp.where(valid, out, jnp.asarray(fill, out.dtype))
     return out, valid
+
+
+def _page_values(pg, dt, dictionary, n_phys: int) -> jax.Array:
+    """Decode one data page's VALUES section (densely packed non-null
+    entries) to a flat device array — the shared kernel behind the flat
+    and nested chunk decoders."""
+    if pg.encoding == 8:
+        codes = decode_rle_hybrid_device(pg.payload, pg.bit_width, n_phys)
+        return jnp.take(dictionary, codes, axis=0)
+    if pg.encoding == 0:
+        return jnp.asarray(np.frombuffer(pg.payload, dt, n_phys))
+    if pg.encoding == 5:
+        return decode_delta_binary_device(pg.payload, n_phys).astype(dt)
+    if pg.encoding == 9:
+        return decode_byte_stream_split(pg.payload, n_phys, dt)
+    raise NotImplementedError(f"device decode encoding {pg.encoding}")
+
+
+def scan_list_levels(ps) -> dict:
+    """Host pre-scan of a LIST column chunk's rep/def level streams.
+
+    Levels are tiny (≤2 bits/slot) next to the values, so the structural
+    work — list boundaries, per-row counts, element positions — runs on
+    host numpy while the VALUES stream (the bandwidth) decodes on device.
+    Single-level LIST semantics (parquet LogicalTypes.md 'Lists'): with
+    D = max_def_level, R = max_rep_level = 1 and the standard 3-level
+    shape, a slot is an element iff def >= D-1 ... no: element-slot iff
+    def > D-2 when the element is nullable. Computed generically below
+    from (list_nullable, elem_nullable): elem_slot_def = l + 1 where
+    l = 1 if the outer list field is optional; element non-null iff
+    def == D; null list iff l == 1 and def == 0; empty list iff
+    def == l.
+
+    Returns dict(n_rows, counts, row_valid, elem_rows, elem_pos,
+    elem_valid_flat, n_slots) — all host numpy.
+    """
+    from datafusion_comet_tpu.io import pages as _PG
+
+    D = ps.max_def_level
+    if ps.max_rep_level != 1:
+        raise NotImplementedError("device decode: only 1-level LIST nesting")
+    l = 1 if ps.nullable else 0  # outer list field optional?
+    elem_def = l + 1  # def level at which an element SLOT exists
+    reps, defs = [], []
+    for pg in ps.pages:
+        n = pg.num_values
+        if pg.encoding == -1:  # pruned page: treat rows as absent lists
+            reps.append(np.zeros(n, np.int64))
+            defs.append(np.zeros(n, np.int64))
+            continue
+        rw, dw = ps.max_rep_level.bit_length(), D.bit_length()
+        reps.append(_PG.decode_rle_hybrid_host(pg.rep_bytes, rw, n)
+                    if pg.rep_bytes is not None else np.zeros(n, np.int64))
+        defs.append(_PG.decode_rle_hybrid_host(pg.def_bytes, dw, n)
+                    if pg.def_bytes is not None else np.full(n, D, np.int64))
+    rep = np.concatenate(reps) if reps else np.zeros(0, np.int64)
+    deflev = np.concatenate(defs) if defs else np.zeros(0, np.int64)
+    starts = rep == 0
+    n_rows = int(starts.sum())
+    row_id = np.cumsum(starts) - 1
+    is_elem = deflev >= elem_def
+    counts = np.bincount(row_id[is_elem], minlength=n_rows).astype(np.int32) \
+        if n_rows else np.zeros(0, np.int32)
+    # per-row validity: the first slot of a null list carries def < l
+    row_valid = np.ones(n_rows, bool)
+    if l:
+        row_valid[row_id[starts]] = deflev[starts] >= l
+    # element positions within their list: slot index minus row start
+    slot = np.arange(len(rep))
+    row_start = np.zeros(len(rep), np.int64)
+    if len(rep):
+        start_idx = slot[starts]
+        row_start = start_idx[row_id]
+    # position counts only element slots before this one in the row
+    elem_rank = np.cumsum(is_elem) - 1
+    first_elem_rank = np.zeros(n_rows, np.int64)
+    if n_rows:
+        # rank of the first element slot in each row = count of element
+        # slots strictly before the row start
+        before = np.cumsum(is_elem)  # inclusive
+        first_elem_rank = before[row_start[starts]] - is_elem[row_start[starts]]
+    pos = elem_rank - first_elem_rank[row_id]
+    return {
+        "n_rows": n_rows,
+        "n_slots": len(rep),
+        "counts": counts,
+        "row_valid": row_valid,
+        "elem_rows": row_id[is_elem].astype(np.int32),
+        "elem_pos": pos[is_elem].astype(np.int32),
+        "elem_valid_flat": (deflev[is_elem] == D),
+        "n_values": int((deflev == D).sum()),  # densely stored values
+    }
+
+
+def decode_list_column_chunk(path: str, row_group: int, column: int,
+                             np_dtype: Optional[np.dtype] = None,
+                             max_elems: Optional[int] = None):
+    """Decode a LIST<primitive> column chunk to the engine's padded-plane
+    layout: (counts (rows,) int32, list_valid (rows,) bool,
+    elem_data (rows, E), elem_valid (rows, E), E).
+
+    TPU formulation (vs the reference's parquet-rs nested readers under
+    parquet_exec.rs:60): rep/def level streams decode on HOST (≤2 bits
+    per slot — structure, not bandwidth) yielding static (row, pos)
+    coordinates; the VALUES stream — the actual bytes — decodes on DEVICE
+    via the same gather-free kernels as flat columns, then ONE scatter
+    places elements into the (rows, E) plane. E is the chunk's max list
+    length padded to a power of two (static shape), or the caller's
+    ``max_elems`` (schema-declared capacity; overflow raises like
+    from_numpy)."""
+    from datafusion_comet_tpu.io import pages as PG_
+
+    ps = PG_.read_column_pages(path, row_group, column)
+    st = scan_list_levels(ps)
+    dt = np_dtype if np_dtype is not None else (
+        ps.dictionary.dtype if ps.dictionary is not None else np.dtype("<i8"))
+    dictionary = jnp.asarray(ps.dictionary) if ps.dictionary is not None else None
+    n_rows = st["n_rows"]
+    maxc = int(st["counts"].max()) if n_rows and st["counts"].size else 0
+    E = max_elems if max_elems is not None else max(
+        1 << max(maxc - 1, 0).bit_length(), 1)
+    if maxc > E:
+        raise ValueError(f"list of {maxc} items exceeds max_elems={E}")
+    parts: List[jax.Array] = []
+    for pg in ps.pages:
+        if pg.encoding == -1:
+            continue
+        n_phys = pg.num_values
+        if pg.def_bytes is not None:
+            n_phys = int(np.sum(
+                PG_.decode_rle_hybrid_host(
+                    pg.def_bytes, ps.max_def_level.bit_length(), pg.num_values)
+                == ps.max_def_level))
+        parts.append(_page_values(pg, dt, dictionary, n_phys))
+    flat = (jnp.concatenate(parts) if len(parts) > 1
+            else (parts[0] if parts else jnp.zeros(0, dt)))
+    flat = flat.astype(dt) if flat.dtype != dt else flat
+    # expand dense values to ALL element slots (null elements hold fill)
+    ev = st["elem_valid_flat"]
+    n_elem_slots = len(ev)
+    vidx = np.cumsum(ev) - 1
+    nv = max(int(flat.shape[0]), 1)
+    slot_vals = jnp.take(flat, jnp.asarray(np.clip(vidx, 0, nv - 1)), axis=0) \
+        if n_elem_slots else jnp.zeros(0, dt)
+    plane = jnp.zeros((max(n_rows, 1), E), dt)
+    vplane = jnp.zeros((max(n_rows, 1), E), bool)
+    if n_elem_slots:
+        rows_i = jnp.asarray(st["elem_rows"])
+        pos_i = jnp.asarray(st["elem_pos"])
+        plane = plane.at[rows_i, pos_i].set(
+            jnp.where(jnp.asarray(ev), slot_vals, jnp.zeros((), dt)))
+        vplane = vplane.at[rows_i, pos_i].set(jnp.asarray(ev))
+    counts = jnp.asarray(st["counts"]) if n_rows else jnp.zeros(0, jnp.int32)
+    valid = jnp.asarray(st["row_valid"]) if n_rows else jnp.zeros(0, bool)
+    return counts, valid, plane[:n_rows], vplane[:n_rows], E
 
 
 def decode_column_chunk(path: str, row_group: int, column: int,

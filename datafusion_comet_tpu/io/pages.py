@@ -202,6 +202,7 @@ class DataPage:
     num_values: int
     bit_width: int = 0  # dictionary code width
     def_bytes: Optional[bytes] = None
+    rep_bytes: Optional[bytes] = None  # repetition levels (nested columns)
 
 
 @dataclasses.dataclass
@@ -214,13 +215,16 @@ class PageStream:
     num_values: int
     pages: List[DataPage] = dataclasses.field(default_factory=list)
     nullable: bool = False
+    max_def_level: int = 0
+    max_rep_level: int = 0
 
 
 def read_column_pages(path: str, row_group: int, column: int,
                       page_mask: Optional[List[bool]] = None) -> PageStream:
     """Extract a column chunk's raw pages: dictionary values + per-page
-    value payloads with definition-level streams for nullable columns
-    (non-nested; max_def_level <= 1). ``page_mask`` (from page-index
+    value payloads with definition/repetition-level streams (def for any
+    optional node on the path, rep for nested columns — level bit widths
+    from the schema's max levels). ``page_mask`` (from page-index
     pruning) drops pages whose rows can't match — dropped pages still
     count their slots so row offsets stay aligned (the caller masks them
     dead)."""
@@ -230,7 +234,12 @@ def read_column_pages(path: str, row_group: int, column: int,
     pf = pq.ParquetFile(path)
     col = pf.metadata.row_group(row_group).column(column)
     phys = col.physical_type  # 'INT32', 'INT64', 'FLOAT', 'DOUBLE', ...
-    nullable = pf.schema_arrow.field(col.path_in_schema).nullable
+    leaf = pf.schema.column(column)
+    max_def = leaf.max_definition_level
+    max_rep = leaf.max_repetition_level
+    def_w = max_def.bit_length()  # RLE bit width of each level stream
+    rep_w = max_rep.bit_length()
+    nullable = pf.schema_arrow.field(col.path_in_schema.split(".")[0]).nullable
     codec_name = col.compression.lower()
     codec = None if codec_name in ("uncompressed",) else pa.Codec(codec_name)
     start = col.dictionary_page_offset
@@ -251,13 +260,22 @@ def read_column_pages(path: str, row_group: int, column: int,
     total = 0
     data_page_idx = 0
 
-    def split_levels_v1(data: bytes) -> Tuple[Optional[bytes], bytes]:
-        """v1 page: nullable columns prefix the values with a 4-byte-length
-        RLE def-level stream (bit width 1); required columns have none."""
-        if not nullable:
-            return None, data
-        (ln,) = struct.unpack_from("<I", data, 0)
-        return data[4: 4 + ln], data[4 + ln:]
+    def split_levels_v1(data: bytes) -> Tuple[Optional[bytes], Optional[bytes], bytes]:
+        """v1 page: [rep levels][def levels][values]; each level stream is a
+        4-byte-length-prefixed RLE/bit-packed hybrid, present only when its
+        max level > 0 (rep for nested columns, def for any optional node on
+        the path — parquet-format Encodings.md 'Data Pages')."""
+        rep_b = def_b = None
+        pos0 = 0
+        if max_rep > 0:
+            (ln,) = struct.unpack_from("<I", data, pos0)
+            rep_b = data[pos0 + 4: pos0 + 4 + ln]
+            pos0 += 4 + ln
+        if max_def > 0:
+            (ln,) = struct.unpack_from("<I", data, pos0)
+            def_b = data[pos0 + 4: pos0 + 4 + ln]
+            pos0 += 4 + ln
+        return rep_b, def_b, data[pos0:]
 
     while pos < len(raw):
         hdr = parse_page_header(raw, pos)
@@ -282,13 +300,15 @@ def read_column_pages(path: str, row_group: int, column: int,
                 continue
             data = codec.decompress(payload, hdr.uncompressed_size) if codec else payload
             data = bytes(data)
-            def_bytes, body = split_levels_v1(data)
+            rep_bytes, def_bytes, body = split_levels_v1(data)
             enc = hdr.encoding
             if enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
                 pages.append(DataPage(8, body[1:], hdr.num_values,
-                                      bit_width=body[0], def_bytes=def_bytes))
+                                      bit_width=body[0], def_bytes=def_bytes,
+                                      rep_bytes=rep_bytes))
             elif enc in (0, 5, 9):  # PLAIN / DELTA_BINARY_PACKED / BSS
-                pages.append(DataPage(enc, body, hdr.num_values, def_bytes=def_bytes))
+                pages.append(DataPage(enc, body, hdr.num_values,
+                                      def_bytes=def_bytes, rep_bytes=rep_bytes))
             else:
                 raise NotImplementedError(f"data page encoding {enc}")
             total += hdr.num_values
@@ -301,8 +321,11 @@ def read_column_pages(path: str, row_group: int, column: int,
                 total += hdr.num_values
                 continue
             lev = hdr.def_levels_len + hdr.rep_levels_len
-            # v2 def levels: raw RLE stream, no 4-byte length prefix
-            def_bytes = payload[hdr.rep_levels_len: lev] if (nullable and hdr.def_levels_len) else None
+            # v2 levels: raw RLE streams (no 4-byte length prefix), rep first
+            rep_bytes = payload[: hdr.rep_levels_len] \
+                if (max_rep > 0 and hdr.rep_levels_len) else None
+            def_bytes = payload[hdr.rep_levels_len: lev] \
+                if (max_def > 0 and hdr.def_levels_len) else None
             body = payload[lev:]
             if codec and hdr.v2_compressed:
                 body = bytes(codec.decompress(body, hdr.uncompressed_size - lev))
@@ -311,9 +334,11 @@ def read_column_pages(path: str, row_group: int, column: int,
             enc = hdr.encoding
             if enc in (2, 8):
                 pages.append(DataPage(8, body[1:], hdr.num_values,
-                                      bit_width=body[0], def_bytes=def_bytes))
+                                      bit_width=body[0], def_bytes=def_bytes,
+                                      rep_bytes=rep_bytes))
             elif enc in (0, 5, 9):
-                pages.append(DataPage(enc, body, hdr.num_values, def_bytes=def_bytes))
+                pages.append(DataPage(enc, body, hdr.num_values,
+                                      def_bytes=def_bytes, rep_bytes=rep_bytes))
             else:
                 raise NotImplementedError(f"data page v2 encoding {enc}")
             total += hdr.num_values
@@ -322,7 +347,8 @@ def read_column_pages(path: str, row_group: int, column: int,
     plain_pages = [(p.payload, p.num_values) for p in pages if p.encoding == 0]
     return PageStream(dictionary=dictionary, code_pages=code_pages,
                       plain_pages=plain_pages, num_values=total,
-                      pages=pages, nullable=nullable)
+                      pages=pages, nullable=nullable,
+                      max_def_level=max_def, max_rep_level=max_rep)
 
 
 # ---------------------------------------------------------------------------

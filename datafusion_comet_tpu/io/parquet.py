@@ -61,6 +61,8 @@ def arrow_field_to_dtype(field, sample_max_len: int = 0) -> T.DataType:
         return T.string(sample_max_len or T.DEFAULT_STRING_LEN)
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return T.binary(sample_max_len or T.DEFAULT_STRING_LEN)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return T.list_(arrow_field_to_dtype(t.value_field, sample_max_len))
     raise NotImplementedError(f"arrow type {t}")
 
 
@@ -373,10 +375,21 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
     import pyarrow as pa
 
     eligible = {}
+    list_eligible = {}
     for n in names:
         if n not in arrow_schema.names:
             continue
         at = arrow_schema.field(n).type
+        if pa.types.is_list(at) or pa.types.is_large_list(at):
+            # LIST<primitive>: levels decode on host (structure), values on
+            # device (exec/decode.py decode_list_column_chunk)
+            vt = at.value_type
+            if pa.types.is_integer(vt) or pa.types.is_floating(vt):
+                leaf = next((v for k, v in phys.items()
+                             if k.startswith(n + ".")), None)
+                if leaf and leaf[1] in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+                    list_eligible[n] = leaf
+            continue
         if not (pa.types.is_integer(at) or pa.types.is_floating(at)):
             continue  # temporal/decimal logical types keep the host path
         ci_pt = phys.get(n)
@@ -384,21 +397,27 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
             # nullable columns expand through their definition levels on
             # device (exec/decode.py _expand_def_levels)
             eligible[n] = ci_pt
-    host_cols = [n for n in names if n not in eligible]
+    host_cols = [n for n in names if n not in eligible and n not in list_eligible]
+    flat_names = [n for n in names if n not in list_eligible]
     tbl = pf.read(columns=host_cols) if host_cols else None
     n_rows = pf.metadata.num_rows
     np_of = {"INT32": np.dtype("<i4"), "INT64": np.dtype("<i8"),
              "FLOAT": np.dtype("<f4"), "DOUBLE": np.dtype("<f8")}
+    final_schema = schema  # caller contract (may include LIST fields)
+    flat_schema = None
+    if schema is not None:
+        flat_schema = T.Schema([f for f in schema.fields
+                                if f.name not in list_eligible])
     if schema is None:
         # infer from the full arrow schema (string widths from host columns)
         import pyarrow as pa
         fields = []
-        for n in names:
+        for n in flat_names:
             fields.append(T.Field(n, arrow_field_to_dtype(arrow_schema.field(n), 0),
                                   arrow_schema.field(n).nullable))
         # width inference for binary host columns happens in arrow_table_to_batch;
         # device-decoded columns are numeric so widths don't apply
-        schema = None if any(f.dtype.is_binary and f.dtype.byte_width == 0 for f in fields) \
+        flat_schema = None if any(f.dtype.is_binary and f.dtype.byte_width == 0 for f in fields) \
             else T.Schema(fields)
     # stage host columns + zero placeholders for eligible ones
     if tbl is not None:
@@ -408,16 +427,25 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
             tbl = tbl.append_column(
                 pa.field(n, arrow_schema.field(n).type,
                          nullable=arrow_schema.field(n).nullable), pa.array(arr))
-        tbl = tbl.select(names)
-        batch = arrow_table_to_batch(tbl, schema=schema, columns=names, capacity=capacity)
+        tbl = tbl.select(flat_names)
+        batch = arrow_table_to_batch(tbl, schema=flat_schema, columns=flat_names,
+                                     capacity=capacity)
     else:
         data = {n: np.zeros(n_rows, np_of[pt]) for n, (ci, pt) in eligible.items()}
-        if schema is None:
-            schema = T.Schema([T.Field(n, arrow_field_to_dtype(arrow_schema.field(n), 0), False)
-                               for n in names])
-        from datafusion_comet_tpu.exec.batch import from_numpy
+        if flat_schema is None:
+            flat_schema = T.Schema([T.Field(n, arrow_field_to_dtype(arrow_schema.field(n), 0), False)
+                                    for n in flat_names])
+        from datafusion_comet_tpu.exec.batch import from_numpy, pad_capacity
 
-        batch = from_numpy(data, schema, capacity=capacity)
+        if flat_schema is not None and not flat_schema.fields:
+            # every requested column is device-decoded nested: flat batch is
+            # just the row mask
+            cap0 = capacity or pad_capacity(n_rows)
+            m = np.zeros(cap0, bool)
+            m[:n_rows] = True
+            batch = Batch((), jnp.asarray(m), flat_schema)
+        else:
+            batch = from_numpy(data, flat_schema, capacity=capacity)
     # page-index pruning (eager_page_index_reader_factory.rs analog):
     # per row group, rows provably failing the predicate go dead and the
     # covering pages of every device-decoded column skip decode entirely
@@ -457,6 +485,53 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
             cols[i] = dataclasses.replace(cols[i], data=dev, validity=vd)
         else:
             cols[i] = dataclasses.replace(cols[i], data=dev)
+    out_fields = list(batch.schema.fields)
+    if list_eligible:
+        from datafusion_comet_tpu.exec.batch import ColumnVector
+        from datafusion_comet_tpu.exec.decode import (
+            decode_list_column_chunk, scan_list_levels)
+        from datafusion_comet_tpu.io.pages import read_column_pages
+
+        t_of = {"INT32": T.INT32, "INT64": T.INT64,
+                "FLOAT": T.FLOAT32, "DOUBLE": T.FLOAT64}
+        for n, (ci, pt) in list_eligible.items():
+            declared = None
+            if final_schema is not None:
+                fdecl = next((f for f in final_schema.fields if f.name == n), None)
+                declared = fdecl.dtype.max_elems if fdecl is not None else None
+            # pass 1: host level scan per row group → global plane width E
+            maxc = 0
+            for rg in range(pf.metadata.num_row_groups):
+                st = scan_list_levels(read_column_pages(path, rg, ci))
+                if st["counts"].size:
+                    maxc = max(maxc, int(st["counts"].max()))
+            E_ = declared if declared else max(
+                1 << max(maxc - 1, 0).bit_length(), 1)
+            cparts, vparts_, dparts, evparts = [], [], [], []
+            for rg in range(pf.metadata.num_row_groups):
+                c_, v_, d_, ev_, _ = decode_list_column_chunk(
+                    path, rg, ci, np_of[pt], max_elems=E_)
+                cparts.append(c_); vparts_.append(v_)
+                dparts.append(d_); evparts.append(ev_)
+            counts = jnp.concatenate(cparts) if len(cparts) > 1 else cparts[0]
+            lvalid = jnp.concatenate(vparts_) if len(vparts_) > 1 else vparts_[0]
+            dplane = jnp.concatenate(dparts) if len(dparts) > 1 else dparts[0]
+            evplane = jnp.concatenate(evparts) if len(evparts) > 1 else evparts[0]
+            pad = cap - counts.shape[0]
+            counts = jnp.pad(counts, (0, pad))
+            lvalid = jnp.pad(lvalid, (0, pad))
+            dplane = jnp.pad(dplane, ((0, pad), (0, 0)))
+            evplane = jnp.pad(evplane, ((0, pad), (0, 0)))
+            elem_dt = t_of[pt]
+            list_dt = T.list_(elem_dt, E_)
+            elem_cv = ColumnVector(dplane, evplane, None, elem_dt)
+            cv = ColumnVector(counts.astype(jnp.int32), lvalid, None,
+                              list_dt, (elem_cv,))
+            at_idx = names.index(n)
+            cols.insert(at_idx, cv)
+            out_fields.insert(at_idx, T.Field(n, list_dt, True))
+    batch = dataclasses.replace(batch, columns=tuple(cols),
+                                schema=T.Schema(out_fields))
     mask = batch.row_mask
     if predicate is not None:
         if any(k is not None for k in rg_keep):

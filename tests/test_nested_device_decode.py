@@ -1,0 +1,145 @@
+"""Nested (LIST) on-device Parquet decode: host rep/def level scan +
+device values decode + one scatter into the padded (rows, E) plane
+(exec/decode.py decode_list_column_chunk; io/pages.py rep-level streams).
+
+Reference contract: parquet-rs decodes all nestings under
+native/core/src/parquet/parquet_exec.rs:60; here the level streams (the
+STRUCTURE, <=2 bits/slot) decode on host while the values stream (the
+BANDWIDTH) decodes on device — closing the io/pages.py non-nested-only
+scope gap."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_comet_tpu import types as T
+from datafusion_comet_tpu.exec.batch import nested_to_py
+from datafusion_comet_tpu.exec.decode import (decode_list_column_chunk,
+                                              scan_list_levels)
+from datafusion_comet_tpu.io import pages
+from datafusion_comet_tpu.io.parquet import read_parquet
+
+
+def _lists(rng, n, null_lists=True, null_elems=True, lo=0, hi=1000):
+    out = []
+    for i in range(n):
+        r = rng.random()
+        if null_lists and r < 0.1:
+            out.append(None)
+        elif r < 0.2:
+            out.append([])
+        else:
+            k = int(rng.integers(1, 9))
+            row = [int(v) for v in rng.integers(lo, hi, k)]
+            if null_elems:
+                row = [None if rng.random() < 0.15 else v for v in row]
+            out.append(row)
+    return out
+
+
+def _write(tmp_path, vals, elem=pa.int64(), codec="zstd", version="1.0",
+           use_dictionary=True, tag=""):
+    t = pa.table({"x": pa.array(vals, pa.list_(elem))})
+    p = str(tmp_path / f"lists_{codec}_{version}_{use_dictionary}{tag}.parquet")
+    pq.write_table(t, p, compression=None if codec == "none" else codec,
+                   use_dictionary=use_dictionary, data_page_version=version)
+    return p
+
+
+def _expect(vals):
+    """Normalize to python ints/floats (nested_to_py returns np scalars)."""
+    def conv(v):
+        return None if v is None else (
+            [None if e is None else float(e) for e in v])
+    return [conv(v) for v in vals]
+
+
+def _got_lists(chunk):
+    counts, lvalid, plane, evplane, E = chunk
+    counts = np.asarray(counts); lvalid = np.asarray(lvalid)
+    plane = np.asarray(plane); evplane = np.asarray(evplane)
+    out = []
+    for i in range(len(counts)):
+        if not lvalid[i]:
+            out.append(None)
+            continue
+        row = []
+        for j in range(int(counts[i])):
+            row.append(float(plane[i, j]) if evplane[i, j] else None)
+        out.append(row)
+    return out
+
+
+@pytest.mark.parametrize("codec", ["none", "zstd", "snappy"])
+@pytest.mark.parametrize("version", ["1.0", "2.0"])
+def test_list_chunk_roundtrip(tmp_path, codec, version):
+    rng = np.random.default_rng(7)
+    vals = _lists(rng, 5000)
+    p = _write(tmp_path, vals, codec=codec, version=version)
+    got = _got_lists(decode_list_column_chunk(p, 0, 0, np.dtype("<i8")))
+    assert got == _expect(vals)
+
+
+def test_list_plain_no_dictionary(tmp_path):
+    rng = np.random.default_rng(3)
+    # high-cardinality doubles force PLAIN data pages
+    vals = []
+    for i in range(3000):
+        k = int(rng.integers(0, 6))
+        vals.append([float(v) for v in rng.random(k)] if k else
+                    (None if rng.random() < 0.2 else []))
+    p = _write(tmp_path, vals, elem=pa.float64(), use_dictionary=False)
+    got = _got_lists(decode_list_column_chunk(p, 0, 0, np.dtype("<f8")))
+    exp = _expect(vals)
+    for g, e in zip(got, exp):
+        if e is None:
+            assert g is None
+        else:
+            assert len(g) == len(e)
+            for a, b in zip(g, e):
+                assert (a is None) == (b is None)
+                if a is not None:
+                    assert abs(a - b) < 1e-12
+
+
+def test_scan_levels_counts(tmp_path):
+    vals = [[1, 2, 3], None, [], [None, 5], [7]]
+    p = _write(tmp_path, vals, tag="_tiny")
+    st = scan_list_levels(pages.read_column_pages(p, 0, 0))
+    assert st["n_rows"] == 5
+    np.testing.assert_array_equal(st["counts"], [3, 0, 0, 2, 1])
+    np.testing.assert_array_equal(st["row_valid"], [True, False, True, True, True])
+    np.testing.assert_array_equal(st["elem_rows"], [0, 0, 0, 3, 3, 4])
+    np.testing.assert_array_equal(st["elem_pos"], [0, 1, 2, 0, 1, 0])
+    np.testing.assert_array_equal(st["elem_valid_flat"],
+                                  [True, True, True, False, True, True])
+
+
+def test_read_parquet_device_list_column(tmp_path):
+    rng = np.random.default_rng(11)
+    vals = _lists(rng, 4000)
+    flat = rng.integers(0, 100, 4000).astype(np.int64)
+    t = pa.table({"a": pa.array(flat), "x": pa.array(vals, pa.list_(pa.int64()))})
+    p = str(tmp_path / "mixed.parquet")
+    pq.write_table(t, p, compression="zstd", row_group_size=1500)
+    batch = read_parquet(p, device_decode=True)
+    assert [f.name for f in batch.schema.fields] == ["a", "x"]
+    xf = batch.schema.fields[1]
+    assert xf.dtype.is_list and xf.dtype.element.type_id == "INT64"
+    host = nested_to_py(batch.columns[1],
+                        np.arange(len(vals)))
+    norm = [None if v is None else
+            [None if e is None else int(e) for e in v] for v in host]
+    assert norm == vals
+    np.testing.assert_array_equal(
+        np.asarray(batch.columns[0].data)[: len(flat)], flat)
+
+
+def test_read_parquet_device_list_respects_declared_capacity(tmp_path):
+    vals = [[1, 2], [3], None, []]
+    p = _write(tmp_path, vals, tag="_declared")
+    schema = T.Schema([T.Field("x", T.list_(T.INT64, 8), True)])
+    batch = read_parquet(p, schema=schema, device_decode=True)
+    assert batch.schema.fields[0].dtype.max_elems == 8
+    assert batch.columns[0].children[0].data.shape[1] == 8
