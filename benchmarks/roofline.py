@@ -36,6 +36,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The replay runs on CPU by default: the axon TPU plugin prepends itself to
+# jax_platforms regardless of JAX_PLATFORMS (see tests/conftest.py), so the
+# override must happen via jax.config AFTER import, BEFORE backend init.
+if "--tpu" not in sys.argv:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 ROOF_GBPS = {"tpu": 819.0, "cpu": 50.0}
 
 
