@@ -63,6 +63,14 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--queries", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument("--backend", choices=["default", "cpu"], default="default",
+                    help="cpu forces the CPU backend (the axon plugin "
+                    "ignores JAX_PLATFORMS; see tests/conftest.py)")
+    ap.add_argument("--prune-stage", action="store_true",
+                    help="stage only the columns the selected queries "
+                    "reference (union over queries + their scalar "
+                    "subqueries) — the SF10 HBM-fit mode: full SF10 "
+                    "lineitem is ~8 GB staged, the q3/q5 projection ~2 GB")
     ap.add_argument("--compile-workers", type=int, default=1,
                     help="overlap per-query trace+compile in N threads "
                     "(backend_compile releases the GIL during the remote "
@@ -75,6 +83,8 @@ def main() -> None:
     import numpy as np
     import jax
 
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     try:  # persistent compile cache: tunnel TPU compiles cost minutes
         os.makedirs("/tmp/jax_cache", exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -94,8 +104,46 @@ def main() -> None:
         tables = list(model.SCHEMAS)
 
     sess = Session()
+    wanted = [q.strip() for q in args.queries.split(",") if q.strip()] or sorted(
+        model.QUERIES, key=lambda n: int(n[1:])
+    )
+
+    keep_cols = None  # table -> set of column names (None = all)
+    if args.prune_stage:
+        # Build every selected plan (plus its registered scalar subqueries)
+        # with NO data staged — plans carry static schemas — and take each
+        # pruned Scan's projection. Unioned per table, this is the minimal
+        # column set the whole run touches; registration below stages only
+        # those (the HBM-fit mode for SF10+: the projection is what the
+        # reference pushes into parquet_exec.rs's projection vector).
+        from datafusion_comet_tpu.ir import plan as Pn
+        from datafusion_comet_tpu.ir.pruning import prune_columns
+
+        keep_cols = {}
+
+        def note_scans(p):
+            if isinstance(p, Pn.Scan):
+                if p.projection is None:
+                    keep_cols[p.table] = None
+                elif keep_cols.get(p.table, set()) is not None:
+                    keep_cols.setdefault(p.table, set()).update(p.projection)
+            for c in p.children():
+                note_scans(c)
+
+        for name in wanted:
+            make = model.QUERIES[name]
+            plan = make(sess) if "session" in make.__code__.co_varnames[:1] else make()
+            note_scans(prune_columns(plan))
+        for _sid, (sub, _col) in getattr(sess, "_subqueries", {}).items():
+            note_scans(prune_columns(sub))
+        sess = Session()  # fresh: subqueries re-register at build time
+        print("prune-stage:", {t: (len(v) if v is not None else "all")
+                               for t, v in keep_cols.items()}, flush=True)
+
     t0 = time.time()
     for t in tables:
+        if keep_cols is not None and t not in keep_cols:
+            continue  # no selected query touches this table
         cache = (f"/tmp/{args.suite}_{t}_sf{args.sf:g}"
                  f"_v{getattr(model, 'DATA_VERSION', 1)}.npz")
         if os.path.exists(cache):
@@ -107,13 +155,17 @@ def main() -> None:
             except Exception:
                 pass
         print(f"gen {t} {time.time() - t0:.1f}s", flush=True)
-        sess.register_numpy(t, data, model.SCHEMAS[t])
+        schema = model.SCHEMAS[t]
+        if keep_cols is not None and keep_cols.get(t) is not None:
+            from datafusion_comet_tpu import types as T_
+
+            keep = keep_cols[t]
+            schema = T_.Schema([f for f in schema.fields if f.name in keep])
+            data = {k: v for k, v in data.items()
+                    if k in keep or k.endswith("__valid")}
+        sess.register_numpy(t, data, schema)
         print(f"staged {t} {time.time() - t0:.1f}s", flush=True)
     gen_s = time.time() - t0
-
-    wanted = [q.strip() for q in args.queries.split(",") if q.strip()] or sorted(
-        model.QUERIES, key=lambda n: int(n[1:])
-    )
     results = {}
 
     def build(name):
