@@ -30,6 +30,7 @@ from datafusion_comet_tpu.io import pages as PG
 
 __all__ = ["unpack_bits_device", "decode_rle_hybrid_device",
            "decode_column_chunk", "decode_list_column_chunk",
+           "decode_string_dict_column_chunk", "parse_plain_byte_array_dict",
            "scan_list_levels"]
 
 
@@ -310,6 +311,121 @@ def decode_list_column_chunk(path: str, row_group: int, column: int,
     counts = jnp.asarray(st["counts"]) if n_rows else jnp.zeros(0, jnp.int32)
     valid = jnp.asarray(st["row_valid"]) if n_rows else jnp.zeros(0, bool)
     return counts, valid, plane[:n_rows], vplane[:n_rows], E
+
+
+def parse_plain_byte_array_dict(raw: np.ndarray, count: int):
+    """Parse a PLAIN BYTE_ARRAY dictionary page ([4-byte LE len][bytes]...)
+    into a zero-padded (count, w) uint8 matrix + lengths. Host work, but the
+    dictionary is tiny next to the code stream (the whole point of keeping
+    codes end-to-end)."""
+    buf = raw.tobytes() if isinstance(raw, np.ndarray) else bytes(raw)
+    vals = []
+    pos = 0
+    import struct as _struct
+
+    for _ in range(count):
+        (ln,) = _struct.unpack_from("<I", buf, pos)
+        pos += 4
+        vals.append(buf[pos: pos + ln])
+        pos += ln
+    w = max((len(v) for v in vals), default=1) or 1
+    mat = np.zeros((count, w), np.uint8)
+    lens = np.zeros(count, np.int32)
+    for i, v in enumerate(vals):
+        mat[i, : len(v)] = np.frombuffer(v, np.uint8)
+        lens[i] = len(v)
+    return mat, lens
+
+
+def decode_string_dict_column_chunk(path: str, row_group: int, column: int,
+                                    width: Optional[int] = None,
+                                    page_mask=None):
+    """Decode a dictionary-encoded BYTE_ARRAY (string) column chunk to the
+    engine's dict-coded layout: (codes int32, validity, StringDict) — the
+    code stream bit-unpacks on DEVICE (the bandwidth); only the tiny
+    dictionary page is parsed on host, sorted (exec/dictionary.py order
+    contract), and the old→sorted rank remap applied as one take.
+
+    Returns None when any data page is not dictionary-encoded (PLAIN
+    fallback pages — cardinality overflow at write time) so the caller can
+    keep the host path. ``width``: declared engine string width; dict
+    values longer than it raise (the from_numpy contract)."""
+    from datafusion_comet_tpu.exec.dictionary import StringDict, encode_padded
+    from datafusion_comet_tpu.io import pages as PG_
+
+    ps = PG_.read_column_pages(path, row_group, column, page_mask=page_mask)
+    if ps.dictionary is None:
+        return None
+    if any(pg.encoding not in (8, -1) for pg in ps.pages):
+        return None  # PLAIN fallback pages: host path
+    count = ps.dict_count
+    mat, lens = parse_plain_byte_array_dict(ps.dictionary, count)
+    if width is not None:
+        if int(lens.max(initial=0)) > width:
+            raise ValueError(
+                f"dictionary value of {int(lens.max())} bytes exceeds "
+                f"declared string width {width}")
+        if mat.shape[1] < width:
+            mat = np.pad(mat, ((0, 0), (0, width - mat.shape[1])))
+        else:
+            mat = mat[:, :width] if mat.shape[1] > width else mat
+    enc = encode_padded(mat, lens, max_size=max(count, 1))
+    assert enc is not None
+    remap_np, sdict = enc  # old dict index -> sorted rank
+    remap = jnp.asarray(remap_np)
+    parts: List[jax.Array] = []
+    vparts: List[jax.Array] = []
+    for pg in ps.pages:
+        n = pg.num_values
+        if pg.encoding == -1:  # pruned
+            parts.append(jnp.zeros(n, jnp.int32))
+            vparts.append(jnp.zeros(n, bool))
+            continue
+        n_phys = n
+        if pg.def_bytes is not None:
+            n_phys = int(np.sum(PG_.decode_rle_hybrid_host(pg.def_bytes, 1, n)))
+        codes = decode_rle_hybrid_device(pg.payload, pg.bit_width, n_phys)
+        codes = jnp.take(remap, jnp.clip(codes, 0, max(count - 1, 0)))
+        if pg.def_bytes is not None:
+            codes, valid = _expand_def_levels(codes, pg.def_bytes, n, 0)
+        else:
+            valid = jnp.ones(n, bool)
+        parts.append(codes.astype(jnp.int32))
+        vparts.append(valid)
+    if not parts:
+        return jnp.zeros(0, jnp.int32), jnp.zeros(0, bool), sdict
+    codes_all = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    valid_all = jnp.concatenate(vparts) if len(vparts) > 1 else vparts[0]
+    return codes_all, valid_all, sdict
+
+
+def merge_dict_chunks(chunks, width: Optional[int] = None):
+    """Merge per-row-group (codes, valid, StringDict) triples into one
+    column under a single merged dictionary: build the union key order, take
+    each chunk's codes through its rank remap, concatenate. The remaps are
+    tiny constant tables — the code streams never leave the device."""
+    from datafusion_comet_tpu.exec.dictionary import StringDict
+
+    if len(chunks) == 1:
+        return chunks[0]
+    key_lists = [sd._key_list() for _, _, sd in chunks]
+    merged = sorted(set().union(*key_lists))
+    pos = {v: i for i, v in enumerate(merged)}
+    w = width or max((len(v) for v in merged), default=1) or 1
+    mat = np.zeros((max(len(merged), 1), w), np.uint8)
+    lens = np.zeros(max(len(merged), 1), np.int32)
+    for i, v in enumerate(merged):
+        mat[i, : len(v)] = np.frombuffer(v, np.uint8)
+        lens[i] = len(v)
+    sdict = StringDict(mat, lens)
+    outc, outv = [], []
+    for (codes, valid, sd), keys in zip(chunks, key_lists):
+        remap = np.fromiter((pos[v] for v in keys), np.int32,
+                            len(keys)) if keys else np.zeros(1, np.int32)
+        outc.append(jnp.take(jnp.asarray(remap),
+                             jnp.clip(codes, 0, max(len(keys) - 1, 0))))
+        outv.append(valid)
+    return (jnp.concatenate(outc), jnp.concatenate(outv), sdict)
 
 
 def decode_column_chunk(path: str, row_group: int, column: int,

@@ -217,6 +217,7 @@ class PageStream:
     nullable: bool = False
     max_def_level: int = 0
     max_rep_level: int = 0
+    dict_count: int = 0  # dictionary page num_values (BYTE_ARRAY parsing)
 
 
 def read_column_pages(path: str, row_group: int, column: int,
@@ -255,6 +256,7 @@ def read_column_pages(path: str, row_group: int, column: int,
                "FLOAT": np.dtype("<f4"), "DOUBLE": np.dtype("<f8")}.get(phys)
 
     dictionary = None
+    dict_count = 0
     pages: List[DataPage] = []
     pos = 0
     total = 0
@@ -285,6 +287,7 @@ def read_column_pages(path: str, row_group: int, column: int,
         if hdr.page_type == 2:  # dictionary page (PLAIN values)
             data = codec.decompress(payload, hdr.uncompressed_size) if codec else payload
             data = bytes(data)
+            dict_count = hdr.num_values
             if phys_np is not None:
                 dictionary = np.frombuffer(data, phys_np)
             else:  # byte-array dictionary: leave raw for the caller
@@ -348,7 +351,8 @@ def read_column_pages(path: str, row_group: int, column: int,
     return PageStream(dictionary=dictionary, code_pages=code_pages,
                       plain_pages=plain_pages, num_values=total,
                       pages=pages, nullable=nullable,
-                      max_def_level=max_def, max_rep_level=max_rep)
+                      max_def_level=max_def, max_rep_level=max_rep,
+                      dict_count=dict_count)
 
 
 # ---------------------------------------------------------------------------

@@ -376,6 +376,7 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
 
     eligible = {}
     list_eligible = {}
+    str_decoded = {}  # name -> (codes, valid, StringDict) pre-merged
     for n in names:
         if n not in arrow_schema.names:
             continue
@@ -390,6 +391,32 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
                 if leaf and leaf[1] in ("INT32", "INT64", "FLOAT", "DOUBLE"):
                     list_eligible[n] = leaf
             continue
+        if pa.types.is_string(at) or pa.types.is_large_string(at):
+            # dictionary-encoded strings: codes bit-unpack on device, only
+            # the tiny dictionary page touches host; PLAIN-page fallback
+            # chunks keep the pyarrow path (decode returns None)
+            ci_pt = phys.get(n)
+            if not (ci_pt and ci_pt[1] == "BYTE_ARRAY"):
+                continue
+            from datafusion_comet_tpu.exec.decode import (
+                decode_string_dict_column_chunk, merge_dict_chunks)
+
+            declared_w = None
+            if schema is not None:
+                fdecl = next((f for f in schema.fields if f.name == n), None)
+                if fdecl is not None and fdecl.dtype.is_binary:
+                    declared_w = fdecl.dtype.byte_width or None
+            chunks = []
+            for rg in range(pf.metadata.num_row_groups):
+                got = decode_string_dict_column_chunk(
+                    path, rg, ci_pt[0], width=declared_w)
+                if got is None:
+                    chunks = None
+                    break
+                chunks.append(got)
+            if chunks:
+                str_decoded[n] = merge_dict_chunks(chunks, width=declared_w)
+            continue
         if not (pa.types.is_integer(at) or pa.types.is_floating(at)):
             continue  # temporal/decimal logical types keep the host path
         ci_pt = phys.get(n)
@@ -397,8 +424,10 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
             # nullable columns expand through their definition levels on
             # device (exec/decode.py _expand_def_levels)
             eligible[n] = ci_pt
-    host_cols = [n for n in names if n not in eligible and n not in list_eligible]
-    flat_names = [n for n in names if n not in list_eligible]
+    device_side = set(list_eligible) | set(str_decoded)
+    host_cols = [n for n in names
+                 if n not in eligible and n not in device_side]
+    flat_names = [n for n in names if n not in device_side]
     tbl = pf.read(columns=host_cols) if host_cols else None
     n_rows = pf.metadata.num_rows
     np_of = {"INT32": np.dtype("<i4"), "INT64": np.dtype("<i8"),
@@ -407,7 +436,7 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
     flat_schema = None
     if schema is not None:
         flat_schema = T.Schema([f for f in schema.fields
-                                if f.name not in list_eligible])
+                                if f.name not in device_side])
     if schema is None:
         # infer from the full arrow schema (string widths from host columns)
         import pyarrow as pa
@@ -486,7 +515,9 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
         else:
             cols[i] = dataclasses.replace(cols[i], data=dev)
     out_fields = list(batch.schema.fields)
-    if list_eligible:
+    # insert device-side columns (dict strings + lists) in names order so
+    # each names.index(n) is correct at its own insertion time
+    if device_side:
         from datafusion_comet_tpu.exec.batch import ColumnVector
         from datafusion_comet_tpu.exec.decode import (
             decode_list_column_chunk, scan_list_levels)
@@ -494,7 +525,19 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
 
         t_of = {"INT32": T.INT32, "INT64": T.INT64,
                 "FLOAT": T.FLOAT32, "DOUBLE": T.FLOAT64}
-        for n, (ci, pt) in list_eligible.items():
+        for n in [m for m in names if m in device_side]:
+            if n in str_decoded:
+                codes, svalid, sdict = str_decoded[n]
+                codes = jnp.pad(codes, (0, cap - codes.shape[0]))
+                svalid = jnp.pad(svalid, (0, cap - svalid.shape[0]))
+                st = T.string(sdict.width)
+                cv = ColumnVector(codes.astype(jnp.int32), svalid, None, st,
+                                  dictionary=sdict)
+                at_idx = names.index(n)
+                cols.insert(at_idx, cv)
+                out_fields.insert(at_idx, T.Field(n, st, True))
+                continue
+            ci, pt = list_eligible[n]
             declared = None
             if final_schema is not None:
                 fdecl = next((f for f in final_schema.fields if f.name == n), None)
