@@ -242,6 +242,52 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
         ob, ol, ov = extract_device(cv.data, cv.lengths, cv.validity, lp,
                                     e.group_idx, e.dtype.byte_width)
         return ColumnVector(ob, ov, ol, e.dtype)
+    if isinstance(e, E.Split):
+        from datafusion_comet_tpu.exec.split_device import split_device
+
+        cv = _ev(e.child, b, ctx)
+        E_ = e.dtype.max_elems
+        w = e.dtype.element.byte_width
+
+        def _split_small(s):
+            counts, lv, eb, el, evalid, ovf = split_device(
+                s.data, s.lengths, s.validity, e.delim.encode("utf-8"),
+                E_, w)
+            ctx.record_error(
+                ovf, f"split produced more than max_parts={E_} fields "
+                "(raise Split.max_parts)")
+            elem = ColumnVector(eb, evalid, el, e.dtype.element)
+            return ColumnVector(counts, lv, None, e.dtype, (elem,))
+
+        if cv.is_dict:
+            return _eval_on_dict(cv, _split_small, ctx)
+        return _split_small(cv)
+    if isinstance(e, (E.SplitPart, E.SubstringIndex)):
+        from datafusion_comet_tpu.exec.split_device import (
+            split_part_device, substring_index_device)
+
+        cv = _ev(e.child, b, ctx)
+        E_ = e.max_parts or T.DEFAULT_LIST_ELEMS
+        w = e.dtype.byte_width
+        d = e.delim.encode("utf-8")
+
+        def _sp_small(s):
+            if isinstance(e, E.SplitPart):
+                ob, ol, ov, ovf, zp = split_part_device(
+                    s.data, s.lengths, s.validity, d, e.part, E_, w)
+                ctx.record_error(
+                    zp & s.validity, "split_part: part must not be 0")
+            else:
+                ob, ol, ov, ovf = substring_index_device(
+                    s.data, s.lengths, s.validity, d, e.count, E_, w)
+            ctx.record_error(
+                ovf, f"{type(e).__name__}: more than {E_} fields "
+                "(raise max_parts)")
+            return ColumnVector(ob, ov, ol, e.dtype)
+
+        if cv.is_dict:
+            return _eval_on_dict(cv, _sp_small, ctx)
+        return _sp_small(cv)
     if isinstance(e, E.PythonUdf):
         from datafusion_comet_tpu.exec.host_udf import eval_python_udf
 

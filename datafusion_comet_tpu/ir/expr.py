@@ -48,6 +48,9 @@ __all__ = [
     "MapExpr",
     "RLike",
     "RegexpExtract",
+    "Split",
+    "SplitPart",
+    "SubstringIndex",
     "PythonUdf",
     "BloomMightContain",
     "SortOrder",
@@ -424,6 +427,53 @@ class RegexpExtract(Expr):
     pattern: str
     group_idx: int = 1
     out_len: int = 0  # 0 = child width
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class Split(Expr):
+    """Device split for LITERAL delimiters with Spark's default limit=-1
+    (trailing empties kept) — exec/split_device.py; reference:
+    spark-expr/src/string_funcs/split.rs. Regex patterns / other limits
+    keep the host bridge (ir/functions.py gates at build time).
+    Capacity contract: more than ``max_parts`` fields raises a
+    QueryExecutionError naming the cap (the from_numpy overflow rule)."""
+
+    child: Expr
+    delim: str
+    max_parts: int = 0  # 0 = DEFAULT_LIST_ELEMS
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class SplitPart(Expr):
+    """Device split_part(str, literal_delim, k): 1-based, negative from the
+    end, k=0 ANSI error, out-of-range ''. exec/split_device.py."""
+
+    child: Expr
+    delim: str
+    part: int = 1
+    max_parts: int = 0
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class SubstringIndex(Expr):
+    """Device substring_index(str, literal_delim, n). Negative n needs a
+    1-byte delimiter on device (right-scan non-overlap of longer literals
+    differs from the left scan); ir/functions.py keeps those on the host
+    bridge. exec/split_device.py."""
+
+    child: Expr
+    delim: str
+    count: int = 1
+    max_parts: int = 0
 
     def children(self):
         return (self.child,)
@@ -1014,6 +1064,20 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         out = RegexpExtract(c, e.pattern, e.group_idx, e.out_len)
         width = e.out_len or (c.dtype.byte_width if c.dtype.is_binary
                               else T.DEFAULT_STRING_LEN)
+        object.__setattr__(out, "dtype", T.string(width))
+        return out
+    if isinstance(e, Split):
+        c = _bind(e.child, schema)
+        out = Split(c, e.delim, e.max_parts)
+        width = c.dtype.byte_width if c.dtype.is_binary else T.DEFAULT_STRING_LEN
+        parts = e.max_parts or T.DEFAULT_LIST_ELEMS
+        object.__setattr__(out, "dtype", T.list_(T.string(width), parts))
+        return out
+    if isinstance(e, (SplitPart, SubstringIndex)):
+        c = _bind(e.child, schema)
+        third = e.part if isinstance(e, SplitPart) else e.count
+        out = type(e)(c, e.delim, third, e.max_parts)
+        width = c.dtype.byte_width if c.dtype.is_binary else T.DEFAULT_STRING_LEN
         object.__setattr__(out, "dtype", T.string(width))
         return out
     if isinstance(e, PythonUdf):

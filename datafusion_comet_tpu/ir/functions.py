@@ -254,9 +254,26 @@ def regexp_replace(child: E.Expr, pattern: str, replacement: str, out_len: int =
     return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "regexp_replace")
 
 
-def split(child: E.Expr, pattern: str, limit: int = -1, max_elems: int = 16, elem_len: int = 0) -> E.PythonUdf:
+_RX_META = set(".^$*+?{}[]\\|()")
+
+
+def _literal_pattern(pattern: str):
+    """The pattern as a plain literal string, or None if it uses any regex
+    metacharacter (those keep the host bridge)."""
+    if not pattern or any(c in _RX_META for c in pattern):
+        return None
+    return pattern
+
+
+def split(child: E.Expr, pattern: str, limit: int = -1, max_elems: int = 16, elem_len: int = 0):
     """Spark split(str, regex, limit): limit>0 caps the parts; limit<=0 keeps
-    all parts including trailing empty strings (Java split(regex, -1))."""
+    all parts including trailing empty strings (Java split(regex, -1)).
+    Literal patterns with the default limit run fully on device
+    (exec/split_device.py); regex patterns / positive limits keep the host
+    bridge."""
+    lit = _literal_pattern(pattern)
+    if lit is not None and limit <= 0:
+        return E.Split(child, lit, max_elems)
     rx = re.compile(pattern)
 
     def fn(s):
@@ -361,9 +378,12 @@ def json_array_length(child: E.Expr) -> E.PythonUdf:
     return E.PythonUdf(fn, (child,), T.INT32, "json_array_length")
 
 
-def split_part(child: E.Expr, delim: str, part: int, out_len: int = 0) -> E.PythonUdf:
+def split_part(child: E.Expr, delim: str, part: int, out_len: int = 0):
     """Spark split_part: 1-based field index, negative counts from the end,
-    '' when out of range."""
+    '' when out of range. Non-empty delimiters run on device
+    (exec/split_device.py)."""
+    if delim:
+        return E.SplitPart(child, delim, part)
 
     def fn(s):
         if s is None:
@@ -375,7 +395,13 @@ def split_part(child: E.Expr, delim: str, part: int, out_len: int = 0) -> E.Pyth
     return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "split_part")
 
 
-def substring_index(child: E.Expr, delim: str, count: int, out_len: int = 0) -> E.PythonUdf:
+def substring_index(child: E.Expr, delim: str, count: int, out_len: int = 0):
+    """Device path (exec/split_device.py) for non-empty delimiters; negative
+    counts additionally need a 1-byte delimiter (right-scan non-overlap of
+    longer literals differs from the left scan — host bridge instead)."""
+    if delim and (count >= 0 or len(delim.encode("utf-8")) == 1):
+        return E.SubstringIndex(child, delim, count)
+
     def fn(s):
         if s is None:
             return None
