@@ -176,19 +176,54 @@ def main() -> None:
         cs = np.asarray(step())  # compile + first run
         return step, cs, time.time() - tc
 
+    def write_partial():
+        if args.out:  # incremental write: hours-long TPU compile runs may
+            with open(args.out, "w") as f:  # be cut short — keep what we have
+                f.write(json.dumps({
+                    "suite": args.suite, "sf": args.sf,
+                    "backend": jax.default_backend(), "partial": True,
+                    "queries": results,
+                }, indent=2))
+
+    def time_query(name, step, cs, compile_s):
+        times = []
+        for _ in range(args.reps):
+            t1 = time.time()
+            np.asarray(step())
+            times.append(time.time() - t1)
+        prev = results.get(name, {})
+        best = min(times + ([prev["best_s"]] if "best_s" in prev else []))
+        results[name] = {
+            "best_s": round(best, 4),
+            "times_s": [round(t, 4) for t in times],
+            "compile_s": round(compile_s, 1),
+            "rows": int(cs[0]),
+        }
+        print(name, results[name]["best_s"], flush=True)
+        write_partial()
+
     built = {}
     if args.compile_workers > 1:
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import (ThreadPoolExecutor, as_completed)
 
         with ThreadPoolExecutor(args.compile_workers) as ex:
-            futs = {n: ex.submit(build, n) for n in wanted}
-            for n, fu in futs.items():
+            futs = {ex.submit(build, n): n for n in wanted}
+            for fu in as_completed(futs):
+                n = futs[fu]
                 try:
                     built[n] = fu.result()
                     print(f"compiled {n} {built[n][2]:.1f}s", flush=True)
+                    # time NOW so a cut-short run still has a measured
+                    # number for every compiled query (other builds are
+                    # remote compiles — chip contention is only the
+                    # concurrent warm-up executions; the clean serial
+                    # pass below re-times and keeps the min)
+                    time_query(n, *built[n])
                 except Exception as e:
                     built[n] = e
+                    results[n] = {"error": f"{type(e).__name__}: {e}"}
                     print(f"compile-failed {n}: {type(e).__name__}: {e}", flush=True)
+                    write_partial()
 
     for name in wanted:
         try:
@@ -198,27 +233,11 @@ def main() -> None:
                 step, cs, compile_s = built[name]
             else:
                 step, cs, compile_s = build(name)
-            times = []
-            for _ in range(args.reps):
-                t1 = time.time()
-                np.asarray(step())
-                times.append(time.time() - t1)
-            results[name] = {
-                "best_s": round(min(times), 4),
-                "times_s": [round(t, 4) for t in times],
-                "compile_s": round(compile_s, 1),
-                "rows": int(cs[0]),
-            }
+            time_query(name, step, cs, compile_s)
         except Exception as e:  # keep going; report the failure
             results[name] = {"error": f"{type(e).__name__}: {e}"}
-        print(name, results[name].get("best_s", results[name].get("error")), flush=True)
-        if args.out:  # incremental write: hours-long TPU compile runs may
-            with open(args.out, "w") as f:  # be cut short — keep what we have
-                f.write(json.dumps({
-                    "suite": args.suite, "sf": args.sf,
-                    "backend": jax.default_backend(), "partial": True,
-                    "queries": results,
-                }, indent=2))
+            print(name, results[name].get("error"), flush=True)
+            write_partial()
 
     doc = {
         "suite": args.suite,
