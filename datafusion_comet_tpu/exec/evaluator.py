@@ -288,6 +288,19 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
         if cv.is_dict:
             return _eval_on_dict(cv, _sp_small, ctx)
         return _sp_small(cv)
+    if isinstance(e, E.Soundex):
+        from datafusion_comet_tpu.exec.split_device import soundex_device
+
+        cv = _ev(e.child, b, ctx)
+
+        def _sx_small(s):
+            ob, ol, ov = soundex_device(s.data, s.lengths, s.validity,
+                                        e.dtype.byte_width)
+            return ColumnVector(ob, ov, ol, e.dtype)
+
+        if cv.is_dict:
+            return _eval_on_dict(cv, _sx_small, ctx)
+        return _sx_small(cv)
     if isinstance(e, E.PythonUdf):
         from datafusion_comet_tpu.exec.host_udf import eval_python_udf
 

@@ -30,7 +30,60 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["nonoverlap_matches", "split_fields", "split_device",
-           "split_part_device", "substring_index_device"]
+           "split_part_device", "substring_index_device", "soundex_device"]
+
+
+_SOUNDEX_LUT = np.zeros(256, np.int8)
+for _c, _v in [("BFPV", 1), ("CGJKQSXZ", 2), ("DT", 3), ("L", 4),
+               ("MN", 5), ("R", 6)]:
+    for _ch in _c:
+        _SOUNDEX_LUT[ord(_ch)] = _v
+
+
+def soundex_device(mat: jax.Array, lens: jax.Array, validity: jax.Array,
+                   out_w: int):
+    """American Soundex (the host-bridge algorithm, byte-exact for ASCII):
+    first letter + up to three digit codes, duplicate codes collapsed, H/W
+    transparent to the previous-code state, non-letters resetting it.
+    Rows whose first byte is not an ASCII letter pass through unchanged
+    (the Spark isLetter guard; non-ASCII alphabetics also pass through
+    here — documented deviation, docs/compatibility.md). Single W-step
+    scan, no gathers."""
+    n, W = mat.shape
+    up = jnp.where((mat >= 97) & (mat <= 122), mat - 32, mat)
+    is_letter = (up >= 65) & (up <= 90)
+    codes = jnp.asarray(_SOUNDEX_LUT)[up].astype(jnp.int32)  # (n, W)
+    hw = (up == 72) | (up == 87)
+    j = jnp.arange(W, dtype=jnp.int32)
+    live = j[None, :] < lens[:, None]
+    alpha0 = is_letter[:, 0] & (lens > 0)
+
+    def step(carry, col):
+        prev, k, c1, c2, c3 = carry
+        code, lv, ishw = col
+        emit = lv & (code > 0) & (code != prev) & (k < 3)
+        c1 = jnp.where(emit & (k == 0), code, c1)
+        c2 = jnp.where(emit & (k == 1), code, c2)
+        c3 = jnp.where(emit & (k == 2), code, c3)
+        k = k + emit.astype(jnp.int32)
+        prev = jnp.where(lv & ~ishw, code, prev)
+        return (prev, k, c1, c2, c3), None
+
+    init = (codes[:, 0], jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32))
+    (prev, k, c1, c2, c3), _ = jax.lax.scan(
+        step, init, (codes[:, 1:].T, live[:, 1:].T, hw[:, 1:].T))
+    zero = jnp.int32(ord("0"))
+    out = jnp.zeros((n, out_w), jnp.uint8)
+    out = out.at[:, 0].set(up[:, 0].astype(jnp.uint8))
+    out = out.at[:, 1].set((zero + c1).astype(jnp.uint8))
+    out = out.at[:, 2].set((zero + c2).astype(jnp.uint8))
+    out = out.at[:, 3].set((zero + c3).astype(jnp.uint8))
+    src = mat if mat.shape[1] == out_w else jnp.pad(
+        mat, ((0, 0), (0, max(out_w - W, 0))))[:, :out_w]
+    outb = jnp.where(alpha0[:, None], out, src)
+    outl = jnp.where(alpha0, 4, lens).astype(jnp.int32)
+    return outb, outl, validity
 
 
 def nonoverlap_matches(mat: jax.Array, lens: jax.Array,

@@ -50,6 +50,7 @@ __all__ = [
     "RegexpExtract",
     "Split",
     "SplitPart",
+    "Soundex",
     "SubstringIndex",
     "PythonUdf",
     "BloomMightContain",
@@ -458,6 +459,18 @@ class SplitPart(Expr):
     delim: str
     part: int = 1
     max_parts: int = 0
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class Soundex(Expr):
+    """Device American Soundex (exec/split_device.py soundex_device);
+    byte-exact with the host bridge for ASCII inputs, non-ASCII-leading
+    rows pass through unchanged (docs/compatibility.md)."""
+
+    child: Expr
 
     def children(self):
         return (self.child,)
@@ -1079,6 +1092,12 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         out = type(e)(c, e.delim, third, e.max_parts)
         width = c.dtype.byte_width if c.dtype.is_binary else T.DEFAULT_STRING_LEN
         object.__setattr__(out, "dtype", T.string(width))
+        return out
+    if isinstance(e, Soundex):
+        c = _bind(e.child, schema)
+        out = Soundex(c)
+        width = c.dtype.byte_width if c.dtype.is_binary else T.DEFAULT_STRING_LEN
+        object.__setattr__(out, "dtype", T.string(max(width, 4)))
         return out
     if isinstance(e, PythonUdf):
         args = tuple(_bind(a, schema) for a in e.args)

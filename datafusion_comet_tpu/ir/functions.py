@@ -415,7 +415,14 @@ def substring_index(child: E.Expr, delim: str, count: int, out_len: int = 0):
     return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "substring_index")
 
 
-def soundex(child: E.Expr, out_len: int = 0) -> E.PythonUdf:
+def soundex(child: E.Expr, out_len: int = 0):
+    """Device path (exec/split_device.py) — byte-exact with the host
+    algorithm below for ASCII; the host variant stays for reference/oracle
+    use via soundex_host."""
+    return E.Soundex(child)
+
+
+def soundex_host(child: E.Expr, out_len: int = 0) -> E.PythonUdf:
     codes = {**{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
              **{c: "3" for c in "DT"}, "L": "4", **{c: "5" for c in "MN"}, "R": "6"}
 

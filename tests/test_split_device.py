@@ -130,3 +130,25 @@ def test_serde_roundtrip():
               E.SubstringIndex(E.col("s"), ".", 3)):
         back = expr_from_dict(expr_to_dict(e))
         assert repr(back) == repr(e)
+
+
+def test_soundex_device_matches_host():
+    from datafusion_comet_tpu.ir.functions import soundex, soundex_host
+
+    vals = ["Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+            "Pfister", "Honeyman", "", None, "1abc", "a", "HW", "lll-lll"]
+    e = soundex(E.col("s"))
+    assert isinstance(e, E.Soundex)
+    got = run(e, vals=vals, width=12)
+    want = run(soundex_host(E.col("s")), vals=vals, width=12)
+    assert got == want
+    assert got[0] == "R163"  # the canonical vector
+
+
+def test_soundex_on_dict_column():
+    from datafusion_comet_tpu.ir.functions import soundex, soundex_host
+
+    vals = ["Robert", "Rupert", "Honeyman"] * 40 + [None]
+    got = run(soundex(E.col("s")), vals=vals, width=12)
+    want = run(soundex_host(E.col("s")), vals=vals, width=12)
+    assert got == want
