@@ -242,6 +242,28 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
         ob, ol, ov = extract_device(cv.data, cv.lengths, cv.validity, lp,
                                     e.group_idx, e.dtype.byte_width)
         return ColumnVector(ob, ov, ol, e.dtype)
+    if isinstance(e, E.RegexpReplace):
+        from datafusion_comet_tpu.exec.regex_extract import (
+            linearize, min_match_len, replace_device)
+
+        cv = _ev(e.child, b, ctx)
+        lp = linearize(e.pattern, 0)
+        if lp is None or min_match_len(lp) == 0:
+            raise NotImplementedError(
+                f"regexp_replace pattern {e.pattern!r} needs the host bridge")
+        repl = e.replacement.encode("utf-8")
+
+        def _rr_small(s):
+            ob, ol, ovf = replace_device(s.data, s.lengths, s.validity, lp,
+                                         repl, e.dtype.byte_width)
+            ctx.record_error(
+                ovf, "regexp_replace output exceeded the declared string "
+                f"width {e.dtype.byte_width} (pass out_len)")
+            return ColumnVector(ob, s.validity, ol, e.dtype)
+
+        if cv.is_dict:
+            return _eval_on_dict(cv, _rr_small, ctx)
+        return _rr_small(cv)
     if isinstance(e, E.Split):
         from datafusion_comet_tpu.exec.split_device import split_device
 

@@ -243,6 +243,170 @@ def linearize(pattern: str, idx: int = 1) -> Optional[LinearPattern]:
     return lp
 
 
+def _match_tables(mat, lens, lp: "LinearPattern", tabs, idxW):
+    """Per-start-position match tables for one row tile: (ok (r,W) — a
+    greedy match starts here, start, cur — its end position, gstart/gend —
+    group span tables). The shared core of extract and replace."""
+    import jax
+    import jax.numpy as jnp
+
+    W = mat.shape[1]
+    in_len = idxW[None, :] < lens[:, None]
+
+    runs = {}
+    for cs, tab in tabs.items():
+        M = jnp.take(tab, mat.astype(jnp.int32)) & in_len
+        Mr = M[:, ::-1]
+        brk = jnp.where(~Mr, idxW[None, :], -1)
+        lastbrk = jax.lax.cummax(brk, axis=1)
+        runs[cs] = (idxW[None, :] - lastbrk)[:, ::-1]
+
+    lits = {}
+    for s in lp.segs:
+        if s.lit is not None and s.lit not in lits:
+            ok = jnp.ones((mat.shape[0], W), bool)
+            for k, byte in enumerate(s.lit):
+                eq = mat == np.uint8(byte)
+                # match byte k at position p+k: shift left by k
+                if k:
+                    eq = jnp.concatenate(
+                        [eq[:, k:], jnp.zeros((mat.shape[0], k), bool)],
+                        axis=1)
+                ok = ok & eq
+            # all bytes must lie inside the string
+            ok = ok & ((idxW[None, :] + len(s.lit)) <= lens[:, None])
+            lits[s.lit] = ok
+
+    cur = jnp.broadcast_to(idxW[None, :], mat.shape).astype(jnp.int32)
+    ok = cur <= lens[:, None]  # a match may start at any pos ≤ len
+    if lp.anchored_start:
+        ok = ok & (cur == 0)
+    start = cur
+    gstart = {}
+    gend = {}
+    for s in lp.segs:
+        if s.group is not None and s.group not in gstart:
+            gstart[s.group] = cur
+        safe = jnp.clip(cur, 0, W - 1)
+        inb = cur < W
+        if s.lit is not None:
+            hit = jnp.take_along_axis(lits[s.lit], safe, axis=1) & inb
+            ok = ok & hit
+            cur = cur + len(s.lit)
+        else:
+            r = jnp.where(inb, jnp.take_along_axis(runs[s.charset], safe,
+                                                   axis=1), 0)
+            take = r if s.mx is None else jnp.minimum(r, s.mx)
+            ok = ok & (r >= s.mn)
+            cur = cur + take
+        if s.group is not None:
+            gend[s.group] = cur  # overwritten until the group closes
+    if lp.anchored_end:
+        ok = ok & (cur == lens[:, None])
+    return ok, start, cur, gstart, gend
+
+
+def _charset_tables(lp: "LinearPattern"):
+    import jax.numpy as jnp
+
+    charsets = []
+    for s in lp.segs:
+        if s.charset is not None and s.charset not in charsets:
+            charsets.append(s.charset)
+    return {
+        cs: jnp.asarray(np.array([b in cs for b in range(256)], bool))
+        for cs in charsets
+    }
+
+
+def min_match_len(lp: "LinearPattern") -> int:
+    """Minimum bytes a match can span (0 = can match empty — replace
+    rejects those: Java advances one char on empty matches, a semantic the
+    vectorized scan doesn't model)."""
+    return sum((len(s.lit) if s.lit is not None else s.mn) for s in lp.segs)
+
+
+def replace_device(data, lengths, validity, lp: "LinearPattern",
+                   repl: bytes, out_width: int):
+    """regexp_replace with a LITERAL replacement over all non-overlapping
+    leftmost greedy matches: the per-position match table marks every
+    candidate, a W-step scan resolves non-overlap (carry = next allowed
+    start), kept bytes and replacement bytes scatter to their computed
+    output columns (OOB drops via scatter mode). Returns (out_bytes,
+    out_lens, overflow (n,) — output exceeded out_width)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, W = data.shape
+    R = len(repl)
+    tile = max(1, min(n, (1 << 22) // max(W, 1)))
+    pad = (-n) % tile
+    if pad:
+        data = jnp.pad(data, ((0, pad), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad))
+    nt = (n + pad) // tile
+    tabs = _charset_tables(lp)
+    idxW = jnp.arange(W, dtype=jnp.int32)
+    repl_arr = np.frombuffer(repl, np.uint8)
+
+    def tile_fn(args):
+        mat, lens = args
+        r = mat.shape[0]
+        ok, start, cur, _, _ = _match_tables(mat, lens, lp, tabs, idxW)
+        mlen = jnp.clip(cur - start, 1, None)  # min_match_len>0 enforced
+
+        # non-overlap left-to-right: a candidate is real iff it starts at
+        # or after the previous real match's end
+        def step(nxt, col):
+            ok_j, end_j, j = col
+            take = ok_j & (j >= nxt)
+            nxt = jnp.where(take, end_j, nxt)
+            return nxt, take
+
+        _, real_t = jax.lax.scan(
+            step, jnp.zeros(r, jnp.int32),
+            (ok.T, cur.T, idxW))
+        real = real_t.T  # (r, W)
+
+        in_len = idxW[None, :] < lens[:, None]
+        # bytes inside any real match are dropped: mark via +1/-1 fences
+        inc = jnp.zeros((r, W + 1), jnp.int32)
+        rows = jnp.broadcast_to(jnp.arange(r)[:, None], (r, W))
+        inc = inc.at[rows, jnp.where(real, idxW[None, :], W)].add(
+            jnp.where(real, 1, 0))
+        ends = jnp.clip(jnp.where(real, cur, W), 0, W)
+        inc = inc.at[rows, ends].add(jnp.where(real, -1, 0))
+        inside = jnp.cumsum(inc[:, :W], axis=1) > 0
+        kept = in_len & ~inside
+
+        kept_before_inc = jnp.cumsum(kept.astype(jnp.int32), axis=1)
+        real_before_inc = jnp.cumsum(real.astype(jnp.int32), axis=1)
+        out = jnp.zeros((r, out_width), jnp.uint8)
+        # kept byte j → column (#kept ≤ j) - 1 + R × (#real starts ≤ j)
+        kcol = kept_before_inc - 1 + R * real_before_inc
+        kcol = jnp.where(kept, kcol, out_width)  # OOB → dropped
+        out = out.at[rows, kcol].set(jnp.where(kept, mat, 0), mode="drop")
+        # replacement for match at j → base = (#kept < j) + R × (#real < j)
+        base = (kept_before_inc - kept.astype(jnp.int32)) + \
+            R * (real_before_inc - 1)
+        for k in range(R):
+            c = jnp.where(real, base + k, out_width)
+            out = out.at[rows, c].set(
+                jnp.where(real, jnp.uint8(repl_arr[k]), 0), mode="drop")
+        out_len = (jnp.sum(kept, axis=1) +
+                   R * jnp.sum(real, axis=1)).astype(jnp.int32)
+        overflow = out_len > out_width
+        return out, jnp.minimum(out_len, out_width), overflow
+
+    data_t = data.reshape(nt, tile, W)
+    lens_t = lengths.reshape(nt, tile)
+    out_b, out_l, ovf = jax.lax.map(tile_fn, (data_t, lens_t))
+    out_b = out_b.reshape(nt * tile, out_width)[:n]
+    out_l = out_l.reshape(nt * tile)[:n]
+    ovf = ovf.reshape(nt * tile)[:n]
+    return out_b, out_l, ovf & validity
+
+
 def extract_device(data, lengths, validity, lp: LinearPattern, idx: int,
                    out_width: int):
     """(n, W) uint8 bytes + lengths → (out_bytes (n, out_width), out_lens,
@@ -273,61 +437,9 @@ def extract_device(data, lengths, validity, lp: LinearPattern, idx: int,
 
     def tile_fn(args):
         mat, lens = args
-        in_len = idxW[None, :] < lens[:, None]
-
-        runs = {}
-        for cs, tab in tabs.items():
-            M = jnp.take(tab, mat.astype(jnp.int32)) & in_len
-            Mr = M[:, ::-1]
-            brk = jnp.where(~Mr, idxW[None, :], -1)
-            lastbrk = jax.lax.cummax(brk, axis=1)
-            runs[cs] = (idxW[None, :] - lastbrk)[:, ::-1]
-
-        lits = {}
-        for s in lp.segs:
-            if s.lit is not None and s.lit not in lits:
-                ok = jnp.ones((mat.shape[0], W), bool)
-                for k, byte in enumerate(s.lit):
-                    eq = mat == np.uint8(byte)
-                    # match byte k at position p+k: shift left by k
-                    if k:
-                        eq = jnp.concatenate(
-                            [eq[:, k:], jnp.zeros((mat.shape[0], k), bool)],
-                            axis=1)
-                    ok = ok & eq
-                # all bytes must lie inside the string
-                ok = ok & ((idxW[None, :] + len(s.lit)) <= lens[:, None])
-                lits[s.lit] = ok
-
-        cur = jnp.broadcast_to(idxW[None, :], mat.shape).astype(jnp.int32)
-        ok = cur <= lens[:, None]  # a match may start at any pos ≤ len
-        if lp.anchored_start:
-            ok = ok & (cur == 0)
-        start = cur
-        gstart = {}
-        gend = {}
-        open_groups = set()
-        for s in lp.segs:
-            if s.group is not None and s.group not in gstart:
-                gstart[s.group] = cur
-                open_groups.add(s.group)
-            safe = jnp.clip(cur, 0, W - 1)
-            inb = cur < W
-            if s.lit is not None:
-                hit = jnp.take_along_axis(lits[s.lit], safe, axis=1) & inb
-                ok = ok & hit
-                cur = cur + len(s.lit)
-            else:
-                r = jnp.where(inb, jnp.take_along_axis(runs[s.charset], safe,
-                                                       axis=1), 0)
-                take = r if s.mx is None else jnp.minimum(r, s.mx)
-                ok = ok & (r >= s.mn)
-                cur = cur + take
-            if s.group is not None:
-                gend[s.group] = cur  # overwritten until the group closes
-        if lp.anchored_end:
-            ok = ok & (cur == lens[:, None])
-
+        ok, start, cur, gstart, gend = _match_tables(mat, lens, lp, tabs,
+                                                     idxW)
+        W = mat.shape[1]
         big = jnp.int32(W + 1)
         j_star = jnp.argmin(jnp.where(ok, start, big), axis=1)
         found = jnp.any(ok, axis=1)

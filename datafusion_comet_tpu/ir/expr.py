@@ -48,6 +48,7 @@ __all__ = [
     "MapExpr",
     "RLike",
     "RegexpExtract",
+    "RegexpReplace",
     "Split",
     "SplitPart",
     "Soundex",
@@ -427,6 +428,23 @@ class RegexpExtract(Expr):
     child: Expr
     pattern: str
     group_idx: int = 1
+    out_len: int = 0  # 0 = child width
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class RegexpReplace(Expr):
+    """Device regexp_replace for linear backtracking-free patterns with
+    LITERAL replacements (no $group refs) that cannot match empty
+    (exec/regex_extract.py replace_device; reference:
+    spark-expr/src/string_funcs regexp_replace). ir/functions.py gates —
+    everything else keeps the host bridge."""
+
+    child: Expr
+    pattern: str
+    replacement: str
     out_len: int = 0  # 0 = child width
 
     def children(self):
@@ -1077,6 +1095,25 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         out = RegexpExtract(c, e.pattern, e.group_idx, e.out_len)
         width = e.out_len or (c.dtype.byte_width if c.dtype.is_binary
                               else T.DEFAULT_STRING_LEN)
+        object.__setattr__(out, "dtype", T.string(width))
+        return out
+    if isinstance(e, RegexpReplace):
+        c = _bind(e.child, schema)
+        out = RegexpReplace(c, e.pattern, e.replacement, e.out_len)
+        width = e.out_len
+        if not width:
+            w = (c.dtype.byte_width if c.dtype.is_binary
+                 else T.DEFAULT_STRING_LEN)
+            # growth bound: every min-length match may expand to the
+            # replacement's length
+            from datafusion_comet_tpu.exec.regex_extract import (
+                linearize, min_match_len)
+
+            lp = linearize(e.pattern, 0)
+            R = len(e.replacement.encode("utf-8"))
+            mn = min_match_len(lp) if lp is not None else 1
+            factor = -(-R // max(mn, 1)) if R > mn else 1
+            width = min(w * max(factor, 1), 4096)
         object.__setattr__(out, "dtype", T.string(width))
         return out
     if isinstance(e, Split):

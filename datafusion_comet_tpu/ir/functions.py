@@ -244,7 +244,17 @@ def json_object_keys(child: E.Expr, max_elems: int = 16, elem_len: int = 0) -> E
         "json_object_keys")
 
 
-def regexp_replace(child: E.Expr, pattern: str, replacement: str, out_len: int = 0) -> E.PythonUdf:
+def regexp_replace(child: E.Expr, pattern: str, replacement: str, out_len: int = 0):
+    """Device path (exec/regex_extract.py replace_device) when the pattern
+    linearizes, cannot match empty, and the replacement is a plain literal
+    (no $n group refs / backslashes); host bridge otherwise."""
+    from datafusion_comet_tpu.exec.regex_extract import (linearize,
+                                                         min_match_len)
+
+    lp = linearize(pattern, 0)
+    if (lp is not None and min_match_len(lp) > 0
+            and "$" not in replacement and "\\" not in replacement):
+        return E.RegexpReplace(child, pattern, replacement, out_len)
     rx = re.compile(pattern)
     py_repl = _java_replacement(replacement)
 
