@@ -242,6 +242,33 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
         ob, ol, ov = extract_device(cv.data, cv.lengths, cv.validity, lp,
                                     e.group_idx, e.dtype.byte_width)
         return ColumnVector(ob, ov, ol, e.dtype)
+    if isinstance(e, E.RegexpExtractAll):
+        from datafusion_comet_tpu.exec.regex_extract import (
+            extract_all_device, linearize, min_match_len)
+
+        cv = _ev(e.child, b, ctx)
+        lp = linearize(e.pattern, e.group_idx)
+        if lp is None or min_match_len(lp) == 0:
+            raise NotImplementedError(
+                f"regexp_extract_all pattern {e.pattern!r} needs the host "
+                "bridge")
+        E_ = e.dtype.max_elems
+        w = e.dtype.element.byte_width
+
+        def _rxa_small(s):
+            cnt, eb, el, ev2, ovf = extract_all_device(
+                s.data, s.lengths, s.validity, lp, e.group_idx, E_, w)
+            ctx.record_error(
+                ovf, f"regexp_extract_all produced more than "
+                f"max_parts={E_} matches")
+            elem = ColumnVector(eb, ev2 & s.validity[:, None], el,
+                                e.dtype.element)
+            return ColumnVector(jnp.where(s.validity, cnt, 0), s.validity,
+                                None, e.dtype, (elem,))
+
+        if cv.is_dict:
+            return _eval_on_dict(cv, _rxa_small, ctx)
+        return _rxa_small(cv)
     if isinstance(e, E.RegexpReplace):
         from datafusion_comet_tpu.exec.regex_extract import (
             linearize, min_match_len, replace_device)

@@ -407,6 +407,68 @@ def replace_device(data, lengths, validity, lp: "LinearPattern",
     return out_b, out_l, ovf & validity
 
 
+def extract_all_device(data, lengths, validity, lp: "LinearPattern",
+                       idx: int, max_parts: int, out_width: int):
+    """regexp_extract_all: every non-overlapping leftmost greedy match's
+    group ``idx`` as a padded LIST<STRING> plane. Returns (counts (n,),
+    elem_bytes (n, E, out_width), elem_lens (n, E), elem_valid (n, E),
+    overflow (n,) — more than E matches)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, W = data.shape
+    E_ = max_parts
+    tile = max(1, min(n, (1 << 21) // max(W, 1)))
+    pad = (-n) % tile
+    if pad:
+        data = jnp.pad(data, ((0, pad), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad))
+    nt = (n + pad) // tile
+    tabs = _charset_tables(lp)
+    idxW = jnp.arange(W, dtype=jnp.int32)
+
+    def tile_fn(args):
+        mat, lens = args
+        r = mat.shape[0]
+        ok, start, cur, gstart, gend = _match_tables(mat, lens, lp, tabs,
+                                                     idxW)
+
+        def step(nxt, col):
+            ok_j, end_j, j = col
+            take = ok_j & (j >= nxt)
+            nxt = jnp.where(take, jnp.maximum(end_j, j + 1), nxt)
+            return nxt, take
+
+        _, real_t = jax.lax.scan(step, jnp.zeros(r, jnp.int32),
+                                 (ok.T, cur.T, idxW))
+        real = real_t.T
+        s_tab = start if idx == 0 else gstart[idx]
+        e_tab = cur if idx == 0 else gend[idx]
+        rank = jnp.cumsum(real.astype(jnp.int32), axis=1) - 1
+        ms = jnp.arange(E_, dtype=jnp.int32)
+        oh = real[:, None, :] & (rank[:, None, :] == ms[None, :, None])
+        s_m = jnp.sum(oh * s_tab[:, None, :], axis=-1).astype(jnp.int32)
+        e_m = jnp.sum(oh * e_tab[:, None, :], axis=-1).astype(jnp.int32)
+        has = jnp.any(oh, axis=-1)
+        n_m = jnp.sum(real, axis=1).astype(jnp.int32)
+        flen = jnp.where(has, jnp.clip(e_m - s_m, 0, out_width), 0)
+        c = jnp.arange(out_width, dtype=jnp.int32)
+        src = jnp.clip(s_m[:, :, None] + c[None, None, :], 0, W - 1)
+        got = jnp.take_along_axis(
+            jnp.broadcast_to(mat[:, None, :], (r, E_, W)), src, axis=-1)
+        got = jnp.where(c[None, None, :] < flen[:, :, None], got, 0)
+        return (jnp.minimum(n_m, E_), got.astype(jnp.uint8),
+                flen.astype(jnp.int32), has, n_m > E_)
+
+    data_t = data.reshape(nt, tile, W)
+    lens_t = lengths.reshape(nt, tile)
+    cnt, eb, el, ev, ovf = jax.lax.map(tile_fn, (data_t, lens_t))
+    m = nt * tile
+    return (cnt.reshape(m)[:n], eb.reshape(m, E_, out_width)[:n],
+            el.reshape(m, E_)[:n], ev.reshape(m, E_)[:n],
+            ovf.reshape(m)[:n] & validity)
+
+
 def extract_device(data, lengths, validity, lp: LinearPattern, idx: int,
                    out_width: int):
     """(n, W) uint8 bytes + lengths → (out_bytes (n, out_width), out_lens,

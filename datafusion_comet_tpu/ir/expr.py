@@ -48,6 +48,7 @@ __all__ = [
     "MapExpr",
     "RLike",
     "RegexpExtract",
+    "RegexpExtractAll",
     "RegexpReplace",
     "Split",
     "SplitPart",
@@ -429,6 +430,22 @@ class RegexpExtract(Expr):
     pattern: str
     group_idx: int = 1
     out_len: int = 0  # 0 = child width
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class RegexpExtractAll(Expr):
+    """Device regexp_extract_all for linear backtracking-free patterns that
+    cannot match empty: every non-overlapping match's group as a
+    LIST<STRING> (exec/regex_extract.py extract_all_device)."""
+
+    child: Expr
+    pattern: str
+    group_idx: int = 1
+    max_parts: int = 0  # 0 = DEFAULT_LIST_ELEMS
+    out_len: int = 0    # element width; 0 = child width
 
     def children(self):
         return (self.child,)
@@ -1096,6 +1113,15 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         width = e.out_len or (c.dtype.byte_width if c.dtype.is_binary
                               else T.DEFAULT_STRING_LEN)
         object.__setattr__(out, "dtype", T.string(width))
+        return out
+    if isinstance(e, RegexpExtractAll):
+        c = _bind(e.child, schema)
+        out = RegexpExtractAll(c, e.pattern, e.group_idx, e.max_parts,
+                               e.out_len)
+        width = e.out_len or (c.dtype.byte_width if c.dtype.is_binary
+                              else T.DEFAULT_STRING_LEN)
+        parts = e.max_parts or T.DEFAULT_LIST_ELEMS
+        object.__setattr__(out, "dtype", T.list_(T.string(width), parts))
         return out
     if isinstance(e, RegexpReplace):
         c = _bind(e.child, schema)

@@ -97,8 +97,16 @@ def regexp_extract(child: E.Expr, pattern: str, idx: int = 1, out_len: int = 0):
 
 
 def regexp_extract_all(child: E.Expr, pattern: str, idx: int = 1,
-                       max_elems: int = 16, elem_len: int = 0) -> E.PythonUdf:
-    """Spark regexp_extract_all: every match's group ``idx`` as an array."""
+                       max_elems: int = 16, elem_len: int = 0):
+    """Spark regexp_extract_all: every match's group ``idx`` as an array.
+    Linear non-empty-matching patterns run on device
+    (exec/regex_extract.py extract_all_device)."""
+    from datafusion_comet_tpu.exec.regex_extract import (linearize,
+                                                         min_match_len)
+
+    lp = linearize(pattern, idx)
+    if lp is not None and min_match_len(lp) > 0:
+        return E.RegexpExtractAll(child, pattern, idx, max_elems, elem_len)
     rx = re.compile(pattern)
 
     def fn(s):

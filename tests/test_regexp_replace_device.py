@@ -97,3 +97,40 @@ def test_fuzz_vs_re():
                 for _ in range(300)]
         got = run(e, vals, width=20)
         assert got == oracle(vals, pat, "#"), pat
+
+
+def run_list(expr, vals, name="o", width=24):
+    s = Session()
+    schema = T.Schema([T.Field("s", T.string(width))])
+    s.register_numpy("t", {"s": vals}, schema)
+    out = s.collect(P.Scan("t", schema).project([expr.alias(name)]))
+    return [v if ok else None for v, ok in zip(out[name], out[name + "__valid"])]
+
+
+def test_extract_all_device_vs_oracle():
+    e = F.regexp_extract_all(E.col("s"), "[0-9]+", 0)
+    assert isinstance(e, E.RegexpExtractAll)
+    vals = ["a1b22c333", "no", "", None, "9 8 7", "x"]
+    got = run_list(e, vals)
+    want = [None if v is None else re.findall("[0-9]+", v) for v in vals]
+    assert got == want
+
+
+def test_extract_all_group():
+    e = F.regexp_extract_all(E.col("s"), "([a-z]+)=([0-9]+)", 2)
+    if isinstance(e, E.RegexpExtractAll):
+        vals = ["a=1 b=22", "x=5", "none", None]
+        got = run_list(e, vals)
+        want = [None if v is None else
+                [m[1] for m in re.findall("([a-z]+)=([0-9]+)", v)]
+                for v in vals]
+        assert got == want
+
+
+def test_extract_all_dict_and_overflow():
+    vals = ["1-2-3", "4-5"] * 30
+    got = run_list(F.regexp_extract_all(E.col("s"), "[0-9]", 0), vals, width=8)
+    assert got == [re.findall("[0-9]", v) for v in vals]
+    with pytest.raises(QueryExecutionError):
+        run_list(F.regexp_extract_all(E.col("s"), "[0-9]", 0, max_elems=2),
+                 ["1-2-3-4"], width=8)
