@@ -730,7 +730,15 @@ class Session:
         if target * 4 > b.capacity:
             return b, None
         fn = _shrink_jit(target)
-        return fn(b), fn
+        # serialize the first-call COMPILE: _shrink_jit is lru-shared
+        # across threads, and concurrent cache-miss compiles of one
+        # PjitFunction through the tunnel backend have wedged parallel
+        # tpcbench builds for 40+ min (threads parked in backend_compile
+        # while holding the pjit entry lock). Execution after compile is
+        # lock-free (the cached executable path).
+        with _SHRINK_COMPILE_LOCK:
+            out = fn(b)
+        return out, fn
 
     def execute(self, plan: P.PlanNode) -> Batch:
         """Execute with automatic join-fanout re-planning and (for join-heavy
@@ -1067,6 +1075,9 @@ class Session:
 
 
 import functools
+import threading
+
+_SHRINK_COMPILE_LOCK = threading.Lock()
 
 
 @functools.lru_cache(maxsize=128)
