@@ -729,6 +729,22 @@ class Session:
         target = int(pad_capacity(max(2 * live, 1024)))
         if target * 4 > b.capacity:
             return b, None
+        # compile-cost gate: the compaction program argsorts the FULL input
+        # capacity and gathers every column — at 8M-row × many-column temp
+        # tables the tunnel compiler takes tens of minutes per distinct
+        # (schema, target) pair (r4: runtime semi-join filters made such
+        # tables common and wedged parallel suite builds). Skip the shrink
+        # when the program is huge AND the reduction is merely moderate;
+        # keep it when the reduction is drastic (q18's 2000x — downstream
+        # savings dwarf one compile).
+        cells = b.capacity * max(len(b.columns), 1)
+        reduction = b.capacity // max(target, 1)
+        import os as _os
+
+        max_cells = int(_os.environ.get("COMET_SHRINK_MAX_COMPILE_CELLS",
+                                        str(32 << 20)))
+        if cells > max_cells and reduction < 64:
+            return b, None
         fn = _shrink_jit(target)
         # serialize the first-call COMPILE: _shrink_jit is lru-shared
         # across threads, and concurrent cache-miss compiles of one
