@@ -94,6 +94,14 @@ STAGE_MAX_JOINS = _entry(
     "per-stage compiles hit the persistent cache independently. 0 disables "
     "staging (always compile one program).", env_var="COMET_STAGE_MAX_JOINS",
 )
+SHRINK_MAX_COMPILE_CELLS = _entry(
+    "comet.exec.aqe.shrink.maxCompileCells", 32 << 20, "exec",
+    "AQE stage-boundary compaction compiles a program that argsorts the "
+    "full input capacity and gathers every column; above this capacity x "
+    "column-count product the shrink is skipped unless the reduction is "
+    ">=64x (the tunnel TPU compiler takes tens of minutes on 8M-row "
+    "many-column compaction programs).", env_var="COMET_SHRINK_MAX_COMPILE_CELLS",
+)
 BNLJ_MAX_PRODUCT = _entry(
     "comet.exec.bnlj.maxProductRows", 1 << 26, "exec",
     "Refuse a broadcast nested-loop join whose cap_left x cap_right cross "

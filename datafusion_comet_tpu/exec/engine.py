@@ -737,13 +737,11 @@ class Session:
         # when the program is huge AND the reduction is merely moderate;
         # keep it when the reduction is drastic (q18's 2000x — downstream
         # savings dwarf one compile).
+        from datafusion_comet_tpu.conf import CONF, SHRINK_MAX_COMPILE_CELLS
+
         cells = b.capacity * max(len(b.columns), 1)
         reduction = b.capacity // max(target, 1)
-        import os as _os
-
-        max_cells = int(_os.environ.get("COMET_SHRINK_MAX_COMPILE_CELLS",
-                                        str(32 << 20)))
-        if cells > max_cells and reduction < 64:
+        if cells > CONF.get(SHRINK_MAX_COMPILE_CELLS) and reduction < 64:
             return b, None
         fn = _shrink_jit(target)
         # serialize the first-call COMPILE: _shrink_jit is lru-shared
