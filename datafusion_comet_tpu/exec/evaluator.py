@@ -1698,6 +1698,13 @@ def _string_func_impl(e: E.StringFunc, args: List[ColumnVector], ctx: EvalContex
                 f"device JSON path: unsupported path {path_lit.value!r} "
                 "(use ir.functions.get_json_object host bridge)")
         return device_get_json_object(cv, steps, e.dtype)
+    if f == "json_array_length":
+        from datafusion_comet_tpu.exec.json_path import (
+            device_json_array_length)
+
+        if cv.is_dict:
+            return _eval_on_dict(cv, device_json_array_length, ctx)
+        return device_json_array_length(cv)
     if f in ("length", "char_length"):
         return ColumnVector(lens.astype(jnp.int32), cv.validity, None, T.INT32)
     if f in ("bit_length",):

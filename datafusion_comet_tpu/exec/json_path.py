@@ -69,6 +69,64 @@ def _take(a: jax.Array, idx: jax.Array) -> jax.Array:
                                axis=1)[:, 0]
 
 
+def device_json_array_length(cv: ColumnVector) -> ColumnVector:
+    """json_array_length on device: top-level element count of a JSON
+    array via the same quote-parity + depth cumsums as the path kernel.
+
+    Validation: first/last non-ws bytes are the '['/']' pair, depth stays
+    >=1 inside the span and ends at 0, quotes balance. Deviation
+    (docs/compatibility.md): token-level garbage a full parser would
+    reject (e.g. ``[1,,2]``) still counts commas where Spark returns
+    NULL."""
+    import jax
+
+    data = cv.data
+    n, w = data.shape
+    lens = cv.lengths.astype(jnp.int32)
+    pos = jnp.arange(w, dtype=jnp.int32)
+    in_len = pos[None, :] < lens[:, None]
+    d = jnp.where(in_len, data, 0).astype(jnp.uint8)
+
+    quote = d == ord('"')
+    esc = jnp.concatenate(
+        [jnp.zeros((n, 1), bool), (d == ord("\\"))[:, :-1]], axis=1)
+    q = quote & ~esc
+    cs = jnp.cumsum(q.astype(jnp.int32), axis=1)
+    inside = ((cs - q.astype(jnp.int32)) % 2) == 1
+
+    opens = ((d == ord("{")) | (d == ord("["))) & ~inside
+    closes = ((d == ord("}")) | (d == ord("]"))) & ~inside
+    depth = jnp.cumsum(opens.astype(jnp.int32) - closes.astype(jnp.int32),
+                       axis=1)
+
+    ws = (d == 32) | (d == 9) | (d == 10) | (d == 13)
+    nonws = ~ws & in_len
+    big = jnp.int32(w + 8)
+    nw_pos = jnp.where(nonws, pos[None, :], big)
+    first_nw = jnp.min(nw_pos, axis=1)
+    last_nw = jnp.max(jnp.where(nonws, pos[None, :], -1), axis=1)
+
+    def char_at(idx):
+        return _take(d, jnp.clip(idx, 0, w - 1))
+
+    is_arr = (char_at(first_nw) == ord("[")) & (first_nw < big)
+    closes_ok = char_at(last_nw) == ord("]")
+    depth_end = _take(depth, jnp.clip(last_nw, 0, w - 1))
+    span = (pos[None, :] >= first_nw[:, None]) & (pos[None, :] < last_nw[:, None])
+    min_depth = jnp.min(jnp.where(span, depth, big), axis=1)
+    balanced = (cs[:, -1] % 2 == 0) & (depth_end == 0) & (min_depth >= 1)
+    # empty array: next non-ws strictly after '[' is the closing ']'
+    after_open = jnp.min(jnp.where(nonws & (pos[None, :] > first_nw[:, None]),
+                                   pos[None, :], big), axis=1)
+    empty = after_open == last_nw
+    commas = jnp.sum(
+        (d == ord(",")) & ~inside & (depth == 1) & span, axis=1
+    ).astype(jnp.int32)
+    count = jnp.where(empty, 0, commas + 1)
+    valid = cv.validity & is_arr & closes_ok & balanced & (lens > 0)
+    return ColumnVector(jnp.where(valid, count, 0), valid, None, T.INT32)
+
+
 def device_get_json_object(cv: ColumnVector, steps: Sequence[Union[str, int]],
                            out_t: T.DataType) -> ColumnVector:
     data = cv.data

@@ -1334,7 +1334,7 @@ def _map_func_type(func: str, args: Sequence[Expr]) -> T.DataType:
 
 def _string_func_type(func: str, args: Sequence[Expr]) -> T.DataType:
     a0 = args[0].dtype if args else None
-    if func in ("length", "ascii", "instr", "locate", "char_length", "bit_length", "octet_length", "levenshtein"):
+    if func in ("length", "ascii", "instr", "locate", "char_length", "bit_length", "octet_length", "levenshtein", "json_array_length"):
         return T.INT32
     if func in ("substring", "upper", "lower", "trim", "ltrim", "rtrim", "reverse", "replace", "translate", "initcap"):
         assert a0 is not None

@@ -383,7 +383,14 @@ def get_json_object(child: E.Expr, path: str, out_len: int = 0) -> E.Expr:
     return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "get_json_object")
 
 
-def json_array_length(child: E.Expr) -> E.PythonUdf:
+def json_array_length(child: E.Expr):
+    """Device path (exec/json_path.py device_json_array_length); the full
+    host parser remains as json_array_length_host (oracle + the strict
+    malformed-input NULL behavior, docs/compatibility.md)."""
+    return E.StringFunc("json_array_length", (child,))
+
+
+def json_array_length_host(child: E.Expr) -> E.PythonUdf:
     def fn(s):
         if s is None:
             return None
