@@ -124,7 +124,14 @@ def main() -> None:
     ap.add_argument("--out", default="")
     ap.add_argument("--roof-gbps", type=float, default=819.0,
                     help="HBM roofline of the MEASURED device (v5e=819)")
+    ap.add_argument("--merge-bytes", default="",
+                    help="path to a prior roofline json: reuse its byte "
+                    "models (skip the replay) and merge --results timings")
     args = ap.parse_args()
+
+    if args.merge_bytes:
+        _merge_only(args)
+        return
 
     import numpy as np
 
@@ -208,6 +215,31 @@ def main() -> None:
         if args.out:
             _write(args.out, args, queries)
 
+    _write(args.out or "/dev/stdout", args, queries, final=True)
+
+
+def _merge_only(args):
+    """Merge measured best_s into an existing byte-model json (no replay)."""
+    with open(args.merge_bytes) as f:
+        base = json.load(f)
+    with open(args.results) as f:
+        doc = json.load(f)
+    measured = {q: r.get("best_s") for q, r in doc["queries"].items()}
+    compile_s = {q: r.get("compile_s") for q, r in doc["queries"].items()}
+    rows_in = {}
+    queries = base["queries"]
+    for q, e in queries.items():
+        best = measured.get(q)
+        if "error" in e or not best:
+            continue
+        total = e["bytes_touched_model"]
+        gbps = total / best / 1e9
+        e.update({
+            "best_s": best,
+            "compile_s": compile_s.get(q),
+            "gb_per_s": round(gbps, 2),
+            "pct_roofline": round(100.0 * gbps / args.roof_gbps, 2),
+        })
     _write(args.out or "/dev/stdout", args, queries, final=True)
 
 
