@@ -95,10 +95,14 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=1 << 23)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--out", default="")
+    ap.add_argument("--backend", choices=["default", "cpu"], default="default")
     args = ap.parse_args()
 
     import datafusion_comet_tpu  # noqa: F401  (enables jax x64)
     import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -205,6 +209,49 @@ def main() -> None:
     t = bench(lambda x, s: jax.ops.segment_sum(x, s, num_segments=n // 4),
               pay[0], seg_u, reps=args.reps)
     rec("segment_sum_n_to_nq", t, 8 * 2 * n + 4 * n, "unsorted ids")
+
+    # host-bridge cliff: the same string function as a pure_callback
+    # round-trip vs the device kernel (VERDICT weak #8 — quantify what a
+    # bridged function costs; note NO modeled TPC-H/TPC-DS query uses a
+    # bridge, this is the penalty a custom query would pay)
+    ns = min(n, 1 << 20)
+    words = np.array(["Robert", "Ashcraft", "Tymczak", "Pfister"], object)
+    svals = words[rng.integers(0, len(words), ns)]
+    from datafusion_comet_tpu import types as T_
+    from datafusion_comet_tpu.exec.batch import from_numpy as _fn
+    from datafusion_comet_tpu.exec.engine import Session as _S
+    from datafusion_comet_tpu.ir import expr as E_, plan as P_
+    from datafusion_comet_tpu.ir import functions as F_
+
+    sch = T_.Schema([T_.Field("s", T_.string(12))])
+    sess = _S()
+    sess.register_numpy("t", {"s": svals}, sch)
+    # force non-dict storage so the device kernel runs at full n (dict
+    # would collapse to 4 rows)
+    import dataclasses as _dc
+    cv = sess.tables["t"].columns[0]
+    if cv.is_dict:
+        sess.tables["t"] = _dc.replace(
+            sess.tables["t"], columns=(cv.decode(),))
+
+    def _q(expr):
+        plan = P_.Scan("t", sch).project([expr.alias("o")])
+        _, f = sess.compile(plan)
+
+        def step(z):
+            out, _ = f(sess.tables)
+            return jnp.sum(out.columns[0].lengths) + z[0]
+
+        return step
+
+    dev = _q(F_.soundex(E_.col("s")))
+    host = _q(F_.soundex_host(E_.col("s")))
+    zarg = jnp.zeros(1, jnp.int32)
+    t = bench(dev, zarg, reps=args.reps)
+    rec("soundex_device_1M", t, 12 * ns * 2, f"rows={ns}")
+    t = bench(host, zarg, reps=args.reps)
+    rec("soundex_hostbridge_1M", t, 12 * ns * 2,
+        f"rows={ns} pure_callback round-trip")
 
     doc = {
         "rows": n,
