@@ -210,6 +210,21 @@ def main() -> None:
               pay[0], seg_u, reps=args.reps)
     rec("segment_sum_n_to_nq", t, 8 * 2 * n + 4 * n, "unsorted ids")
 
+    # Pallas MXU one-hot bucket_sum vs the scatter-add path (the
+    # dense-domain aggregate core; exact int via 8-bit limb matvecs)
+    from datafusion_comet_tpu.exec import pallas_kernels as PK
+
+    B_ = 4096
+    codes_b = jnp.asarray(rng.integers(0, B_, n).astype(np.int32))
+    vals_b = jnp.asarray(rng.integers(-(2**30), 2**30, n).astype(np.int32))
+    t = bench(lambda c, v: PK.bucket_sum(c, v, B_), codes_b, vals_b,
+              reps=args.reps)
+    rec("bucket_sum_pallas_4096", t, (4 + 4) * n, "MXU one-hot limb matvec")
+    t = bench(lambda c, v: jax.ops.segment_sum(
+        v.astype(jnp.int64), c, num_segments=B_), codes_b, vals_b,
+        reps=args.reps)
+    rec("bucket_sum_scatter_4096", t, (4 + 8) * n, "segment_sum")
+
     # host-bridge cliff: the same string function as a pure_callback
     # round-trip vs the device kernel (VERDICT weak #8 — quantify what a
     # bridged function costs; note NO modeled TPC-H/TPC-DS query uses a

@@ -42,3 +42,41 @@ def test_pallas_interpreter_path():
         interpret=True,
     )(jnp.asarray(codes))
     np.testing.assert_array_equal(out[0].astype(np.int64), np.bincount(codes, minlength=B))
+
+
+def test_bucket_sum_fallback_matches_numpy():
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 64, 4000).astype(np.int32)
+    vals = rng.integers(-1000, 1000, 4000).astype(np.int64)
+    got = np.asarray(PK.bucket_sum(jnp.asarray(codes), jnp.asarray(vals), 64))
+    want = np.zeros(64, np.int64)
+    np.testing.assert_array_equal(got,
+                                  np.add.at(want, codes, vals) or want)
+
+
+def test_bucket_sum_pallas_interpreter():
+    """Drive the limb-matvec kernel under the Pallas interpreter."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(5)
+    n, B = 4096, 32
+    codes = rng.integers(0, B + 1, n).astype(np.int32)  # incl. dead rows
+    vals = rng.integers(-(2**30), 2**30, n).astype(np.int64)
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    pl.pallas_call = interp
+    try:
+        got = np.asarray(PK._bucket_sum_pallas(
+            jnp.asarray(codes), jnp.asarray(vals), B))
+    finally:
+        pl.pallas_call = orig
+    want = np.zeros(B, np.int64)
+    live = codes < B
+    np.add.at(want, codes[live], vals[live])
+    np.testing.assert_array_equal(got, want)
