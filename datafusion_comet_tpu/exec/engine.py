@@ -743,13 +743,12 @@ class Session:
         reduction = b.capacity // max(target, 1)
         if cells > CONF.get(SHRINK_MAX_COMPILE_CELLS) and reduction < 64:
             return b, None
-        fn = _shrink_jit(target)
-        # serialize the first-call COMPILE: _shrink_jit is lru-shared
-        # across threads, and concurrent cache-miss compiles of one
-        # PjitFunction through the tunnel backend have wedged parallel
-        # tpcbench builds for 40+ min (threads parked in backend_compile
-        # while holding the pjit entry lock). Execution after compile is
-        # lock-free (the cached executable path).
+        fn = functools.partial(_shrink_apply, target=target)
+        # serialize the first-call COMPILE path: concurrent cache-miss
+        # compiles through the tunnel backend have wedged parallel
+        # tpcbench builds for 40+ min. The canonical shrink programs
+        # (_shrink_perm per capacity, _take_rows per leaf shape/dtype) are
+        # small and shared engine-wide, so the lock costs nothing warm.
         with _SHRINK_COMPILE_LOCK:
             out = fn(b)
         return out, fn
@@ -1094,11 +1093,35 @@ import threading
 _SHRINK_COMPILE_LOCK = threading.Lock()
 
 
-@functools.lru_cache(maxsize=128)
-def _shrink_jit(target: int):
-    """Jitted stage-boundary compaction to a fixed capacity (per-target
-    cache so the settle-time compile is reused by every runner call)."""
-    return jax.jit(lambda b: B.compact_batch(b, target)[0])
+@functools.partial(jax.jit, static_argnums=(1,))
+def _shrink_perm(mask: jax.Array, target: int):
+    """Compaction permutation: live rows first (stable), sliced to
+    ``target``. ONE 3-operand sort per (capacity, target) — shared by
+    every schema and query, unlike the old whole-batch variadic-payload
+    compaction sort whose ~30-operand 8M-row programs took the tunnel
+    compiler tens of minutes PER (schema, target) pair."""
+    cap = mask.shape[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    key = (~mask).astype(jnp.int32)
+    _, perm, smask = jax.lax.sort((key, iota, mask), num_keys=1,
+                                  is_stable=True)
+    return perm[:target], smask[:target]
+
+
+@jax.jit
+def _take_rows(a: jax.Array, perm: jax.Array) -> jax.Array:
+    """Row-gather one buffer through the compaction permutation: jit
+    caches per (shape, dtype) — every i64 column of every query shares one
+    compiled program."""
+    return jnp.take(a, perm, axis=0)
+
+
+def _shrink_apply(b: Batch, target: int) -> Batch:
+    """Apply the canonical compaction programs leaf-by-leaf (the AQE
+    shrink). Semantics identical to compact_batch(b, target)[0]: stable
+    live-rows-first order, capacity ``target``."""
+    perm, _smask = _shrink_perm(b.row_mask, target)
+    return jax.tree_util.tree_map(lambda a: _take_rows(a, perm), b)
 
 
 def _needs_bind(plan: P.PlanNode) -> bool:
