@@ -337,6 +337,39 @@ def _ev(e: E.Expr, b: Batch, ctx: EvalContext) -> ColumnVector:
         if cv.is_dict:
             return _eval_on_dict(cv, _sp_small, ctx)
         return _sp_small(cv)
+    if isinstance(e, E.FormatNumber):
+        from datafusion_comet_tpu.exec.format_number import (format_grouped,
+                                                             scale_to_int)
+
+        cv = _ev(e.child, b, ctx)
+        d = e.decimals
+        w = e.dtype.byte_width
+        dt = cv.dtype
+        is_nan = is_inf = None
+        if dt.is_decimal:
+            if cv.data.ndim != 1:
+                raise NotImplementedError(
+                    "format_number on wide (two-limb) decimals — use "
+                    "ir.functions.format_number_host")
+            mag, neg, ovf = scale_to_int(cv.data, dt.scale, d)
+        elif dt.type_id in ("FLOAT32", "FLOAT64", "DOUBLE", "FLOAT"):
+            x = cv.data.astype(jnp.float64) * (10.0 ** d)
+            is_nan = jnp.isnan(x)
+            is_inf = jnp.isinf(x)
+            rx = jnp.round(x)  # HALF_EVEN, the Python round parity
+            neg = jnp.signbit(rx) | jnp.signbit(x)
+            fin = ~(is_nan | is_inf)
+            ovf = fin & (jnp.abs(rx) >= 2.0 ** 62)
+            mag = jnp.where(fin & ~ovf, jnp.abs(rx), 0.0).astype(jnp.int64)
+        else:  # integers
+            mag, neg, ovf = scale_to_int(cv.data, 0, d)
+        chars, lens, wide = format_grouped(mag, neg, d, w,
+                                           is_nan=is_nan, is_inf=is_inf)
+        ctx.record_error(
+            (ovf | wide) & cv.validity,
+            f"format_number: value does not fit (out_len={w} or scaled "
+            "magnitude beyond int64)")
+        return ColumnVector(chars, cv.validity, lens, e.dtype)
     if isinstance(e, E.Soundex):
         from datafusion_comet_tpu.exec.split_device import soundex_device
 

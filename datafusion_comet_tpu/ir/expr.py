@@ -47,6 +47,7 @@ __all__ = [
     "GetStructField",
     "MapExpr",
     "RLike",
+    "FormatNumber",
     "RegexpExtract",
     "RegexpExtractAll",
     "RegexpReplace",
@@ -494,6 +495,20 @@ class SplitPart(Expr):
     delim: str
     part: int = 1
     max_parts: int = 0
+
+    def children(self):
+        return (self.child,)
+
+
+@_node
+class FormatNumber(Expr):
+    """Device format_number(v, d): HALF_EVEN round to d decimals +
+    thousands grouping (exec/format_number.py). Wide (two-limb) decimals
+    keep the host bridge (evaluator raises to the unsupported surface)."""
+
+    child: Expr
+    decimals: int = 0
+    out_len: int = 32
 
     def children(self):
         return (self.child,)
@@ -1161,6 +1176,11 @@ def _bind(e: Expr, schema: T.Schema) -> Expr:
         out = Soundex(c)
         width = c.dtype.byte_width if c.dtype.is_binary else T.DEFAULT_STRING_LEN
         object.__setattr__(out, "dtype", T.string(max(width, 4)))
+        return out
+    if isinstance(e, FormatNumber):
+        c = _bind(e.child, schema)
+        out = FormatNumber(c, e.decimals, e.out_len)
+        object.__setattr__(out, "dtype", T.string(e.out_len or 32))
         return out
     if isinstance(e, PythonUdf):
         args = tuple(_bind(a, schema) for a in e.args)

@@ -474,7 +474,13 @@ def soundex_host(child: E.Expr, out_len: int = 0) -> E.PythonUdf:
     return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "soundex")
 
 
-def format_number(child: E.Expr, decimals: int, out_len: int = 32) -> E.PythonUdf:
+def format_number(child: E.Expr, decimals: int, out_len: int = 32):
+    """Device path (exec/format_number.py); format_number_host retains the
+    Python-format bridge (oracle; wide-decimal inputs)."""
+    return E.FormatNumber(child, decimals, out_len)
+
+
+def format_number_host(child: E.Expr, decimals: int, out_len: int = 32) -> E.PythonUdf:
     def fn(v):
         if v is None:
             return None
