@@ -15,7 +15,11 @@ Layout:
 - parquet decode:        decode (bit-unpack, RLE/dict pages on device)
 - random:                random_xorshift (Spark-exact rand/randn/sampling)
 - pallas:                pallas_kernels (fused bucket-count histogram)
-- float formatting:      ryu (Java shortest-repr double/float -> chars)
+- float formatting:      ryu (Java shortest-repr double/float -> chars),
+                         format_number (grouped fixed-decimal rendering)
+- string split/regexp:   split_device (split/split_part/substring_index/
+                         soundex), regex_extract (extract/extract_all/
+                         replace position chains), regex_dfa (rlike)
 - parquet page index:    pageindex (hand-parsed ColumnIndex/OffsetIndex)
 - iceberg write:         iceberg_write (snapshot append + O_EXCL commit)
 """
@@ -23,11 +27,27 @@ Layout:
 from datafusion_comet_tpu.exec import bytes_funcs, decimal_wide, decode
 from datafusion_comet_tpu.exec import json_path, pallas_kernels, random_xorshift, sortkeys
 from datafusion_comet_tpu.exec.decode import (
+    decode_list_column_chunk,
     decode_rle_hybrid_device,
+    decode_string_dict_column_chunk,
+    scan_list_levels,
     unpack_bits_device,
 )
+from datafusion_comet_tpu.exec.format_number import format_grouped, scale_to_int
+from datafusion_comet_tpu.exec.regex_extract import (
+    extract_all_device,
+    extract_device,
+    linearize,
+    replace_device,
+)
+from datafusion_comet_tpu.exec.split_device import (
+    soundex_device,
+    split_device,
+    split_part_device,
+    substring_index_device,
+)
 from datafusion_comet_tpu.exec.json_path import device_get_json_object, parse_path
-from datafusion_comet_tpu.exec.pallas_kernels import bucket_count, pallas_available
+from datafusion_comet_tpu.exec.pallas_kernels import bucket_count, bucket_sum, pallas_available
 from datafusion_comet_tpu.exec.random_xorshift import (
     init_seed_host,
     rand_column,
@@ -77,4 +97,18 @@ __all__ = [
     "iceberg_write",
     "decode_byte_stream_split",
     "decode_delta_binary_device",
+    "decode_list_column_chunk",
+    "decode_string_dict_column_chunk",
+    "scan_list_levels",
+    "bucket_sum",
+    "format_grouped",
+    "scale_to_int",
+    "extract_device",
+    "extract_all_device",
+    "replace_device",
+    "linearize",
+    "split_device",
+    "split_part_device",
+    "substring_index_device",
+    "soundex_device",
 ]
