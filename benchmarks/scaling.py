@@ -97,9 +97,17 @@ def main() -> None:
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
+    # the CPU-mesh profile: force the CPU backend (the axon plugin ignores
+    # JAX_PLATFORMS) and the 8-virtual-device flag BEFORE backend init
+    import os
+
+    if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8").strip()
     import jax
 
-    if jax.default_backend() != "tpu" and len(jax.devices()) < 8:
+    jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < 8:
         raise SystemExit("need 8 devices; set XLA_FLAGS=--xla_force_host_platform_device_count=8")
 
     import numpy as np
