@@ -347,7 +347,10 @@ class Session:
         self.max_join_retries = max_join_retries
         self._subqueries: Dict[int, Tuple[P.PlanNode, int]] = {}
         self._subquery_values: Dict[int, Tuple[object, bool]] = {}
-        self._in_materialize = False
+        import threading as _threading
+
+        self._tls_materialize = _threading.local()
+        self._subquery_lock = _threading.Lock()
         self._next_subquery_id = 0
         # atomic monotone id source: parallel compile threads (tpcbench
         # --compile-workers) prepare() plans on ONE session concurrently —
@@ -550,24 +553,30 @@ class Session:
 
     def _materialize_subqueries(self) -> Dict[int, Tuple[object, bool]]:
         # memoized + reentrancy-guarded: executing a subquery plan re-enters
-        # compile(), which must not re-materialize the in-flight subquery
-        if self._in_materialize:
+        # compile(), which must not re-materialize the in-flight subquery.
+        # The reentrancy flag is PER-THREAD and materialization serializes
+        # under a lock: with parallel compile workers, an instance-level
+        # flag let thread B short-circuit with thread A's HALF-BUILT value
+        # dict — B's compiled fn then missed a subquery id and trace-time
+        # asserted (tpcds q8/q20 compile-failed under --compile-workers 4).
+        if getattr(self._tls_materialize, "active", False):
             return dict(self._subquery_values)
-        self._in_materialize = True
-        try:
-            for sid, (sub, column) in list(self._subqueries.items()):
-                if sid in self._subquery_values:
-                    continue
-                out = to_numpy(self.execute(sub))
-                name = sub.schema.fields[column].name
-                vals = out[name]
-                valid = out[name + "__valid"]
-                if len(vals) == 0:
-                    self._subquery_values[sid] = (None, False)
-                else:
-                    self._subquery_values[sid] = (vals[0], bool(valid[0]))
-        finally:
-            self._in_materialize = False
+        with self._subquery_lock:
+            self._tls_materialize.active = True
+            try:
+                for sid, (sub, column) in list(self._subqueries.items()):
+                    if sid in self._subquery_values:
+                        continue
+                    out = to_numpy(self.execute(sub))
+                    name = sub.schema.fields[column].name
+                    vals = out[name]
+                    valid = out[name + "__valid"]
+                    if len(vals) == 0:
+                        self._subquery_values[sid] = (None, False)
+                    else:
+                        self._subquery_values[sid] = (vals[0], bool(valid[0]))
+            finally:
+                self._tls_materialize.active = False
         return dict(self._subquery_values)
 
     # -- execution ---------------------------------------------------------------
