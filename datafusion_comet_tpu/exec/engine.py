@@ -591,6 +591,13 @@ class Session:
             bound = plan
         fanout = join_fanout or self.join_fanout
         sub_values = self._materialize_subqueries() if self._subqueries else None
+        # the compiled program's inputs are ONLY the tables this plan scans:
+        # the jit signature (and the persistent-cache key) is then stable
+        # against unrelated registrations — structurally-identical stages
+        # from different queries share one compiled program, and parallel
+        # compile workers' temp-table churn on the shared session can't
+        # retrace (or corrupt the trace of) another thread's program
+        refs = sorted(set(_scan_tables(bound)))
 
         msg_box: List[str] = []
 
@@ -619,6 +626,7 @@ class Session:
         jitted = jax.jit(fn)
 
         def wrapped(tables):
+            tables = {k: tables[k] for k in refs}
             if debug_ovf:
                 out, ovf, err_flags, vec = jitted(tables)
                 import numpy as _np
@@ -779,7 +787,7 @@ class Session:
                 reasons = REG.gate_reasons(sub)
                 if reasons:
                     raise UnsupportedPlanError(reasons)
-                sub = self._budget_rewrite(sub, temp_names)
+                sub, _presteps = self._budget_plan(sub, temp_names)
                 try:
                     out = self._execute_retry(sub)
                 except NotImplementedError as e:
@@ -803,15 +811,16 @@ class Session:
         retrace, no recompile) — the benchmarking/serving entry point."""
         stage_list = self._plan_stages(plan)
         temp_names = [n for n, _ in stage_list if n]
-        steps: List[Tuple[Optional[str], Callable, Optional[Callable]]] = []
+        steps: List[Tuple[Optional[str], Callable, Optional[Callable], List]] = []
         try:
             for name, sub in stage_list:
+                sub, presteps = self._budget_plan(sub, temp_names)
                 out, fn = self._execute_retry(sub, return_fn=True)
                 shrink = None
                 if name:
                     out, shrink = self._aqe_shrink(out)
                     self.tables[name] = out
-                steps.append((name, fn, shrink))
+                steps.append((name, fn, shrink, presteps))
         finally:
             for n in temp_names:
                 self.tables.pop(n, None)
@@ -819,7 +828,9 @@ class Session:
         def run() -> Batch:
             res: Optional[Batch] = None
             try:
-                for name, fn, shrink in steps:
+                for name, fn, shrink, presteps in steps:
+                    for p in presteps:  # re-run tiled/grace temp-table fills
+                        p()
                     res, ovf = fn(self.tables)
                     if name:
                         if shrink is not None:
@@ -876,40 +887,80 @@ class Session:
         return stages
 
     # -- HBM budget enforcement ------------------------------------------------------
-    def _budget_rewrite(self, stage: P.PlanNode, temp_names: List[str]) -> P.PlanNode:
-        """Enforce the declared HBM budget (comet.memory.fraction): when a
-        stage's conservative peak estimate exceeds the device budget and it
-        contains a streamable aggregate subtree (HashAggregate(SINGLE) over
-        a row-preserving pipeline over ONE scan), run that subtree tiled
-        (exec/streaming.py) over device-resident slices and splice the
-        result back as a temp table. Non-streamable over-budget stages
-        proceed (the estimate sums every operator output; XLA frees
+    def _budget_plan(
+        self, stage: P.PlanNode, temp_names: List[str]
+    ) -> Tuple[P.PlanNode, List[Callable[[], None]]]:
+        """Enforce the declared HBM budget (comet.memory.fraction): while a
+        stage's conservative peak estimate exceeds the device budget, peel
+        off an over-budget subtree —
+
+        * a streamable aggregate (HashAggregate(SINGLE) over a
+          row-preserving pipeline over ONE scan) runs tiled
+          (exec/streaming.py TiledAggregator), or
+        * an over-budget HashJoin runs hash-partitioned in K pieces
+          (exec/grace.py GraceJoinRunner — the Grace join / partitioned
+          spill analog of shuffle_writer.rs:52)
+
+        — and splice the result back as a temp-table scan. Returns the
+        rewritten stage plus re-runnable PRESTEPS (each re-populates its
+        temp table using programs compiled on the first call here): the
+        prepare() benchmark path re-runs them per repetition so timings
+        include the tiled/partitioned work. Non-streamable over-budget
+        stages proceed (the estimate sums every operator output; XLA frees
         earlier) with a warning. Reference analog: memory_pools/mod.rs
-        reservations + spill — here the budget is enforced by planning
-        batch shapes, not by runtime accounting."""
+        reservations + spill — the budget is enforced by planning batch
+        shapes, not by runtime accounting."""
         from datafusion_comet_tpu.exec.memory import (
             device_budget_bytes, plan_peak_bytes)
 
-        caps = [self.tables[t].capacity
-                for t in _scan_tables(stage) if t in self.tables]
-        if not caps:
-            return stage
-        peak = plan_peak_bytes(stage, max(caps))
-        budget = device_budget_bytes()
-        if peak <= budget:
-            return stage
-        target = _find_stream_agg(stage, self.tables)
-        if target is None:
+        presteps: List[Callable[[], None]] = []
+        for _ in range(16):  # each iteration peels one over-budget subtree
+            caps = [self.tables[t].capacity
+                    for t in _scan_tables(stage) if t in self.tables]
+            if not caps:
+                break
+            peak = plan_peak_bytes(stage, max(caps))
+            budget = device_budget_bytes()
+            if peak <= budget:
+                break
+            target = _find_stream_agg(stage, self.tables)
+            if target is not None:
+                agg, table = target
+                stage = self._tiled_rewrite(stage, agg, table, temp_names,
+                                            presteps)
+                continue
+            from datafusion_comet_tpu.exec.grace import (
+                GRACE_MAX_PARTITIONS, GraceJoinRunner, find_grace_join)
+
+            gj = find_grace_join(stage, self.tables, budget)
+            if gj is not None:
+                jcaps = [self.tables[t].capacity for t in _scan_tables(gj)
+                         if t in self.tables]
+                jpeak = plan_peak_bytes(gj, max(jcaps) if jcaps else max(caps))
+                K = 2
+                while K * (budget // 2) < jpeak and K < GRACE_MAX_PARTITIONS:
+                    K *= 2
+                runner = GraceJoinRunner(self, gj, K, temp_names)
+                temp_names.append(runner.tmp)
+                runner()  # first (compiling) run registers the temp table
+                presteps.append(runner)
+                scan = P.Scan(runner.tmp, gj.schema)
+                scan.schema = gj.schema
+                stage = (scan if gj is stage
+                         else _replace_child_pure_deep(stage, gj, scan))
+                continue
             import warnings
 
             warnings.warn(
                 f"stage peak estimate {peak >> 20} MiB exceeds HBM budget "
-                f"{budget >> 20} MiB and has no streamable aggregate; "
-                "proceeding (estimate is conservative)")
-            return stage
-        agg, table = target
+                f"{budget >> 20} MiB and has no streamable aggregate or "
+                "partitionable join; proceeding (estimate is conservative)")
+            break
+        return stage, presteps
+
+    def _tiled_rewrite(self, stage, agg, table, temp_names, presteps):
         from datafusion_comet_tpu.exec.memory import plan_tiles
-        from datafusion_comet_tpu.exec.streaming import execute_tiled_aggregate
+        from datafusion_comet_tpu.exec.streaming import TiledAggregator
 
         batch = self.tables[table]
         tiles_n = max(plan_tiles(agg, batch.capacity), 1)
@@ -918,21 +969,36 @@ class Session:
         tiles_n = 1 << max(int(tiles_n - 1).bit_length(), 0)
         tiles_n = min(tiles_n, max(batch.capacity // 8, 1))
         tile_cap = max(batch.capacity // tiles_n, 8)
-        result = execute_tiled_aggregate(
-            agg, _slice_tiles(batch, tile_cap), table)
-        if agg is stage:
-            tmp = f"__budget{next(self._stage_ids)}"
-            temp_names.append(tmp)
-            self.tables[tmp] = result
-            scan = P.Scan(tmp, result.schema)
-            scan.schema = result.schema
-            return scan
         tmp = f"__budget{next(self._stage_ids)}"
         temp_names.append(tmp)
-        self.tables[tmp] = result
+        aggregator = TiledAggregator(agg, table)
+
+        def prestep():
+            b = self.tables[table]
+            self.tables[tmp] = aggregator.run(_slice_tiles(b, tile_cap))
+
+        prestep()
+        presteps.append(prestep)
+        result = self.tables[tmp]
         scan = P.Scan(tmp, result.schema)
         scan.schema = result.schema
+        if agg is stage:
+            return scan
         return _replace_child_pure_deep(stage, agg, scan)
+
+    def _prepare_subtree(self, sub: P.PlanNode, temp_names: List[str]):
+        """Budget-planned compile of a subplan (grace-join children recurse
+        through here); returns (first executed batch, re-run fn)."""
+        sub2, presteps = self._budget_plan(sub, temp_names)
+        out, fn = self._execute_retry(sub2, return_fn=True)
+
+        def rerun() -> Batch:
+            for p in presteps:
+                p()
+            o, _ = fn(self.tables)
+            return o
+
+        return out, rerun
 
     def _execute_retry(self, plan: P.PlanNode, return_fn: bool = False):
         fanout = self.join_fanout
@@ -1142,7 +1208,12 @@ def _is_join(plan: P.PlanNode) -> bool:
 
 
 def _count_joins(plan: P.PlanNode) -> int:
-    return int(_is_join(plan)) + sum(_count_joins(c) for c in plan.children())
+    # runtime-filter dense-lookup semi joins (rf_injected) are sortless
+    # scatter+gather probes, not program-size drivers: counting them toward
+    # the stage budget forced extra stage materializations that cost more
+    # than the filter saved (TPC-H q8 r4 regression, docs/known_issues.md)
+    own = int(_is_join(plan)) and not getattr(plan, "rf_injected", False)
+    return int(own) + sum(_count_joins(c) for c in plan.children())
 
 
 # -------------------------------------------------------------------------------------

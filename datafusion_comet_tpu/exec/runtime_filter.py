@@ -63,10 +63,77 @@ _MAX_KEYS = 1 << 20  # key sets larger than this are not worth a semi join
 def inject_runtime_filters(plan: P.PlanNode, session) -> P.PlanNode:
     """Return a rewritten (non-mutating) plan with runtime semi-join
     filters injected where profitable. ``session`` provides resident
-    tables + stats and receives the constant key tables."""
+    tables + stats and receives the constant key tables.
+
+    Two-phase: first every candidate (join, side) is planned WITHOUT
+    mutation and at most ONE filter — the most selective — is approved per
+    source scan (q8 injected both a 0.006-ratio part-key filter and a
+    0.076-ratio order-key filter on the same lineitem scan; the second
+    probe+compaction cost more than its marginal thinning was worth — the
+    RevertNativeForTransitionHeavyStages cost discipline). Approval rides
+    a node attribute so the bottom-up rebuild (which copies ancestors)
+    keeps it."""
     if not CONF.get(RUNTIME_FILTER_ENABLED):
         return plan
-    return _rewrite(plan, session)
+    cands: List[Tuple[P.PlanNode, str, "_RF", int]] = []
+    _collect(plan, session, cands)
+    best: Dict[int, Tuple[P.PlanNode, str, "_RF"]] = {}
+    for join, side, rf, scan_key in cands:
+        cur = best.get(scan_key)
+        if cur is None or rf.est_ratio < cur[2].est_ratio:
+            best[scan_key] = (join, side, rf)
+    for join, side, rf in best.values():
+        approved = getattr(join, "_rf_approved", None) or {}
+        # one filter per join: keep the more selective side
+        keep = min(list(approved.items()) + [(side, rf)],
+                   key=lambda kv: kv[1].est_ratio)
+        join._rf_approved = dict([keep])
+    out = _rewrite(plan, session)
+    for join, _side, _rf in best.values():  # clean the original tree's tags
+        if getattr(join, "_rf_approved", None) is not None:
+            join._rf_approved = None
+    return out
+
+
+def _collect(p: P.PlanNode, session, out: List) -> None:
+    for c in p.children():
+        _collect(c, session, out)
+    if not (isinstance(p, P.HashJoin) and p.join_type == P.JoinType.INNER):
+        return
+    if len(p.left_keys) != 1 or len(p.right_keys) != 1:
+        return
+    lk = _src_col(p.left_keys[0])
+    rk = _src_col(p.right_keys[0])
+    if lk is None or rk is None:
+        return
+    for target, tkey, other, okey, side in (
+        (p.left, lk, p.right, rk, "left"),
+        (p.right, rk, p.left, lk, "right"),
+    ):
+        rf = _plan_filter(target, tkey, other, okey, session)
+        if rf is None:
+            continue
+        scan = _source_scan(target, tkey)
+        if scan is None:
+            continue
+        out.append((p, side, rf, id(scan)))
+
+
+def _source_scan(p: P.PlanNode, col: str) -> Optional[P.Scan]:
+    """The (largest) scan inside ``p`` that sources ``col`` — the dedup key
+    for per-scan filter approval."""
+    hits: List[P.Scan] = []
+
+    def walk(q):
+        if isinstance(q, P.Scan):
+            if any(f.name == col for f in q.out_schema().fields):
+                hits.append(q)
+            return
+        for c in q.children():
+            walk(c)
+
+    walk(p)
+    return hits[0] if len(hits) == 1 else None
 
 
 def _rewrite(p: P.PlanNode, session) -> P.PlanNode:
@@ -92,19 +159,15 @@ def _swap_child(p: P.PlanNode, old: P.PlanNode, new: P.PlanNode) -> P.PlanNode:
 
 
 def _try_filter_join(j: P.HashJoin, session) -> P.HashJoin:
-    if len(j.left_keys) != 1 or len(j.right_keys) != 1:
-        return j
-    lk = _src_col(j.left_keys[0])
-    rk = _src_col(j.right_keys[0])
-    if lk is None or rk is None:
+    approved = getattr(j, "_rf_approved", None)
+    if not approved:
         return j
     out = j
-    for target, tkey, other, okey, side in (
-        (j.left, lk, j.right, rk, "left"),
-        (j.right, rk, j.left, lk, "right"),
-    ):
-        rf = _plan_filter(target, tkey, other, okey, session)
-        if rf is None:
+    for side, rf in approved.items():
+        target = j.left if side == "left" else j.right
+        keys = j.left_keys if side == "left" else j.right_keys
+        tkey = _src_col(keys[0])
+        if tkey is None:
             continue
         new_target = _push_semi(target, tkey, rf, session)
         if new_target is None:
@@ -120,6 +183,8 @@ def _try_filter_join(j: P.HashJoin, session) -> P.HashJoin:
             if trows:
                 out.out_rows_hint = max(int(trows * rf.est_ratio), 1)
         break  # one filter per join is plenty
+    if getattr(out, "_rf_approved", None) is not None:
+        out._rf_approved = None  # consumed
     return out
 
 
@@ -446,6 +511,13 @@ def _attach(p: P.PlanNode, col: str, rf: _RF, session) -> Optional[P.PlanNode]:
     j = P.HashJoin(p, build, (E.ColumnRef(col),), (E.ColumnRef(rf.col),),
                    P.JoinType.LEFT_SEMI, "right")
     j.rf_dense_range = (rf.lo, rf.hi)
+    # injected dense-bitmap semi joins are one scatter + one gather — no
+    # concat sort, no pair list — so they must NOT count toward the
+    # stage-split join budget: counting them forced an extra stage whose
+    # full-capacity temp materialization cost MORE than the filter saved
+    # (TPC-H q8's r4 1.05→2.94 s regression; the transition-cost
+    # discipline of RevertNativeForTransitionHeavyStages.scala:33-38)
+    j.rf_injected = True
     rows = _subtree_scan_rows(p, col, session)
     if rows:
         j.out_rows_hint = max(int(rows * rf.est_ratio), 1)

@@ -33,7 +33,8 @@ from datafusion_comet_tpu.exec.operators import aggregate as AGG
 from datafusion_comet_tpu.ir import expr as E
 from datafusion_comet_tpu.ir import plan as P
 
-__all__ = ["execute_tiled_aggregate", "numpy_tiles", "prefetch_tiles"]
+__all__ = ["execute_tiled_aggregate", "TiledAggregator", "numpy_tiles",
+           "prefetch_tiles"]
 
 from datafusion_comet_tpu.conf import register_entry
 
@@ -136,6 +137,74 @@ def _split_agg(plan: P.PlanNode):
     return plan
 
 
+class TiledAggregator:
+    """Compiled-once tiled aggregate: the partial/merge/final programs jit
+    at construction and are reused across every ``run`` call — the
+    benchmark/serving path re-executes the whole tiled pipeline per
+    repetition without retracing (the budget-rewrite presteps in
+    engine.Session._budget_plan hold one of these per rewrite site)."""
+
+    def __init__(self, plan: P.PlanNode, table: str, merge_every: int = 8):
+        bound = P.bind_plan(plan) if plan.schema is None else plan
+        agg = _split_agg(bound)
+        self.table = table
+        self.merge_every = merge_every
+        self.out_schema = agg.schema
+
+        partial = P.HashAggregate(
+            agg.child, agg.group_exprs, agg.agg_exprs, P.AggMode.PARTIAL,
+            agg.max_groups
+        )
+        partial.schema = _partial_schema(agg)
+        merge_groups = tuple(
+            E.bind(E.col(g.name), partial.schema) for g in agg.group_exprs
+        )
+
+        @jax.jit
+        def run_partial(tile: Batch) -> Batch:
+            return run_plan(partial, {table: tile}, EvalContext())
+
+        @jax.jit
+        def run_merge(acc: Batch) -> Batch:
+            node = P.HashAggregate(
+                _pseudo_scan("__acc", acc.schema),
+                merge_groups,
+                agg.agg_exprs,
+                P.AggMode.PARTIAL_MERGE,
+                agg.max_groups,
+            )
+            node.schema = partial.schema
+            return run_plan(node, {"__acc": acc}, EvalContext())
+
+        @jax.jit
+        def run_final(acc: Batch) -> Batch:
+            node = P.HashAggregate(
+                _pseudo_scan("__acc", acc.schema),
+                merge_groups,
+                agg.agg_exprs,
+                P.AggMode.FINAL,
+                agg.max_groups,
+            )
+            node.schema = agg.schema
+            return run_plan(node, {"__acc": acc}, EvalContext())
+
+        self._partial, self._merge, self._final = run_partial, run_merge, run_final
+
+    def run(self, tiles: Iterator[Batch]) -> Batch:
+        acc: Optional[Batch] = None
+        pending = 0
+        for tile in prefetch_tiles(tiles):
+            part = self._partial(tile)
+            acc = part if acc is None else _concat(acc, part)
+            pending += 1
+            if pending >= self.merge_every:
+                acc = self._merge(acc)
+                pending = 1
+        if acc is None:
+            raise ValueError("no input tiles")
+        return self._final(acc)
+
+
 def execute_tiled_aggregate(
     plan: P.PlanNode,
     tiles: Iterator[Batch],
@@ -144,59 +213,7 @@ def execute_tiled_aggregate(
 ) -> Batch:
     """Run ``plan`` (HashAggregate root over one Scan of ``table``) over a
     stream of input tiles. Returns the final aggregated batch."""
-    bound = P.bind_plan(plan) if plan.schema is None else plan
-    agg = _split_agg(bound)
-
-    # partial stage over one tile (jitted once; same shapes each tile)
-    partial = P.HashAggregate(
-        agg.child, agg.group_exprs, agg.agg_exprs, P.AggMode.PARTIAL, agg.max_groups
-    )
-    partial.schema = _partial_schema(agg)
-
-    @jax.jit
-    def run_partial(tile: Batch) -> Batch:
-        return run_plan(partial, {table: tile}, EvalContext())
-
-    merge_groups = tuple(
-        E.bind(E.col(g.name), partial.schema) for g in agg.group_exprs
-    )
-
-    @jax.jit
-    def run_merge(acc: Batch) -> Batch:
-        node = P.HashAggregate(
-            _pseudo_scan("__acc", acc.schema),
-            merge_groups,
-            agg.agg_exprs,
-            P.AggMode.PARTIAL_MERGE,
-            agg.max_groups,
-        )
-        node.schema = partial.schema
-        return run_plan(node, {"__acc": acc}, EvalContext())
-
-    @jax.jit
-    def run_final(acc: Batch) -> Batch:
-        node = P.HashAggregate(
-            _pseudo_scan("__acc", acc.schema),
-            merge_groups,
-            agg.agg_exprs,
-            P.AggMode.FINAL,
-            agg.max_groups,
-        )
-        node.schema = agg.schema
-        return run_plan(node, {"__acc": acc}, EvalContext())
-
-    acc: Optional[Batch] = None
-    pending = 0
-    for tile in prefetch_tiles(tiles):
-        part = run_partial(tile)
-        acc = part if acc is None else _concat(acc, part)
-        pending += 1
-        if pending >= merge_every:
-            acc = run_merge(acc)
-            pending = 1
-    if acc is None:
-        raise ValueError("no input tiles")
-    return run_final(acc)
+    return TiledAggregator(plan, table, merge_every).run(tiles)
 
 
 def _pseudo_scan(name: str, schema: T.Schema) -> P.Scan:

@@ -14,9 +14,13 @@ splits the work differently:
   (reshape + shift arithmetic on the MXU/VPU — no per-value gathers,
   which cost ~180 ms per 8M rows on v5e regardless of index pattern).
 
-Scope: non-nested required columns, PLAIN dictionaries,
-PLAIN_DICTIONARY/RLE_DICTIONARY data pages (v1), the layout TPC-style
-integer/decimal fact columns actually use.
+Scope: flat (non-nested) columns plus LIST<numeric> via rep/def-level
+device decode (exec/decode.py decode_list_column_chunk); PLAIN
+dictionaries, PLAIN_DICTIONARY/RLE_DICTIONARY data pages (v1), DELTA and
+byte-stream-split encodings — the layouts TPC-style integer/decimal fact
+columns actually use. STRUCT/MAP and nested-string columns still
+host-decode via pyarrow (io/parquet.py); the reference decodes all
+nestings natively (parquet_exec.rs:60).
 """
 
 from __future__ import annotations

@@ -369,7 +369,7 @@ def _expr_nullable(e: E.Expr, schema: T.Schema) -> bool:
 HINT_ATTRS = (
     "out_rows_hint", "rf_dense_range", "build_key_range", "key_pack",
     "fanout_hint", "unique_build_hint", "cond_col_ranges",
-    "presorted_build", "group_key_ranges",
+    "presorted_build", "group_key_ranges", "rf_injected",
 )
 
 

@@ -38,13 +38,13 @@ def test_budget_streams_aggregate(monkeypatch):
 
     import datafusion_comet_tpu.exec.streaming as ST
     calls = []
-    orig = ST.execute_tiled_aggregate
+    orig = ST.TiledAggregator.run
 
-    def counting(*a, **k):
+    def counting(self, tiles):
         calls.append(1)
-        return orig(*a, **k)
+        return orig(self, tiles)
 
-    monkeypatch.setattr(ST, "execute_tiled_aggregate", counting)
+    monkeypatch.setattr(ST.TiledAggregator, "run", counting)
     old = CONF.get(MEMORY_FRACTION)
     CONF.set("comet.memory.fraction", 2.0e-5)  # ~86 KiB budget on CPU
     try:
@@ -61,9 +61,9 @@ def test_within_budget_runs_direct(monkeypatch):
     s = make_session()
     import datafusion_comet_tpu.exec.streaming as ST
     calls = []
-    orig = ST.execute_tiled_aggregate
-    monkeypatch.setattr(ST, "execute_tiled_aggregate",
-                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    orig = ST.TiledAggregator.run
+    monkeypatch.setattr(ST.TiledAggregator, "run",
+                        lambda self, tiles: calls.append(1) or orig(self, tiles))
     out = s.collect(make_plan())
     assert not calls
     assert len(out["g"]) == 50
