@@ -247,6 +247,11 @@ def main() -> None:
         "datagen_s": round(gen_s, 1),
         "queries": results,
         "total_best_s": round(sum(r.get("best_s", 0) for r in results.values()), 3),
+        # first-rep total alongside best-of: the number a user sees on the
+        # FIRST warm run — a large gap vs total_best_s means residual
+        # recompiles/host work inside the measured region (r4 weak item 3)
+        "total_first_s": round(sum(r["times_s"][0] for r in results.values()
+                                   if r.get("times_s")), 3),
     }
     out = json.dumps(doc, indent=2)
     if args.out:

@@ -94,6 +94,17 @@ STAGE_MAX_JOINS = _entry(
     "per-stage compiles hit the persistent cache independently. 0 disables "
     "staging (always compile one program).", env_var="COMET_STAGE_MAX_JOINS",
 )
+STAGE_MAX_HEAVY_OPS = _entry(
+    "comet.exec.stage.maxHeavyOpsPerProgram", 3, "exec",
+    "Beyond the join budget, stages whose program would hold more than "
+    "this many HEAVY operators (joins, windows, grouping aggregates, "
+    "expands, sorts) split at Window/HashAggregate boundaries into "
+    "separately compiled programs. Bounds the tunnel-TPU compile poles on "
+    "rollup+window+sort tails (TPC-DS q18/q22/q67/q86 compiled 18-60 min "
+    "as one program); with AQE shrink between stages the post-aggregate "
+    "programs run at group capacity, so the split costs little runtime. "
+    "0 disables.", env_var="COMET_STAGE_MAX_HEAVY",
+)
 SHRINK_MAX_COMPILE_CELLS = _entry(
     "comet.exec.aqe.shrink.maxCompileCells", 32 << 20, "exec",
     "AQE stage-boundary compaction compiles a program that argsorts the "

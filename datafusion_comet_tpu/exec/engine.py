@@ -884,7 +884,47 @@ class Session:
         if max_joins and _count_joins(bound0) > max_joins:
             root = self._split_stages(bound0, max_joins, stages)
         stages.append((None, root))
+        from datafusion_comet_tpu.conf import STAGE_MAX_HEAVY_OPS
+
+        max_heavy = CONF.get(STAGE_MAX_HEAVY_OPS)
+        if max_heavy:
+            out: List[Tuple[Optional[str], P.PlanNode]] = []
+            for name, sub in stages:
+                pre: List[Tuple[Optional[str], P.PlanNode]] = []
+                sub = self._split_heavy(sub, max_heavy, pre)
+                out.extend(pre)
+                out.append((name, sub))
+            stages = out
         return stages
+
+    def _split_heavy(
+        self,
+        plan: P.PlanNode,
+        max_heavy: int,
+        stages: List[Tuple[Optional[str], P.PlanNode]],
+    ) -> P.PlanNode:
+        """Second-axis stage splitting: beyond the join budget, cut below
+        Window / grouping-HashAggregate / Sort nodes while the remaining
+        program holds more than ``max_heavy`` heavy operators. Rollup +
+        window + top-K tails (TPC-DS q18/q22/q67/q86) then compile as a
+        big-but-bounded aggregate program plus tiny group-capacity tails
+        instead of one tunnel-compiler pole; the AQE shrink at each stage
+        boundary keeps the tail capacities at the LIVE group count."""
+        kids = [self._split_heavy(c, max_heavy, stages) for c in plan.children()]
+        for old, new in zip(plan.children(), kids):
+            if old is not new:
+                plan = _replace_child_pure(plan, old, new)
+        if _count_heavy(plan) <= max_heavy:
+            return plan
+        if isinstance(plan, (P.Window, P.Sort, P.HashAggregate)):
+            child = plan.children()[0]
+            if not isinstance(child, P.Scan) and _count_heavy(child) >= 1:
+                name = f"__stage{next(self._stage_ids)}"
+                stages.append((name, child))
+                scan = P.Scan(name, child.schema)
+                scan.schema = child.schema
+                plan = _replace_child_pure(plan, child, scan)
+        return plan
 
     # -- HBM budget enforcement ------------------------------------------------------
     def _budget_plan(
@@ -1214,6 +1254,20 @@ def _count_joins(plan: P.PlanNode) -> int:
     # than the filter saved (TPC-H q8 r4 regression, docs/known_issues.md)
     own = int(_is_join(plan)) and not getattr(plan, "rf_injected", False)
     return int(own) + sum(_count_joins(c) for c in plan.children())
+
+
+def _count_heavy(plan: P.PlanNode) -> int:
+    """Heavy = operators whose XLA lowering holds big multi-operand sorts
+    or capacity-multiplying blocks — the tunnel-compile cost drivers."""
+    if _is_join(plan) and not getattr(plan, "rf_injected", False):
+        own = 1
+    elif isinstance(plan, (P.Window, P.Expand, P.Sort)):
+        own = 1
+    elif isinstance(plan, P.HashAggregate) and plan.group_exprs:
+        own = 1
+    else:
+        own = 0
+    return own + sum(_count_heavy(c) for c in plan.children())
 
 
 # -------------------------------------------------------------------------------------

@@ -89,36 +89,24 @@ def partition_sort(batch: Batch, pids: jax.Array, K: int
                    ) -> Tuple[Batch, jax.Array]:
     """Stable-sort rows by partition id with dead rows last. Returns
     (sorted batch, starts[K+1]) — partition k occupies sorted rows
-    [starts[k], starts[k+1]). Fixed-width planes ride the sort as payloads
-    (the compact_batch discipline); var-len/nested columns gather through
-    the permutation."""
+    [starts[k], starts[k+1]).
+
+    CANONICAL program shape: a 3-operand (key, iota, mask) sort plus one
+    gather per column through the permutation — NOT the payload-riding
+    variadic sort compact_batch uses. A 21-operand sort at SF10 lineitem
+    capacity is exactly the tunnel-compiler pole class the AQE shrink
+    already hit (docs/known_issues.md: one isolated 8M×14-column variadic
+    sort measured >27 min to compile); the canonical split compiles in
+    seconds and its per-column gathers share program shapes engine-wide."""
     cap = batch.capacity
     key = jnp.where(batch.row_mask, pids, K).astype(jnp.int32)
     counts = jnp.zeros(K + 1, jnp.int32).at[key].add(1)
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts[:K], dtype=jnp.int32)])
-    payloads: List[jax.Array] = []
-    slot_of: Dict[int, int] = {}
-    for ci, c in enumerate(batch.columns):
-        if c.data.ndim == 1 and c.lengths is None and not c.children:
-            slot_of[ci] = len(payloads)
-            payloads.append(c.data)
-            payloads.append(c.validity)
     iota = jnp.arange(cap, dtype=jnp.int32)
-    out = jax.lax.sort((key, iota) + tuple(payloads) + (batch.row_mask,),
-                       num_keys=1, is_stable=True)
-    perm = out[1]
-    sp = out[2:-1]
-    sorted_mask = out[-1]
-    cols = []
-    for ci, c in enumerate(batch.columns):
-        if ci in slot_of:
-            s = slot_of[ci]
-            cols.append(ColumnVector(sp[s], sp[s + 1], None, c.dtype,
-                                     dictionary=c.dictionary,
-                                     mag_bound=c.mag_bound))
-        else:
-            cols.append(c.take(perm))
+    _, perm, sorted_mask = jax.lax.sort(
+        (key, iota, batch.row_mask), num_keys=1, is_stable=True)
+    cols = [c.take(perm) for c in batch.columns]
     return Batch(tuple(cols), sorted_mask, batch.schema), starts
 
 
@@ -246,9 +234,25 @@ class GraceJoinRunner:
         return fn
 
     def __call__(self) -> None:
+        import os as _os
+
+        dbg = bool(_os.environ.get("COMET_DEBUG_GRACE"))
+
+        def _mem(tag):
+            if not dbg:
+                return
+            try:
+                st = jax.devices()[0].memory_stats() or {}
+                print(f"[grace {self.tmp}] {tag}: "
+                      f"{st.get('bytes_in_use', 0) / 1e9:.2f} GB in use",
+                      flush=True)
+            except Exception:
+                pass
+
         s = self.session
         j = self.join
         K = self.K
+        _mem(f"enter K={K}")
         if self._fanout is None:
             self._fanout = s.join_fanout
         if self._left_rerun is None:
@@ -279,9 +283,11 @@ class GraceJoinRunner:
                                                     EvalContext()), K)
 
             self._part_l, self._part_r = part_l, part_r
+        _mem("children executed")
         sortedL, startsL = self._part_l(left0)
         sortedR, startsR = self._part_r(right0)
         del left0, right0
+        _mem("partition-sorted")
         sl = np.asarray(startsL)
         sr = np.asarray(startsR)
         sizesL = np.diff(sl)
@@ -321,6 +327,7 @@ class GraceJoinRunner:
                 elif sh is not False:
                     out = sh(out)
                 outs[k] = out
+                _mem(f"pair {k} done (capL={capL} capR={capR})")
             if not overflowed:
                 break
             self._fanout *= 4
@@ -331,6 +338,7 @@ class GraceJoinRunner:
         s.tables.pop(self.gl, None)
         s.tables.pop(self.gr, None)
         del sortedL, sortedR
+        _mem("pairs done")
         live = [o for o in outs if o is not None]
         if not live:
             # empty join result: one dead batch at minimal capacity

@@ -40,13 +40,24 @@ def host_eval_udf(e: E.PythonUdf, batch: Batch) -> ColumnVector:
     mask = np.asarray(batch.row_mask)
     idx = np.arange(cap)
     cols = [nested_to_py(cv, idx) for cv in arg_cvs]
+    results = _run_udf(e, mask, cols, cap)
+    if isinstance(results, ColumnVector):  # fully-columnar batch_fn
+        return results
+    return nested_from_py(results, e.out_dtype, cap)
+
+
+def _run_udf(e: E.PythonUdf, mask, cols, cap):
+    """Columnar batch_fn when the UDF provides one (it may return either a
+    list of python values or a ready ColumnVector), else the row loop."""
+    if getattr(e, "batch_fn", None) is not None:
+        return e.batch_fn(mask, *cols)
     results = []
     for i in range(cap):
         if not mask[i]:
             results.append(None)
             continue
         results.append(e.fn(*[c[i] for c in cols]))
-    return nested_from_py(results, e.out_dtype, cap)
+    return results
 
 
 def _template(dtype: T.DataType, cap: int):
@@ -57,18 +68,13 @@ def _template(dtype: T.DataType, cap: int):
 def eval_python_udf(e: E.PythonUdf, b: Batch, ctx, ev) -> ColumnVector:
     arg_cvs = tuple(ev(a, b, ctx) for a in e.args)
     cap = b.capacity
-    fn = e.fn
 
     def cb(mask, *cvs):
         idx = np.arange(cap)
         cols = [nested_to_py(cv, idx) for cv in cvs]
-        results = []
-        for i in range(cap):
-            if not mask[i]:
-                results.append(None)
-                continue
-            results.append(fn(*[c[i] for c in cols]))
-        out_cv = nested_from_py(results, e.out_dtype, cap)
+        results = _run_udf(e, mask, cols, cap)
+        out_cv = (results if isinstance(results, ColumnVector)
+                  else nested_from_py(results, e.out_dtype, cap))
         return jax.tree_util.tree_map(np.asarray, out_cv)
 
     out = jax.pure_callback(cb, _template(e.out_dtype, cap), b.row_mask, *arg_cvs)

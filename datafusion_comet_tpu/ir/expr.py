@@ -554,6 +554,12 @@ class PythonUdf(Expr):
     args: Tuple[Expr, ...]
     out_dtype: T.DataType
     udf_name: str = "python_udf"
+    # optional COLUMNAR host kernel: batch_fn(mask, *arg_cols) -> list of
+    # cap results (None = null). The bridge prefers it over the row loop —
+    # the analog of the reference evaluating a whole Arrow batch per JVM
+    # callback (comet_udf_bridge.rs:29) instead of a value at a time;
+    # from_json/to_json route through pandas' C JSON codecs this way.
+    batch_fn: object = None
 
     def children(self):
         return self.args

@@ -549,7 +549,130 @@ def from_json(child: E.Expr, schema: T.DataType) -> E.PythonUdf:
         except (ValueError, TypeError):
             return None
 
-    return E.PythonUdf(fn, (child,), schema, "from_json")
+    def batch_fn(mask, col):
+        """Columnar parse: live rows join into one newline-delimited JSON
+        buffer parsed by pyarrow's multithreaded C++ reader against the
+        explicit target schema (the columnar analog of the reference's
+        from_json.rs batch kernel); any coercion/malformed-row error falls
+        back to the exact row-at-a-time path for the whole batch."""
+        n = len(col)
+        out = [None] * n
+        live = [i for i in range(n) if mask[i] and col[i] is not None]
+        if not live:
+            return out
+        vals = None
+        if schema.is_struct and _pa_json_ok(schema):
+            import io as _io
+
+            import pyarrow as pa
+            from pyarrow import json as pj
+
+            try:
+                tbl = pj.read_json(
+                    _io.BytesIO(("\n".join(col[i] for i in live)).encode()),
+                    parse_options=pj.ParseOptions(
+                        explicit_schema=pa.schema(
+                            [pa.field(f.name, _pa_json_type(f.dtype))
+                             for f in schema.struct_fields]),
+                        unexpected_field_behavior="ignore"),
+                )
+                if tbl.num_rows == len(live):
+                    # fully-columnar: arrow columns -> SoA planes without a
+                    # per-row python materialization
+                    cv = _cv_from_arrow(
+                        tbl.to_struct_array().combine_chunks(), schema,
+                        live, n)
+                    if cv is not None:
+                        return cv
+                    vals = tbl.to_pylist()
+            except Exception:
+                vals = None
+        if vals is None:
+            vals = [fn(col[i]) for i in live]
+        for i, v in zip(live, vals):
+            out[i] = v
+        return out
+
+    return E.PythonUdf(fn, (child,), schema, "from_json", batch_fn=batch_fn)
+
+
+def _pa_json_ok(dt: T.DataType) -> bool:
+    """True when the dtype tree maps onto pyarrow's JSON reader (no MAPs —
+    arbitrary-key objects need the row path)."""
+    if dt.is_map:
+        return False
+    if dt.is_struct:
+        return all(_pa_json_ok(f.dtype) for f in dt.struct_fields)
+    if dt.is_list:
+        return _pa_json_ok(dt.element)
+    return True
+
+
+def _pa_json_type(dt: T.DataType):
+    import pyarrow as pa
+
+    if dt.is_struct:
+        return pa.struct([pa.field(f.name, _pa_json_type(f.dtype))
+                          for f in dt.struct_fields])
+    if dt.is_list:
+        return pa.list_(_pa_json_type(dt.element))
+    if dt.is_binary:
+        return pa.string()
+    if dt.is_boolean:
+        return pa.bool_()
+    if dt.is_integer:
+        return pa.int64()
+    return pa.float64()
+
+
+def _cv_from_arrow(arr, dt: T.DataType, live, cap: int):
+    """Arrow array (one entry per live row) → numpy-backed ColumnVector
+    scattered into ``cap`` rows; None when a subtree shape needs the
+    python row path (lists/maps/decimals)."""
+    import numpy as np
+
+    from datafusion_comet_tpu.exec.batch import ColumnVector, _pad_strings_np
+
+    live = np.asarray(live)
+    valid_live = ~np.asarray(arr.is_null())
+    valid = np.zeros(cap, bool)
+    valid[live] = valid_live
+    if dt.is_struct:
+        kids = []
+        for j, f in enumerate(dt.struct_fields):
+            kid = _cv_from_arrow(arr.field(j), f.dtype, live, cap)
+            if kid is None:
+                return None
+            kids.append(kid)
+        return ColumnVector(np.zeros(cap, np.int8), valid, None, dt,
+                            tuple(kids))
+    if dt.is_binary:
+        # pad straight from the arrow offsets/data buffers (no per-row
+        # python decode): one vectorized gather into the byte matrix
+        a = arr.fill_null("") if arr.null_count else arr
+        offs = np.asarray(a.offsets, dtype=np.int64)
+        data = np.frombuffer(a.buffers()[2] or b"", np.uint8)
+        lens_live = np.diff(offs).astype(np.int32)
+        W = dt.byte_width
+        if lens_live.max(initial=0) > W:
+            raise ValueError(f"string longer than max_len={W}")
+        pos = np.arange(W, dtype=np.int64)
+        idx = np.minimum(offs[:-1, None] + pos[None, :],
+                         max(len(data) - 1, 0))
+        mat_live = np.where(pos[None, :] < lens_live[:, None],
+                            data[idx] if len(data) else 0, 0).astype(np.uint8)
+        mat = np.zeros((cap, W), np.uint8)
+        mat[live] = mat_live
+        lens = np.zeros(cap, np.int32)
+        lens[live] = lens_live
+        return ColumnVector(mat, valid, lens, dt)
+    if dt.is_list or dt.is_map or dt.is_decimal or dt.is_nested:
+        return None
+    phys = dt.np_dtype()
+    filled = arr.fill_null(False if dt.is_boolean else 0)
+    buf = np.zeros(cap, phys)
+    buf[live] = filled.to_numpy(zero_copy_only=False).astype(phys)
+    return ColumnVector(buf, valid, None, dt)
 
 
 def to_json(child: E.Expr, out_len: int = 0) -> E.PythonUdf:
@@ -560,7 +683,14 @@ def to_json(child: E.Expr, out_len: int = 0) -> E.PythonUdf:
             return None
         return json.dumps(v, separators=(",", ":"), default=str)
 
-    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN), "to_json")
+    def batch_fn(mask, col):
+        dumps = json.dumps
+        return [dumps(v, separators=(",", ":"), default=str)
+                if (m and v is not None) else None
+                for m, v in zip(mask, col)]
+
+    return E.PythonUdf(fn, (child,), T.string(out_len or T.DEFAULT_STRING_LEN),
+                       "to_json", batch_fn=batch_fn)
 
 
 def parse_url(child: E.Expr, part: str, key: str = "", out_len: int = 0) -> E.PythonUdf:

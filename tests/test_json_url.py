@@ -127,3 +127,45 @@ def test_to_char():
     got = run(F.to_char(E.col("v"), "999,999D99"),
               {"v": np.array([12345.678, -7.1])}, schema)
     assert got == ["12,345.68", "-7.10"]
+
+
+def test_from_json_columnar_matches_row_path():
+    """The pyarrow columnar batch path (PythonUdf.batch_fn) must agree with
+    the row-at-a-time fn on clean input — including missing fields, JSON
+    nulls, and dead/null rows (reference: json_funcs/from_json.rs batch
+    kernel vs scalar semantics)."""
+    import json as _json
+
+    n = 500
+    docs = []
+    for i in range(n):
+        if i % 7 == 0:
+            docs.append(None)
+        elif i % 5 == 0:
+            docs.append(_json.dumps({"a": i}))  # missing b, s
+        elif i % 3 == 0:
+            docs.append(_json.dumps({"a": None, "b": i * 0.5, "s": f"v{i}"}))
+        else:
+            docs.append(_json.dumps({"a": i, "b": i * 0.5, "s": f"v{i%10}"}))
+    schema = T.Schema([T.Field("j", T.string(64))])
+    st = T.struct(("a", T.INT64), ("b", T.FLOAT64), ("s", T.string(8)))
+    data = {"j": np.array(docs, object)}
+
+    fast = F.from_json(E.col("j"), st)
+    slow = F.from_json(E.col("j"), st)
+    import dataclasses
+    slow = dataclasses.replace(slow, batch_fn=None)  # force the row loop
+    got_fast = run(fast, data, schema)
+    got_slow = run(slow, data, schema)
+    assert got_fast == got_slow
+    # spot-check semantics directly
+    assert got_fast[0] is None
+    assert got_fast[5] == {"a": 5, "b": None, "s": None} or got_fast[5] is None
+
+
+def test_from_json_columnar_falls_back_on_malformed():
+    schema = T.Schema([T.Field("j", T.string(64))])
+    st = T.struct(("a", T.INT64),)
+    data = {"j": ['{"a": 1}', "{malformed", '{"a": 3}']}
+    got = run(F.from_json(E.col("j"), st), data, schema)
+    assert got == [{"a": 1}, None, {"a": 3}]
