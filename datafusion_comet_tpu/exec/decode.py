@@ -313,6 +313,126 @@ def decode_list_column_chunk(path: str, row_group: int, column: int,
     return counts, valid, plane[:n_rows], vplane[:n_rows], E
 
 
+def decode_struct_leaf_chunk(path: str, row_group: int, column: int,
+                             np_dtype: Optional[np.dtype] = None):
+    """Decode one leaf of a non-repeated STRUCT column chunk (max_def ≥ 1,
+    max_rep = 0): VALUES decode on DEVICE via the shared flat kernels
+    (_page_values); the multi-bit definition-level stream decodes on HOST
+    (structure, ≤2 bits/slot) and is returned raw so the caller can derive
+    both the field validity (def == D) and the enclosing struct's validity
+    (def ≥ struct threshold) from the same stream — the split the
+    reference's nested readers make natively (parquet_exec.rs:60).
+
+    Returns (data, defs np.ndarray int8, max_def_level)."""
+    from datafusion_comet_tpu.io import pages as PG_
+
+    ps = PG_.read_column_pages(path, row_group, column)
+    D = ps.max_def_level
+    dt = np_dtype if np_dtype is not None else (
+        ps.dictionary.dtype if ps.dictionary is not None else np.dtype("<i8"))
+    dictionary = jnp.asarray(ps.dictionary) if ps.dictionary is not None else None
+    datas: List[jax.Array] = []
+    defss: List[np.ndarray] = []
+    for pg in ps.pages:
+        n = pg.num_values
+        if pg.encoding == -1:  # pruned
+            datas.append(jnp.zeros(n, dt))
+            defss.append(np.zeros(n, np.int8))
+            continue
+        if pg.def_bytes is None or D == 0:
+            defs = np.full(n, D, np.int8)
+            n_phys = n
+        else:
+            defs = PG_.decode_rle_hybrid_host(
+                pg.def_bytes, D.bit_length(), n).astype(np.int8)
+            n_phys = int((defs == D).sum())
+        vals = _page_values(pg, dt, dictionary, n_phys)
+        dmask = jnp.asarray(defs == D)
+        idx = jnp.cumsum(dmask.astype(jnp.int32)) - 1
+        out = jnp.take(vals, jnp.clip(idx, 0, max(n_phys - 1, 0)), axis=0)
+        out = jnp.where(dmask, out, jnp.zeros((), dt))
+        datas.append(out.astype(dt) if out.dtype != dt else out)
+        defss.append(defs)
+    data = (jnp.concatenate(datas) if len(datas) > 1
+            else (datas[0] if datas else jnp.zeros(0, dt)))
+    defs = (np.concatenate(defss) if len(defss) > 1
+            else (defss[0] if defss else np.zeros(0, np.int8)))
+    return data, defs, D
+
+
+def decode_list_string_column_chunk(path: str, row_group: int, column: int,
+                                    max_elems: Optional[int] = None,
+                                    width: Optional[int] = None):
+    """Decode a LIST<string> column chunk to padded planes:
+    (counts, list_valid, elem_bytes (rows, E, w), elem_lens (rows, E),
+    elem_valid (rows, E), E, w). Levels decode on host (structure); the
+    dictionary-coded value stream bit-unpacks on DEVICE and one take of
+    the host-parsed dictionary matrix materializes the padded bytes.
+    Returns None when a data page is not dictionary-encoded (PLAIN
+    fallback keeps the pyarrow host path)."""
+    from datafusion_comet_tpu.io import pages as PG_
+
+    ps = PG_.read_column_pages(path, row_group, column)
+    if ps.dictionary is None or any(
+            pg.encoding not in (8, -1) for pg in ps.pages):
+        return None
+    st = scan_list_levels(ps)
+    n_rows = st["n_rows"]
+    maxc = int(st["counts"].max()) if n_rows and st["counts"].size else 0
+    E = max_elems if max_elems is not None else max(
+        1 << max(maxc - 1, 0).bit_length(), 1)
+    if maxc > E:
+        raise ValueError(f"list of {maxc} items exceeds max_elems={E}")
+    mat, lens = parse_plain_byte_array_dict(ps.dictionary, ps.dict_count)
+    if width is not None:
+        if int(lens.max(initial=0)) > width:
+            raise ValueError(
+                f"dictionary value of {int(lens.max())} bytes exceeds "
+                f"declared string width {width}")
+        mat = (np.pad(mat, ((0, 0), (0, width - mat.shape[1])))
+               if mat.shape[1] < width else mat[:, :width])
+    w = mat.shape[1]
+    dmat = jnp.asarray(mat)
+    dlens = jnp.asarray(lens)
+    code_parts: List[jax.Array] = []
+    for pg in ps.pages:
+        if pg.encoding == -1:
+            continue
+        n_phys = pg.num_values
+        if pg.def_bytes is not None:
+            n_phys = int(np.sum(
+                PG_.decode_rle_hybrid_host(
+                    pg.def_bytes, ps.max_def_level.bit_length(),
+                    pg.num_values) == ps.max_def_level))
+        code_parts.append(
+            decode_rle_hybrid_device(pg.payload, pg.bit_width, n_phys))
+    codes = (jnp.concatenate(code_parts) if len(code_parts) > 1
+             else (code_parts[0] if code_parts else jnp.zeros(0, jnp.int32)))
+    ev = st["elem_valid_flat"]
+    n_slots = len(ev)
+    vidx = np.cumsum(ev) - 1
+    nv = max(int(codes.shape[0]), 1)
+    slot_codes = (jnp.take(codes, jnp.asarray(np.clip(vidx, 0, nv - 1)))
+                  if n_slots else jnp.zeros(0, jnp.int32))
+    bplane = jnp.zeros((max(n_rows, 1), E, w), jnp.uint8)
+    lplane = jnp.zeros((max(n_rows, 1), E), jnp.int32)
+    vplane = jnp.zeros((max(n_rows, 1), E), bool)
+    if n_slots:
+        rows_i = jnp.asarray(st["elem_rows"])
+        pos_i = jnp.asarray(st["elem_pos"])
+        evj = jnp.asarray(ev)
+        safe = jnp.where(evj, slot_codes, 0)
+        bplane = bplane.at[rows_i, pos_i].set(
+            jnp.where(evj[:, None], jnp.take(dmat, safe, axis=0), 0))
+        lplane = lplane.at[rows_i, pos_i].set(
+            jnp.where(evj, jnp.take(dlens, safe), 0))
+        vplane = vplane.at[rows_i, pos_i].set(evj)
+    counts = jnp.asarray(st["counts"]) if n_rows else jnp.zeros(0, jnp.int32)
+    valid = jnp.asarray(st["row_valid"]) if n_rows else jnp.zeros(0, bool)
+    return (counts, valid, bplane[:n_rows], lplane[:n_rows],
+            vplane[:n_rows], E, w)
+
+
 def parse_plain_byte_array_dict(raw: np.ndarray, count: int):
     """Parse a PLAIN BYTE_ARRAY dictionary page ([4-byte LE len][bytes]...)
     into a zero-padded (count, w) uint8 matrix + lengths. Host work, but the

@@ -970,7 +970,8 @@ class Session:
                                             presteps)
                 continue
             from datafusion_comet_tpu.exec.grace import (
-                GRACE_MAX_PARTITIONS, GraceJoinRunner, find_grace_join)
+                GRACE_MAX_PARTITIONS, GraceJoinRunner, find_grace_join,
+                plan_grace_downstream)
 
             gj = find_grace_join(stage, self.tables, budget)
             if gj is not None:
@@ -980,14 +981,27 @@ class Session:
                 K = 2
                 while K * (budget // 2) < jpeak and K < GRACE_MAX_PARTITIONS:
                     K *= 2
-                runner = GraceJoinRunner(self, gj, K, temp_names)
+                # push the stage's aggregate (and a partition-local top-K)
+                # into the per-pair programs where valid: no program then
+                # ever runs at union scale (partition-wise aggregation)
+                ds = plan_grace_downstream(stage, gj)
+                runner = GraceJoinRunner(self, gj, K, temp_names,
+                                         stage=stage, downstream=ds)
                 temp_names.append(runner.tmp)
                 runner()  # first (compiling) run registers the temp table
                 presteps.append(runner)
-                scan = P.Scan(runner.tmp, gj.schema)
-                scan.schema = gj.schema
-                stage = (scan if gj is stage
-                         else _replace_child_pure_deep(stage, gj, scan))
+                scan = P.Scan(runner.tmp, runner.out_schema)
+                scan.schema = runner.out_schema
+                if ds is None:
+                    stage = (scan if gj is stage
+                             else _replace_child_pure_deep(stage, gj, scan))
+                elif ds[0] == "partial":
+                    agg = ds[1]
+                    stage = (scan if agg is stage
+                             else _replace_child_pure_deep(stage, agg, scan))
+                else:  # local: the root sort re-applies (global order + skip)
+                    stage = _replace_child_pure(
+                        stage, stage.children()[0], scan)
                 continue
             import warnings
 

@@ -169,6 +169,101 @@ _HINT_ATTRS = ("fanout_hint", "unique_build_hint", "presorted_build",
                "cond_col_ranges")
 
 
+def _contains(p: P.PlanNode, target: P.PlanNode) -> bool:
+    if p is target:
+        return True
+    return any(_contains(c, target) for c in p.children())
+
+
+def _src_name(e: E.Expr):
+    while isinstance(e, (E.Alias, E.Cast)):
+        e = e.child
+    if isinstance(e, (E.ColumnRef, E.BoundRef)):
+        return e.col_name
+    return None
+
+
+def plan_grace_downstream(stage: P.PlanNode, gj: P.HashJoin):
+    """Decide whether the stage's post-join operators can run INSIDE the
+    per-partition-pair programs instead of over the unioned join result —
+    the partition-wise aggregation that keeps every compiled program at
+    pair scale (the reference's Partial → exchange → Final contract,
+    operator.proto:480-484, applied to grace partitions):
+
+    * ("local", A): the single HashAggregate's group keys include a join
+      key column — groups are partition-local, so the WHOLE stage
+      (including a top-K sort root) runs per pair and the union of pair
+      outputs only needs the root sort re-applied. SF10 q3's 15M-group
+      aggregate + top-10 never materializes at full scale.
+    * ("partial", A): any group keys — each pair emits PARTIAL aggregate
+      states; the runner merges (PARTIAL_MERGE) and finishes (FINAL) at
+      group capacity. SF10 q5's 25-group SUM collapses per pair.
+    * None: no pushdown (plain union of pair join outputs).
+    """
+    chain: List[P.PlanNode] = []
+    node = stage
+    while node is not gj:
+        kids = node.children()
+        if len(kids) != 1:
+            hit = [c for c in kids if _contains(c, gj)]
+            if len(hit) != 1:
+                return None
+            # multi-child node (another join) above gj: no pushdown
+            return None
+        chain.append(node)
+        node = kids[0]
+    aggs = [n for n in chain if isinstance(n, P.HashAggregate)]
+    if len(aggs) != 1 or aggs[0].mode != P.AggMode.SINGLE:
+        return None
+    A = aggs[0]
+    ai = chain.index(A)
+    if not all(isinstance(n, (P.Filter, P.Projection))
+               for n in chain[ai + 1:]):
+        return None
+    above = chain[:ai]
+    # trace each group key's source name down to the join output
+    def at_join(name):
+        cur = name
+        for n in chain[ai + 1:]:
+            if isinstance(n, P.Projection):
+                src = None
+                for x in n.exprs:
+                    try:
+                        if x.name == cur:
+                            src = _src_name(x)
+                    except Exception:
+                        pass
+                if src is None:
+                    return None
+                cur = src
+        return cur
+
+    keynames = {nm for nm in
+                (_src_name(k) for k in list(gj.left_keys) + list(gj.right_keys))
+                if nm}
+    local = False
+    for g in A.group_exprs:
+        nm = _src_name(g)
+        nm = at_join(nm) if nm else None
+        if nm and nm in keynames:
+            local = True
+            break
+    if (local and isinstance(stage, P.Sort) and stage.fetch
+            and all(isinstance(n, (P.Filter, P.Projection))
+                    for n in above[1:])):
+        return ("local", A)
+    try:  # partial states must exist for every aggregate function
+        from datafusion_comet_tpu.exec.streaming import _partial_schema
+
+        _partial_schema(A)
+    except Exception:
+        return None
+    est_groups = A.max_groups or (1 << 16)
+    if est_groups > (1 << 20):
+        return None  # K × huge partials would re-create the monster
+    return ("partial", A)
+
+
 class GraceJoinRunner:
     """Re-runnable grace execution of one HashJoin node: compiled pieces
     (child programs, partition sorts, extractors, the pair-join program,
@@ -176,16 +271,25 @@ class GraceJoinRunner:
     re-run (the benchmark/serving path re-executes the whole partitioned
     join per repetition — timings include the partition sorts)."""
 
-    def __init__(self, session, join: P.HashJoin, K: int, temp_names):
+    def __init__(self, session, join: P.HashJoin, K: int, temp_names,
+                 stage: Optional[P.PlanNode] = None, downstream=None):
         self.session = session
         self.join = join
         self.K = K
+        self.stage = stage
+        self.downstream = downstream  # None | ("local"|"partial", agg node)
         sid = next(session._stage_ids)
         self.tmp = f"__grace{sid}"
         self.gl = f"__gracel{sid}"
         self.gr = f"__gracer{sid}"
         self.temp_names = temp_names
         self._built = False
+        if downstream is None:
+            self.out_schema = join.schema
+        elif downstream[0] == "local":
+            self.out_schema = stage.schema
+        else:
+            self.out_schema = downstream[1].schema
         # compiled state, filled by first __call__
         self._left_rerun = None
         self._right_rerun = None
@@ -198,6 +302,9 @@ class GraceJoinRunner:
         self._pair_fns: Dict[Tuple[int, int], object] = {}
         self._pair_caps: Optional[List[Tuple[int, int]]] = None
         self._pair_shrinks: List[Optional[object]] = []
+        self._template = None
+        self._template_schema = None
+        self._final_fn = None
         self._fanout = None
         self._scale = 1
 
@@ -220,18 +327,90 @@ class GraceJoinRunner:
             mini.out_rows_hint = max(int(est) // self.K, 2048)
         return mini
 
-    def _pair_fn(self, capL: int, capR: int):
-        """One compiled join program per distinct (capL, capR) class — with
-        near-uniform murmur3 partitions this is one or two compiles."""
+    def _build_template(self, pair_bound: int) -> P.PlanNode:
+        """Per-pair program: the mini join alone, or the stage's downstream
+        pushed inside it (partition-wise aggregation — see
+        plan_grace_downstream). ``pair_bound``: group-capacity clamp
+        derived from the observed partition sizes."""
+        mini = self._mini_plan(0, 0)
+        if self.downstream is None:
+            return mini
+        from datafusion_comet_tpu.exec.engine import _replace_child_pure_deep
+
+        mode, A = self.downstream
+        if mode == "local":
+            stage2 = _replace_child_pure_deep(self.stage, self.join, mini)
+
+            def find_agg(p):
+                if isinstance(p, P.HashAggregate):
+                    return p
+                for c in p.children():
+                    got = find_agg(c)
+                    if got is not None:
+                        return got
+                return None
+
+            agg2 = find_agg(stage2)
+            agg2.max_groups = min(A.max_groups or pair_bound, pair_bound)
+            if stage2.skip:
+                # per-pair top-K must keep skip+fetch rows; the global skip
+                # applies in the final re-sort over the union
+                stage2.fetch = (stage2.fetch or 0) + stage2.skip
+                stage2.skip = 0
+            return stage2
+        # partial: each pair emits aggregate STATES (operator.proto:480)
+        from datafusion_comet_tpu.exec.streaming import _partial_schema
+
+        child2 = (mini if A.child is self.join
+                  else _replace_child_pure_deep(A.child, self.join, mini))
+        partial = P.HashAggregate(
+            child2, A.group_exprs, A.agg_exprs, P.AggMode.PARTIAL,
+            min(A.max_groups or pair_bound, pair_bound))
+        partial.schema = _partial_schema(A)
+        return partial
+
+    def _pair_fn(self, capL: int, capR: int, pair_bound: int):
+        """One compiled per-pair program per distinct (capL, capR) class —
+        with near-uniform murmur3 partitions this is one or two compiles
+        (and jax re-specializes one program across capacity classes)."""
         key = (capL, capR, self._fanout, self._scale)
         fn = self._pair_fns.get(key)
         if fn is None:
-            mini = self._mini_plan(capL, capR)
+            if self._template is None:
+                self._template = self._build_template(pair_bound)
+                self._template_schema = self._template.schema
             _, fn = self.session.compile(
-                mini, join_fanout=self._fanout, agg_scale=self._scale,
+                self._template, join_fanout=self._fanout,
+                agg_scale=self._scale,
                 unique_join_ok=(self._scale == 1))
             self._pair_fns[key] = fn
         return fn
+
+    def _finish(self, union_batch: Batch) -> Batch:
+        """Post-union step: identity for plain/local modes; PARTIAL states
+        → FINAL aggregate at group capacity for partial mode."""
+        if self.downstream is None or self.downstream[0] == "local":
+            return union_batch
+        _mode, A = self.downstream
+        if self._final_fn is None:
+            from datafusion_comet_tpu.exec.engine import run_plan
+            from datafusion_comet_tpu.exec.streaming import _pseudo_scan
+
+            merge_groups = tuple(
+                E.bind(E.col(g.name), self._template_schema)
+                for g in A.group_exprs)
+            maxg = A.max_groups
+
+            @jax.jit
+            def run_final(acc: Batch) -> Batch:
+                node = P.HashAggregate(
+                    _pseudo_scan("__acc", acc.schema), merge_groups,
+                    A.agg_exprs, P.AggMode.FINAL, maxg)
+                node.schema = A.schema
+                return run_plan(node, {"__acc": acc}, EvalContext())
+
+            self._final_fn = run_final
+        return self._final_fn(union_batch)
 
     def __call__(self) -> None:
         import os as _os
@@ -292,6 +471,8 @@ class GraceJoinRunner:
         sr = np.asarray(startsR)
         sizesL = np.diff(sl)
         sizesR = np.diff(sr)
+        pair_bound = int(pad_capacity(
+            2 * max(int(sizesL.max(initial=0)), int(sizesR.max(initial=0)), 8)))
         outs: List[Optional[Batch]] = [None] * K
         shrinks_ready = bool(self._pair_shrinks)
         if not shrinks_ready:
@@ -302,9 +483,15 @@ class GraceJoinRunner:
             if not pending:
                 break
             overflowed = False
+            force_k0 = (self.downstream is not None
+                        and self.downstream[0] == "partial")
             for k in pending:
-                if sizesL[k] == 0 and sizesR[k] == 0:
-                    continue  # nothing on either side; union skips it
+                if sizesL[k] == 0 and sizesR[k] == 0 and not (
+                        force_k0 and k == 0):
+                    # nothing on either side; union skips it. Exception:
+                    # partial mode always runs pair 0 so a global (no-group)
+                    # aggregate still emits its zero-state row.
+                    continue
                 capL = int(pad_capacity(max(int(sizesL[k]), 8)))
                 capR = int(pad_capacity(max(int(sizesR[k]), 8)))
                 exl = self._ex_l.get(capL)
@@ -315,7 +502,7 @@ class GraceJoinRunner:
                     exr = self._ex_r[capR] = _make_extract(capR)
                 s.tables[self.gl] = exl(sortedL, startsL[k], startsL[k + 1])
                 s.tables[self.gr] = exr(sortedR, startsR[k], startsR[k + 1])
-                fn = self._pair_fn(capL, capR)
+                fn = self._pair_fn(capL, capR, pair_bound)
                 out, ovf = fn(s.tables)
                 if bool(ovf):
                     overflowed = True
@@ -344,11 +531,13 @@ class GraceJoinRunner:
             # empty join result: one dead batch at minimal capacity
             from datafusion_comet_tpu.exec.streaming import _dead_batch
 
-            s.tables[self.tmp] = _dead_batch(j.schema, 8)
+            s.tables[self.tmp] = _dead_batch(self.out_schema, 8)
             return
+        uschema = (self._template_schema if self._template is not None
+                   else j.schema)
         if len(live) == 1:
-            s.tables[self.tmp] = live[0]
+            s.tables[self.tmp] = self._finish(live[0])
             return
         from datafusion_comet_tpu.exec.engine import _union
 
-        s.tables[self.tmp] = _union(live, j.schema)
+        s.tables[self.tmp] = self._finish(_union(live, uschema))

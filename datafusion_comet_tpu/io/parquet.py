@@ -249,6 +249,130 @@ def deferred_parquet_info(path: str, schema: Optional[T.Schema] = None):
     return T.Schema(fields), part_cols
 
 
+def _decode_list_string(pf, path: str, ci: int, name: str,
+                        schema: Optional[T.Schema]):
+    """All row groups of one LIST<string> column through the device dict
+    path; None when any chunk has PLAIN fallback pages (host path)."""
+    from datafusion_comet_tpu.exec.decode import (
+        decode_list_string_column_chunk, scan_list_levels)
+    from datafusion_comet_tpu.io.pages import read_column_pages
+
+    declared_E = declared_w = None
+    if schema is not None:
+        fdecl = next((f for f in schema.fields if f.name == name), None)
+        if fdecl is not None and fdecl.dtype.is_list:
+            declared_E = fdecl.dtype.max_elems
+            if fdecl.dtype.element.is_binary:
+                declared_w = fdecl.dtype.element.byte_width or None
+    maxc = 0
+    for rg in range(pf.metadata.num_row_groups):
+        st = scan_list_levels(read_column_pages(path, rg, ci))
+        if st["counts"].size:
+            maxc = max(maxc, int(st["counts"].max()))
+    E_ = declared_E if declared_E else max(
+        1 << max(maxc - 1, 0).bit_length(), 1)
+    chunks = []
+    for rg in range(pf.metadata.num_row_groups):
+        got = decode_list_string_column_chunk(
+            path, rg, ci, max_elems=E_, width=declared_w)
+        if got is None:
+            return None
+        chunks.append(got)
+    return chunks
+
+
+def _list_string_cv(chunks, cap: int):
+    """Concatenate per-row-group LIST<string> planes into one ColumnVector
+    padded to ``cap`` rows."""
+    import jax.numpy as jnp
+
+    from datafusion_comet_tpu.exec.batch import ColumnVector
+
+    w = max(c[6] for c in chunks)
+    E_ = chunks[0][5]
+
+    def padw(b):
+        return (jnp.pad(b, ((0, 0), (0, 0), (0, w - b.shape[2])))
+                if b.shape[2] < w else b)
+
+    def cat(xs):
+        return jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+
+    counts = cat([c[0] for c in chunks])
+    lvalid = cat([c[1] for c in chunks])
+    bplane = cat([padw(c[2]) for c in chunks])
+    lplane = cat([c[3] for c in chunks])
+    vplane = cat([c[4] for c in chunks])
+    pad = cap - counts.shape[0]
+    counts = jnp.pad(counts, (0, pad)).astype(jnp.int32)
+    lvalid = jnp.pad(lvalid, (0, pad))
+    bplane = jnp.pad(bplane, ((0, pad), (0, 0), (0, 0)))
+    lplane = jnp.pad(lplane, ((0, pad), (0, 0)))
+    vplane = jnp.pad(vplane, ((0, pad), (0, 0)))
+    elem_dt = T.string(w)
+    ldt = T.list_(elem_dt, E_)
+    elem_cv = ColumnVector(bplane, vplane, lplane, elem_dt)
+    return ColumnVector(counts, lvalid, None, ldt, (elem_cv,)), ldt
+
+
+def _struct_cv(pf, path: str, name: str, kids_meta, arrow_schema,
+               final_schema: Optional[T.Schema], cap: int, np_of):
+    """Decode every leaf of a STRUCT-of-primitives column on device and
+    assemble the engine's struct planes: field validity from def == D,
+    struct validity from the shared def-level stream (def ≥ D - field
+    nullability) — reference: all nestings native under
+    parquet_exec.rs:60."""
+    import jax.numpy as jnp
+
+    from datafusion_comet_tpu.exec.batch import ColumnVector
+    from datafusion_comet_tpu.exec.decode import decode_struct_leaf_chunk
+
+    struct_nullable = arrow_schema.field(name).nullable
+    t_of = {"INT32": T.INT32, "INT64": T.INT64,
+            "FLOAT": T.FLOAT32, "DOUBLE": T.FLOAT64}
+    declared = None
+    if final_schema is not None:
+        fdecl = next((f for f in final_schema.fields if f.name == name), None)
+        if (fdecl is not None and fdecl.dtype.is_struct
+                and len(fdecl.dtype.struct_fields) == len(kids_meta)):
+            declared = fdecl.dtype
+    kid_cvs = []
+    svalid = None
+    fields = []
+    for ki, (fname, ci, pt, fnull) in enumerate(kids_meta):
+        parts, defparts = [], []
+        D = 0
+        for rg in range(pf.metadata.num_row_groups):
+            d_, defs_, D = decode_struct_leaf_chunk(path, rg, ci, np_of[pt])
+            parts.append(d_)
+            defparts.append(defs_)
+        data = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        defs = (np.concatenate(defparts) if len(defparts) > 1
+                else defparts[0])
+        fvalid = jnp.asarray(defs == D)
+        if svalid is None:
+            if struct_nullable:
+                thr = D - (1 if fnull else 0)
+                svalid = jnp.asarray(defs >= max(thr, 0))
+            else:
+                svalid = jnp.ones(defs.shape[0], bool)
+        dt = t_of[pt]
+        if declared is not None:
+            ddt = declared.struct_fields[ki].dtype
+            if not ddt.is_nested and not ddt.is_binary:
+                data = data.astype(ddt.np_dtype())
+                dt = ddt
+        pad = cap - data.shape[0]
+        kid_cvs.append(ColumnVector(jnp.pad(data, (0, pad)),
+                                    jnp.pad(fvalid, (0, pad)), None, dt))
+        fields.append((fname, dt))
+    svalid = jnp.pad(svalid, (0, cap - svalid.shape[0]))
+    sdt = declared if declared is not None else T.struct(*fields)
+    cv = ColumnVector(jnp.zeros(cap, jnp.int8), svalid, None, sdt,
+                      tuple(kid_cvs))
+    return cv, sdt
+
+
 def read_parquet(
     path: str,
     columns: Optional[Sequence[str]] = None,
@@ -377,19 +501,49 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
     eligible = {}
     list_eligible = {}
     str_decoded = {}  # name -> (codes, valid, StringDict) pre-merged
+    struct_eligible = {}  # name -> [(field, ci, phys_type, nullable), ...]
+    list_str_decoded = {}  # name -> per-rg LIST<string> plane decodes
     for n in names:
         if n not in arrow_schema.names:
             continue
         at = arrow_schema.field(n).type
+        if pa.types.is_struct(at):
+            # STRUCT of primitive leaves: each leaf is its own chunk; value
+            # streams decode on device, the multi-bit def-level stream
+            # yields both field and struct validity
+            # (exec/decode.py decode_struct_leaf_chunk)
+            kids = []
+            for fi in range(at.num_fields):
+                f = at.field(fi)
+                leaf = phys.get(f"{n}.{f.name}")
+                if not (leaf and leaf[1] in ("INT32", "INT64", "FLOAT",
+                                             "DOUBLE")
+                        and (pa.types.is_integer(f.type)
+                             or pa.types.is_floating(f.type))):
+                    kids = None
+                    break
+                kids.append((f.name, leaf[0], leaf[1], f.nullable))
+            if kids:
+                struct_eligible[n] = kids
+            continue
         if pa.types.is_list(at) or pa.types.is_large_list(at):
             # LIST<primitive>: levels decode on host (structure), values on
-            # device (exec/decode.py decode_list_column_chunk)
+            # device (exec/decode.py decode_list_column_chunk);
+            # LIST<string>: dictionary codes bit-unpack on device, padded
+            # byte planes materialize with one dictionary take
             vt = at.value_type
             if pa.types.is_integer(vt) or pa.types.is_floating(vt):
                 leaf = next((v for k, v in phys.items()
                              if k.startswith(n + ".")), None)
                 if leaf and leaf[1] in ("INT32", "INT64", "FLOAT", "DOUBLE"):
                     list_eligible[n] = leaf
+            elif pa.types.is_string(vt) or pa.types.is_large_string(vt):
+                leaf = next((v for k, v in phys.items()
+                             if k.startswith(n + ".")), None)
+                if leaf and leaf[1] == "BYTE_ARRAY":
+                    got = _decode_list_string(pf, path, leaf[0], n, schema)
+                    if got is not None:
+                        list_str_decoded[n] = got
             continue
         if pa.types.is_string(at) or pa.types.is_large_string(at):
             # dictionary-encoded strings: codes bit-unpack on device, only
@@ -424,7 +578,8 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
             # nullable columns expand through their definition levels on
             # device (exec/decode.py _expand_def_levels)
             eligible[n] = ci_pt
-    device_side = set(list_eligible) | set(str_decoded)
+    device_side = (set(list_eligible) | set(str_decoded)
+                   | set(struct_eligible) | set(list_str_decoded))
     host_cols = [n for n in names
                  if n not in eligible and n not in device_side]
     flat_names = [n for n in names if n not in device_side]
@@ -536,6 +691,19 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
                 at_idx = names.index(n)
                 cols.insert(at_idx, cv)
                 out_fields.insert(at_idx, T.Field(n, st, True))
+                continue
+            if n in struct_eligible:
+                cv, sdt = _struct_cv(pf, path, n, struct_eligible[n],
+                                     arrow_schema, final_schema, cap, np_of)
+                at_idx = names.index(n)
+                cols.insert(at_idx, cv)
+                out_fields.insert(at_idx, T.Field(n, sdt, True))
+                continue
+            if n in list_str_decoded:
+                cv, ldt = _list_string_cv(list_str_decoded[n], cap)
+                at_idx = names.index(n)
+                cols.insert(at_idx, cv)
+                out_fields.insert(at_idx, T.Field(n, ldt, True))
                 continue
             ci, pt = list_eligible[n]
             declared = None

@@ -143,3 +143,108 @@ def test_read_parquet_device_list_respects_declared_capacity(tmp_path):
     batch = read_parquet(p, schema=schema, device_decode=True)
     assert batch.schema.fields[0].dtype.max_elems == 8
     assert batch.columns[0].children[0].data.shape[1] == 8
+
+
+# ---- STRUCT-of-primitives device decode (decode_struct_leaf_chunk) ----
+
+
+def _structs(rng, n):
+    out = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.1:
+            out.append(None)
+        elif r < 0.2:
+            out.append({"a": None, "b": float(rng.random())})
+        else:
+            out.append({"a": int(rng.integers(0, 1000)),
+                        "b": None if rng.random() < 0.1 else float(rng.random())})
+    return out
+
+
+def test_read_parquet_device_struct_column(tmp_path):
+    rng = np.random.default_rng(7)
+    vals = _structs(rng, 3000)
+    st_t = pa.struct([("a", pa.int64()), ("b", pa.float64())])
+    t = pa.table({"k": pa.array(np.arange(3000, dtype=np.int64)),
+                  "s": pa.array(vals, st_t)})
+    p = str(tmp_path / "structs.parquet")
+    pq.write_table(t, p, compression="zstd", row_group_size=1100)
+    batch = read_parquet(p, device_decode=True)
+    sf = next(f for f in batch.schema.fields if f.name == "s")
+    assert sf.dtype.is_struct
+    cv = batch.columns[[f.name for f in batch.schema.fields].index("s")]
+    host = nested_to_py(cv, np.arange(len(vals)))
+    norm = []
+    for v in host:
+        if v is None:
+            norm.append(None)
+        else:
+            norm.append({"a": None if v["a"] is None else int(v["a"]),
+                         "b": None if v["b"] is None else float(v["b"])})
+    assert norm == vals
+
+
+def test_read_parquet_device_struct_required(tmp_path):
+    """Non-nullable struct field: struct validity must be all-true."""
+    rng = np.random.default_rng(8)
+    vals = [{"a": int(i), "b": float(i) / 2} for i in range(500)]
+    st_t = pa.struct([pa.field("a", pa.int64(), nullable=False),
+                      pa.field("b", pa.float64())])
+    arr = pa.array(vals, st_t)
+    t = pa.table({"s": arr})
+    p = str(tmp_path / "structs_req.parquet")
+    pq.write_table(t, p)
+    batch = read_parquet(p, device_decode=True)
+    cv = batch.columns[0]
+    host = nested_to_py(cv, np.arange(len(vals)))
+    got = [{"a": int(v["a"]), "b": float(v["b"])} for v in host]
+    assert got == vals
+
+
+# ---- LIST<string> device decode (decode_list_string_column_chunk) ----
+
+
+def _str_lists(rng, n):
+    words = [f"w{i:03d}" for i in range(40)]
+    out = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.1:
+            out.append(None)
+        elif r < 0.2:
+            out.append([])
+        else:
+            k = int(rng.integers(1, 6))
+            out.append([None if rng.random() < 0.15
+                        else words[int(rng.integers(0, 40))]
+                        for _ in range(k)])
+    return out
+
+
+def test_read_parquet_device_list_string(tmp_path):
+    rng = np.random.default_rng(9)
+    vals = _str_lists(rng, 2500)
+    t = pa.table({"x": pa.array(vals, pa.list_(pa.string()))})
+    p = str(tmp_path / "strlists.parquet")
+    pq.write_table(t, p, compression="zstd", row_group_size=900)
+    batch = read_parquet(p, device_decode=True)
+    f = batch.schema.fields[0]
+    assert f.dtype.is_list and f.dtype.element.is_binary
+    host = nested_to_py(batch.columns[0], np.arange(len(vals)))
+    norm = [None if v is None else
+            [None if e is None else (e.decode() if isinstance(e, bytes) else str(e))
+             for e in v]
+            for v in host]
+    assert norm == vals
+
+
+def test_read_parquet_device_list_string_declared_width(tmp_path):
+    vals = [["aa", "bb"], None, [], ["cc"]]
+    t = pa.table({"x": pa.array(vals, pa.list_(pa.string()))})
+    p = str(tmp_path / "strlists_decl.parquet")
+    pq.write_table(t, p)
+    schema = T.Schema([T.Field("x", T.list_(T.string(8), 4), True)])
+    batch = read_parquet(p, schema=schema, device_decode=True)
+    elem = batch.columns[0].children[0]
+    assert elem.data.shape[1] == 4 and elem.data.shape[2] == 8
