@@ -999,9 +999,15 @@ class Session:
                     agg = ds[1]
                     stage = (scan if agg is stage
                              else _replace_child_pure_deep(stage, agg, scan))
-                else:  # local: the root sort re-applies (global order + skip)
+                elif isinstance(stage, P.Sort):
+                    # local under a top-K root: re-apply the sort globally
+                    # (order + skip) over the union of per-pair top-Ks
                     stage = _replace_child_pure(
                         stage, stage.children()[0], scan)
+                else:
+                    # local with the agg at (or near) the stage root: the
+                    # union of per-pair outputs IS the stage output
+                    stage = scan
                 continue
             import warnings
 

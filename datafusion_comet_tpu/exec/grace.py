@@ -248,9 +248,15 @@ def plan_grace_downstream(stage: P.PlanNode, gj: P.HashJoin):
         if nm and nm in keynames:
             local = True
             break
-    if (local and isinstance(stage, P.Sort) and stage.fetch
-            and all(isinstance(n, (P.Filter, P.Projection))
-                    for n in above[1:])):
+    # local mode fires when the agg is the stage root (or under a
+    # row-preserving chain), optionally under a top-K Sort root: each
+    # pair's groups are COMPLETE, so the union of per-pair stage outputs
+    # IS the stage output (plus a final re-sort when the root sorts)
+    root_sort_ok = (isinstance(stage, P.Sort) and stage.fetch
+                    and all(isinstance(n, (P.Filter, P.Projection))
+                            for n in above[1:]))
+    chain_ok = all(isinstance(n, (P.Filter, P.Projection)) for n in above)
+    if local and (root_sort_ok or chain_ok):
         return ("local", A)
     try:  # partial states must exist for every aggregate function
         from datafusion_comet_tpu.exec.streaming import _partial_schema
@@ -352,7 +358,7 @@ class GraceJoinRunner:
 
             agg2 = find_agg(stage2)
             agg2.max_groups = min(A.max_groups or pair_bound, pair_bound)
-            if stage2.skip:
+            if isinstance(stage2, P.Sort) and stage2.skip:
                 # per-pair top-K must keep skip+fetch rows; the global skip
                 # applies in the final re-sort over the union
                 stage2.fetch = (stage2.fetch or 0) + stage2.skip
@@ -431,7 +437,8 @@ class GraceJoinRunner:
         s = self.session
         j = self.join
         K = self.K
-        _mem(f"enter K={K}")
+        _mem(f"enter K={K} mode="
+             f"{self.downstream[0] if self.downstream else 'union'}")
         if self._fanout is None:
             self._fanout = s.join_fanout
         if self._left_rerun is None:

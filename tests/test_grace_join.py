@@ -312,3 +312,40 @@ class TestGraceDownstreamPushdown:
             warnings.simplefilter("ignore")
             got = s2.collect(build(s2))
         _assert_same(expected, got)
+
+    def test_local_mode_agg_root(self, rng, monkeypatch):
+        """Partition-local groups with the aggregate AT the stage root
+        (no sort): union of per-pair aggs is the stage output."""
+        def build(sess):
+            j = P.HashJoin(
+                P.Scan("fact", sess.table_schema("fact")),
+                P.Scan("dim", sess.table_schema("dim")),
+                (E.col("fk"),), (E.col("pk"),), P.JoinType.INNER, "right",
+            )
+            return j.aggregate(
+                [E.col("fk")],
+                [E.AggExpr("sum", E.col("v"), "rev")],
+            ).sort([E.SortOrder(E.col("fk"))])
+
+        s = _make_session(rng)
+        expected = s.collect(build(s))
+        s2 = _make_session(np.random.default_rng(42))
+        _force_grace(monkeypatch)
+        from datafusion_comet_tpu.exec import grace as G
+
+        seen = []
+        orig = G.plan_grace_downstream
+
+        def spy(stage, gj):
+            r = orig(stage, gj)
+            seen.append(r[0] if r else None)
+            return r
+
+        monkeypatch.setattr(G, "plan_grace_downstream", spy)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = s2.collect(build(s2))
+        assert "local" in seen or "partial" in seen, seen
+        _assert_same(expected, got)
