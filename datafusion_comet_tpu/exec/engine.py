@@ -730,7 +730,7 @@ class Session:
         scan.schema = schema
         return scan
 
-    def _aqe_shrink(self, b: Batch):
+    def _aqe_shrink(self, b: Batch, force: bool = False):
         """Stage-boundary adaptive compaction (the AQE analog): the staged
         runner is already at a host sync point, so read the temp table's
         LIVE row count and compact it to 2x that (padded) when the win is
@@ -758,7 +758,12 @@ class Session:
 
         cells = b.capacity * max(len(b.columns), 1)
         reduction = b.capacity // max(target, 1)
-        if cells > CONF.get(SHRINK_MAX_COMPILE_CELLS) and reduction < 64:
+        if (not force and cells > CONF.get(SHRINK_MAX_COMPILE_CELLS)
+                and reduction < 64):
+            # force=True (grace-join pair outputs / children): HBM is the
+            # binding constraint there, and the canonical shrink programs
+            # are cheap to compile — skipping left 16M-capacity pair
+            # outputs whose union re-created the out-of-budget batch
             return b, None
         fn = functools.partial(_shrink_apply, target=target)
         # serialize the first-call COMPILE path: concurrent cache-miss

@@ -443,9 +443,9 @@ class GraceJoinRunner:
             self._fanout = s.join_fanout
         if self._left_rerun is None:
             left0, self._left_rerun = s._prepare_subtree(j.left, self.temp_names)
-            left0, self._lshrink = s._aqe_shrink(left0)
+            left0, self._lshrink = s._aqe_shrink(left0, force=True)
             right0, self._right_rerun = s._prepare_subtree(j.right, self.temp_names)
-            right0, self._rshrink = s._aqe_shrink(right0)
+            right0, self._rshrink = s._aqe_shrink(right0, force=True)
         else:
             left0 = self._left_rerun()
             if self._lshrink is not None:
@@ -516,7 +516,7 @@ class GraceJoinRunner:
                     continue
                 sh = self._pair_shrinks[k]
                 if sh is None:
-                    out, fnk = s._aqe_shrink(out)
+                    out, fnk = s._aqe_shrink(out, force=True)
                     self._pair_shrinks[k] = fnk if fnk is not None else False
                 elif sh is not False:
                     out = sh(out)
