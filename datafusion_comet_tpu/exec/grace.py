@@ -85,41 +85,53 @@ def _hash_pids(batch: Batch, keys: Sequence[E.Expr], casts, K: int,
     return jnp.where(m < 0, m + K, m)
 
 
-def partition_sort(batch: Batch, pids: jax.Array, K: int
-                   ) -> Tuple[Batch, jax.Array]:
-    """Stable-sort rows by partition id with dead rows last. Returns
-    (sorted batch, starts[K+1]) — partition k occupies sorted rows
-    [starts[k], starts[k+1]).
+def partition_perm(batch: Batch, pids: jax.Array, K: int
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Stable partition permutation: perm orders rows by partition id with
+    dead rows last; partition k occupies perm[starts[k]:starts[k+1]].
 
-    CANONICAL program shape: a 3-operand (key, iota, mask) sort plus one
-    gather per column through the permutation — NOT the payload-riding
-    variadic sort compact_batch uses. A 21-operand sort at SF10 lineitem
-    capacity is exactly the tunnel-compiler pole class the AQE shrink
-    already hit (docs/known_issues.md: one isolated 8M×14-column variadic
-    sort measured >27 min to compile); the canonical split compiles in
-    seconds and its per-column gathers share program shapes engine-wide."""
+    CANONICAL program shape: a 3-operand (key, iota, mask) sort ONLY — no
+    data moves here. Partitions are then gathered straight from the
+    ORIGINAL batch through perm slices (_make_extract), so each input row
+    is gathered exactly once across all pairs instead of once into a
+    sorted copy and again at extraction (and the sorted copy's HBM
+    footprint never exists). A payload-riding variadic sort at SF10
+    lineitem capacity is also the tunnel-compiler pole class the AQE
+    shrink already hit (docs/known_issues.md: one isolated 8M×14-column
+    variadic sort measured >27 min to compile)."""
     cap = batch.capacity
     key = jnp.where(batch.row_mask, pids, K).astype(jnp.int32)
     counts = jnp.zeros(K + 1, jnp.int32).at[key].add(1)
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts[:K], dtype=jnp.int32)])
     iota = jnp.arange(cap, dtype=jnp.int32)
-    _, perm, sorted_mask = jax.lax.sort(
-        (key, iota, batch.row_mask), num_keys=1, is_stable=True)
+    _, perm = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
+    return perm, starts
+
+
+def partition_sort(batch: Batch, pids: jax.Array, K: int
+                   ) -> Tuple[Batch, jax.Array]:
+    """Materialized variant of partition_perm (kept for direct callers and
+    tests): returns the partition-sorted batch + starts."""
+    perm, starts = partition_perm(batch, pids, K)
     cols = [c.take(perm) for c in batch.columns]
-    return Batch(tuple(cols), sorted_mask, batch.schema), starts
+    mask = jnp.take(batch.row_mask, perm)
+    return Batch(tuple(cols), mask, batch.schema), starts
 
 
 def _make_extract(cap_k: int):
     """One jitted partition extractor per (side schema, cap_k): a cap_k-row
-    windowed gather at a traced start offset."""
+    double-indirect gather (perm slice → original rows) at a traced start
+    offset."""
 
     @jax.jit
-    def ex(b: Batch, start: jax.Array, end: jax.Array) -> Batch:
-        idx = start + jnp.arange(cap_k, dtype=jnp.int32)
-        take_idx = jnp.minimum(idx, b.capacity - 1)
-        mask = idx < end
-        return b.take(take_idx, mask)
+    def ex(b: Batch, perm: jax.Array, start: jax.Array,
+           end: jax.Array) -> Batch:
+        pos = start + jnp.arange(cap_k, dtype=jnp.int32)
+        take_pos = jnp.minimum(pos, b.capacity - 1)
+        idx = jnp.take(perm, take_pos)
+        mask = (pos < end) & jnp.take(b.row_mask, idx)
+        return b.take(idx, mask)
 
     return ex
 
@@ -460,20 +472,19 @@ class GraceJoinRunner:
 
             @jax.jit
             def part_l(b):
-                return partition_sort(b, _hash_pids(b, lkeys, casts, K,
+                return partition_perm(b, _hash_pids(b, lkeys, casts, K,
                                                     EvalContext()), K)
 
             @jax.jit
             def part_r(b):
-                return partition_sort(b, _hash_pids(b, rkeys, casts, K,
+                return partition_perm(b, _hash_pids(b, rkeys, casts, K,
                                                     EvalContext()), K)
 
             self._part_l, self._part_r = part_l, part_r
         _mem("children executed")
-        sortedL, startsL = self._part_l(left0)
-        sortedR, startsR = self._part_r(right0)
-        del left0, right0
-        _mem("partition-sorted")
+        permL, startsL = self._part_l(left0)
+        permR, startsR = self._part_r(right0)
+        _mem("partition-permuted")
         sl = np.asarray(startsL)
         sr = np.asarray(startsR)
         sizesL = np.diff(sl)
@@ -507,8 +518,10 @@ class GraceJoinRunner:
                 exr = self._ex_r.get(capR)
                 if exr is None:
                     exr = self._ex_r[capR] = _make_extract(capR)
-                s.tables[self.gl] = exl(sortedL, startsL[k], startsL[k + 1])
-                s.tables[self.gr] = exr(sortedR, startsR[k], startsR[k + 1])
+                s.tables[self.gl] = exl(left0, permL, startsL[k],
+                                        startsL[k + 1])
+                s.tables[self.gr] = exr(right0, permR, startsR[k],
+                                        startsR[k + 1])
                 fn = self._pair_fn(capL, capR, pair_bound)
                 out, ovf = fn(s.tables)
                 if bool(ovf):
@@ -531,7 +544,7 @@ class GraceJoinRunner:
                 f"grace join fan-out exceeded after {s.max_join_retries} retries")
         s.tables.pop(self.gl, None)
         s.tables.pop(self.gr, None)
-        del sortedL, sortedR
+        del left0, right0, permL, permR
         _mem("pairs done")
         live = [o for o in outs if o is not None]
         if not live:
