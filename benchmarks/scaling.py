@@ -167,6 +167,7 @@ def main() -> None:
             # the same skew re-plan loop as DistributedSession.execute, but
             # keeping the final compiled fn for the timing reps
             slack, fanout, scale = 2, 4, 1
+            replans = []  # AQE-skew re-plan events (slack/fanout growth)
             for attempt in range(4):
                 dplan, fn = sess.compile(plan, shuffle_slack=slack,
                                          join_fanout=fanout, agg_scale=scale)
@@ -174,6 +175,8 @@ def main() -> None:
                 jax.block_until_ready(out.row_mask)
                 if not bool(np.asarray(ovf).any()):
                     break
+                replans.append({"attempt": attempt, "slack": slack,
+                                "fanout": fanout, "scale": scale})
                 slack *= 2
                 fanout *= 4
                 scale *= 4
@@ -185,10 +188,29 @@ def main() -> None:
                 out, _ = fn(sess.tables)
                 np.asarray(out.row_mask)  # force completion
                 times.append(time.time() - t1)
+            # fact rows the query scans (largest referenced table): the
+            # per-device throughput that the efficiency table derives from
+            from datafusion_comet_tpu.ir import plan as _Pn
+
+            def _tables_of(p, acc):
+                if isinstance(p, _Pn.Scan):
+                    acc.add(p.table)
+                for c in p.children():
+                    _tables_of(c, acc)
+                return acc
+
+            refs = _tables_of(tpch.QUERIES[qn](), set())
+            scan_rows = max((len(next(iter(data[t].values())))
+                             for t in refs if t in data), default=0)
+            best = min(times)
             per_q[qn] = {
-                "best_s": round(min(times), 4),
+                "best_s": round(best, 4),
                 "times_s": [round(t, 4) for t in times],
                 "compile_s": round(compile_s, 1),
+                "replans": replans,
+                "final_slack": slack,
+                "scan_rows": int(scan_rows),
+                "rows_per_s_per_device": round(scan_rows / best / n, 1),
                 "exchanges": exchange_profile(dplan, n),
             }
             print(f"n={n} {qn} best={per_q[qn]['best_s']}s "
