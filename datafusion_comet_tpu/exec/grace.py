@@ -397,10 +397,27 @@ class GraceJoinRunner:
             if self._template is None:
                 self._template = self._build_template(pair_bound)
                 self._template_schema = self._template.schema
-            _, fn = self.session.compile(
+            _, raw = self.session.compile(
                 self._template, join_fanout=self._fanout,
                 agg_scale=self._scale,
                 unique_join_ok=(self._scale == 1))
+            # serialize the first (compiling) CALL: jax compiles lazily at
+            # first invocation, and concurrent cache-miss grace pair
+            # compiles through the tunnel backend wedge parallel suite
+            # builds for 40+ min (the shrink-lock discipline,
+            # docs/known_issues.md "Concurrent tunnel compiles can wedge")
+            from datafusion_comet_tpu.exec.engine import _SHRINK_COMPILE_LOCK
+
+            box = {"warm": False}
+
+            def fn(tables, _raw=raw, _box=box):
+                if not _box["warm"]:
+                    with _SHRINK_COMPILE_LOCK:
+                        out = _raw(tables)
+                    _box["warm"] = True
+                    return out
+                return _raw(tables)
+
             self._pair_fns[key] = fn
         return fn
 
