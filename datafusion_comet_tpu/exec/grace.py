@@ -159,7 +159,13 @@ def find_grace_join(stage: P.PlanNode, tables, budget: int
                 refs: set = set()
                 _subtree_tables(p, refs)
                 caps = [tables[t].capacity for t in refs if t in tables]
-                if caps and plan_peak_bytes(p, max(caps)) > budget:
+                # 2x margin: plan_peak_bytes sums every operator output and
+                # XLA frees earlier, so estimates just past the budget run
+                # fine DIRECT (SF10 q2's 6-join chain over 8M-row partsupp);
+                # the true OOM cases overshoot by 4-11x (q3 49 GB, q5
+                # 147 GB vs 12.8 GB). Grace partitioning pays compile +
+                # partition costs, so it must not trigger on estimate noise.
+                if caps and plan_peak_bytes(p, max(caps)) > 2 * budget:
                     try:
                         for lk, rk in zip(p.left_keys, p.right_keys):
                             grace_key_cast(lk.dtype, rk.dtype)
