@@ -126,3 +126,78 @@ def test_filter_pushdown_over_uri(bucket):
     rng = np.random.default_rng(3)
     vals = rng.integers(0, 100, 2000)
     assert int(out["n"][0]) == int((vals < 10).sum())
+
+
+# ---- real S3 wire protocol (tests/s3_stub.py) ------------------------------------
+
+
+@pytest.fixture
+def s3_wire():
+    """pyarrow's REAL bundled AWS C++ S3 client against an in-process
+    S3-compatible HTTP server: list/stat/ranged-GET/multipart-PUT all
+    cross an actual socket speaking the S3 REST protocol (reference:
+    objectstore/s3.rs + credential_bridge.rs — the r4 SubTreeFileSystem
+    stand-in never exercised the wire)."""
+    pafs = pytest.importorskip("pyarrow.fs")
+    if not hasattr(pafs, "S3FileSystem"):
+        pytest.skip("pyarrow built without S3")
+    from tests.s3_stub import S3Stub
+
+    with S3Stub() as stub:
+        fs = pafs.S3FileSystem(
+            access_key="stub-access", secret_key="stub-secret",
+            endpoint_override=stub.endpoint, scheme="http",
+            region="us-east-1", allow_bucket_creation=True)
+
+        calls = []
+
+        def provider(uri):
+            calls.append(uri)
+            if not uri.startswith("s3://wire-bucket/"):
+                return None
+            return fs, uri[len("s3://"):]
+
+        iop.set_credential_provider(provider)
+        yield fs, stub, calls
+        iop.set_credential_provider(None)
+
+
+def test_s3_wire_roundtrip(s3_wire):
+    fs, stub, calls = s3_wire
+    n = 5000
+    rng = np.random.default_rng(3)
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+    })
+    # write through the real S3 client (multipart upload path)
+    with fs.open_output_stream("wire-bucket/data/part-0.parquet") as f:
+        pq.write_table(tbl, f)
+    assert ("wire-bucket", "data/part-0.parquet") in stub.state.objects
+
+    sess = Session()
+    sess.register_parquet("t", "s3://wire-bucket/data/part-0.parquet")
+    out = sess.collect(
+        P.Scan("t", sess.table_schema("t"))
+        .aggregate([], [E.AggExpr("sum", E.col("v"), "sv"),
+                        E.AggExpr("count", None, "n")]))
+    assert int(out["n"][0]) == n
+    assert int(out["sv"][0]) == int(np.sum(np.asarray(tbl["v"])))
+    assert calls and calls[0].startswith("s3://wire-bucket/")
+
+
+def test_s3_wire_predicate_pushdown(s3_wire):
+    """Ranged GETs: the reader must fetch the footer + needed pages over
+    HTTP Range requests, and row-group pruning still applies."""
+    fs, stub, calls = s3_wire
+    n = 20000
+    tbl = pa.table({"k": pa.array(np.arange(n, dtype=np.int64))})
+    with fs.open_output_stream("wire-bucket/pruned.parquet") as f:
+        pq.write_table(tbl, f, row_group_size=2000)
+    sess = Session()
+    sess.register_parquet("t", "s3://wire-bucket/pruned.parquet")
+    out = sess.collect(
+        P.Scan("t", sess.table_schema("t"))
+        .filter(E.col("k") >= E.lit(19000))
+        .aggregate([], [E.AggExpr("count", None, "n")]))
+    assert int(out["n"][0]) == 1000
