@@ -39,8 +39,13 @@ def host_eval_udf(e: E.PythonUdf, batch: Batch) -> ColumnVector:
     cap = batch.capacity
     mask = np.asarray(batch.row_mask)
     idx = np.arange(cap)
-    cols = [nested_to_py(cv, idx) for cv in arg_cvs]
-    results = _run_udf(e, mask, cols, cap)
+    if getattr(e, "batch_fn", None) is not None and \
+            getattr(e, "batch_mode", "py") == "raw":
+        raw = [jax.tree_util.tree_map(np.asarray, cv) for cv in arg_cvs]
+        results = e.batch_fn(mask, *raw)
+    else:
+        cols = [nested_to_py(cv, idx) for cv in arg_cvs]
+        results = _run_udf(e, mask, cols, cap)
     if isinstance(results, ColumnVector):  # fully-columnar batch_fn
         return results
     return nested_from_py(results, e.out_dtype, cap)
@@ -70,9 +75,14 @@ def eval_python_udf(e: E.PythonUdf, b: Batch, ctx, ev) -> ColumnVector:
     cap = b.capacity
 
     def cb(mask, *cvs):
-        idx = np.arange(cap)
-        cols = [nested_to_py(cv, idx) for cv in cvs]
-        results = _run_udf(e, mask, cols, cap)
+        if getattr(e, "batch_fn", None) is not None and \
+                getattr(e, "batch_mode", "py") == "raw":
+            raw = [jax.tree_util.tree_map(np.asarray, cv) for cv in cvs]
+            results = e.batch_fn(mask, *raw)
+        else:
+            idx = np.arange(cap)
+            cols = [nested_to_py(cv, idx) for cv in cvs]
+            results = _run_udf(e, mask, cols, cap)
         out_cv = (results if isinstance(results, ColumnVector)
                   else nested_from_py(results, e.out_dtype, cap))
         return jax.tree_util.tree_map(np.asarray, out_cv)

@@ -555,11 +555,14 @@ class PythonUdf(Expr):
     out_dtype: T.DataType
     udf_name: str = "python_udf"
     # optional COLUMNAR host kernel: batch_fn(mask, *arg_cols) -> list of
-    # cap results (None = null). The bridge prefers it over the row loop —
-    # the analog of the reference evaluating a whole Arrow batch per JVM
-    # callback (comet_udf_bridge.rs:29) instead of a value at a time;
-    # from_json/to_json route through pandas' C JSON codecs this way.
+    # cap results (None = null) or a ready ColumnVector. The bridge prefers
+    # it over the row loop — the analog of the reference evaluating a whole
+    # Arrow batch per JVM callback (comet_udf_bridge.rs:29) instead of a
+    # value at a time. batch_mode "py" passes python value lists; "raw"
+    # passes the argument ColumnVectors as host-numpy planes (no per-row
+    # python materialization on the INPUT side either).
     batch_fn: object = None
+    batch_mode: str = "py"
 
     def children(self):
         return self.args

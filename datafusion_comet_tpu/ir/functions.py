@@ -549,51 +549,70 @@ def from_json(child: E.Expr, schema: T.DataType) -> E.PythonUdf:
         except (ValueError, TypeError):
             return None
 
-    def batch_fn(mask, col):
-        """Columnar parse: live rows join into one newline-delimited JSON
-        buffer parsed by pyarrow's multithreaded C++ reader against the
-        explicit target schema (the columnar analog of the reference's
-        from_json.rs batch kernel); any coercion/malformed-row error falls
-        back to the exact row-at-a-time path for the whole batch."""
-        n = len(col)
+    def batch_fn(mask, cv):
+        """Fully-columnar parse, RAW batch mode: the input string column's
+        byte planes go straight into one newline-delimited JSON buffer
+        (tails padded with spaces — legal JSON whitespace — so the matrix
+        flattens without ragged copies), pyarrow's multithreaded C++
+        reader parses it against the explicit target schema, and the SoA
+        output planes build from the arrow buffers. NO per-row python
+        value exists on either side (the columnar analog of the
+        reference's from_json.rs batch kernel). Any coercion/malformed-row
+        error falls back to the exact row-at-a-time path."""
+        import numpy as _np
+
+        mask = _np.asarray(mask)
+        n = mask.shape[0]
+        if cv.is_dict:
+            codes = _np.asarray(cv.data)
+            mat = cv.dictionary.values[codes]
+            lens = cv.dictionary.lengths[codes]
+        else:
+            mat = _np.asarray(cv.data)
+            lens = _np.asarray(cv.lengths)
+        valid = _np.asarray(cv.validity)
+        live = _np.nonzero(mask & valid)[0]
         out = [None] * n
-        live = [i for i in range(n) if mask[i] and col[i] is not None]
-        if not live:
+        if live.size == 0:
             return out
-        vals = None
         if schema.is_struct and _pa_json_ok(schema):
             import io as _io
 
             import pyarrow as pa
             from pyarrow import json as pj
 
+            lm = mat[live]
+            ll = lens[live]
+            w = lm.shape[1]
+            keep = _np.arange(w)[None, :] < ll[:, None]
+            buf = _np.empty((live.size, w + 1), _np.uint8)
+            buf[:, :w] = _np.where(keep, lm, 0x20)
+            buf[:, w] = 0x0A
             try:
                 tbl = pj.read_json(
-                    _io.BytesIO(("\n".join(col[i] for i in live)).encode()),
+                    _io.BytesIO(buf.tobytes()),
                     parse_options=pj.ParseOptions(
                         explicit_schema=pa.schema(
                             [pa.field(f.name, _pa_json_type(f.dtype))
                              for f in schema.struct_fields]),
                         unexpected_field_behavior="ignore"),
                 )
-                if tbl.num_rows == len(live):
-                    # fully-columnar: arrow columns -> SoA planes without a
-                    # per-row python materialization
-                    cv = _cv_from_arrow(
+                if tbl.num_rows == live.size:
+                    res = _cv_from_arrow(
                         tbl.to_struct_array().combine_chunks(), schema,
                         live, n)
-                    if cv is not None:
-                        return cv
-                    vals = tbl.to_pylist()
+                    if res is not None:
+                        return res
             except Exception:
-                vals = None
-        if vals is None:
-            vals = [fn(col[i]) for i in live]
-        for i, v in zip(live, vals):
-            out[i] = v
+                pass
+        # exact fallback: decode live rows to python strings, row loop
+        for i in live:
+            s = bytes(mat[i, :lens[i]]).decode("utf-8", "replace")
+            out[i] = fn(s)
         return out
 
-    return E.PythonUdf(fn, (child,), schema, "from_json", batch_fn=batch_fn)
+    return E.PythonUdf(fn, (child,), schema, "from_json",
+                       batch_fn=batch_fn, batch_mode="raw")
 
 
 def _pa_json_ok(dt: T.DataType) -> bool:
@@ -650,7 +669,8 @@ def _cv_from_arrow(arr, dt: T.DataType, live, cap: int):
         # pad straight from the arrow offsets/data buffers (no per-row
         # python decode): one vectorized gather into the byte matrix
         a = arr.fill_null("") if arr.null_count else arr
-        offs = np.asarray(a.offsets, dtype=np.int64)
+        all_offs = np.frombuffer(a.buffers()[1], np.int32)
+        offs = all_offs[a.offset: a.offset + len(a) + 1].astype(np.int64)
         data = np.frombuffer(a.buffers()[2] or b"", np.uint8)
         lens_live = np.diff(offs).astype(np.int32)
         W = dt.byte_width
