@@ -14,13 +14,17 @@ splits the work differently:
   (reshape + shift arithmetic on the MXU/VPU — no per-value gathers,
   which cost ~180 ms per 8M rows on v5e regardless of index pattern).
 
-Scope: flat (non-nested) columns plus LIST<numeric> via rep/def-level
-device decode (exec/decode.py decode_list_column_chunk); PLAIN
-dictionaries, PLAIN_DICTIONARY/RLE_DICTIONARY data pages (v1), DELTA and
-byte-stream-split encodings — the layouts TPC-style integer/decimal fact
-columns actually use. STRUCT/MAP and nested-string columns still
-host-decode via pyarrow (io/parquet.py); the reference decodes all
-nestings natively (parquet_exec.rs:60).
+Scope: flat (non-nested) columns, LIST<numeric> (decode_list_column_chunk),
+LIST<string> over dictionary pages (decode_list_string_column_chunk),
+STRUCT of primitive leaves (decode_struct_leaf_chunk), and
+MAP<primitive, primitive> (io/parquet.py _map_cv — both key_value leaves
+reuse the LIST machinery); PLAIN dictionaries, PLAIN_DICTIONARY/
+RLE_DICTIONARY data pages (v1), DELTA and byte-stream-split encodings —
+the layouts TPC-style integer/decimal fact columns actually use.
+Remaining host fallbacks: PLAIN (non-dictionary) string pages, deeper
+nestings (LIST<LIST>, LIST<STRUCT>, MAP with string keys/values) via
+pyarrow (io/parquet.py); the reference decodes all nestings natively
+(parquet_exec.rs:60).
 """
 
 from __future__ import annotations

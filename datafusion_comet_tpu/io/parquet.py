@@ -373,6 +373,84 @@ def _struct_cv(pf, path: str, name: str, kids_meta, arrow_schema,
     return cv, sdt
 
 
+def _map_cv(pf, path: str, name: str, key_leaf, val_leaf, final_schema,
+            cap: int, np_of):
+    """Device-decode a MAP<primitive, primitive> column to the engine's
+    entry-list planes (map = LIST of STRUCT<key,value>, types.py map_).
+
+    Parquet encodes a map as the repeated ``key_value`` group with two
+    leaves sharing ONE repetition stream: ``key`` (required under the
+    entry) and ``value`` (usually optional). Structurally each leaf IS a
+    1-level LIST column — the key a LIST<required prim>, the value a
+    LIST<nullable prim> — so both reuse decode_list_column_chunk
+    unchanged: levels scan on host (structure), values bit-unpack on
+    device, one scatter builds each (rows, E) plane. Entries then sort by
+    key ON DEVICE per row (the engine's map normalization, types.py
+    map_), absent slots riding behind a +max sentinel.
+
+    Reference decodes all nestings natively under parquet_exec.rs:60;
+    map semantics per spark-expr/src/map_funcs (map_sort normalization).
+    """
+    import jax.numpy as jnp
+
+    from datafusion_comet_tpu.exec.batch import ColumnVector
+    from datafusion_comet_tpu.exec.decode import (decode_list_column_chunk,
+                                                  scan_list_levels)
+    from datafusion_comet_tpu.io.pages import read_column_pages
+
+    t_of = {"INT32": T.INT32, "INT64": T.INT64,
+            "FLOAT": T.FLOAT32, "DOUBLE": T.FLOAT64}
+    (kci, kpt), (vci, vpt) = key_leaf, val_leaf
+    declared = None
+    if final_schema is not None:
+        fdecl = next((f for f in final_schema.fields if f.name == name), None)
+        if fdecl is not None and fdecl.dtype.is_map:
+            declared = fdecl.dtype.max_elems
+    maxc = 0
+    for rg in range(pf.metadata.num_row_groups):
+        st = scan_list_levels(read_column_pages(path, rg, kci))
+        if st["counts"].size:
+            maxc = max(maxc, int(st["counts"].max()))
+    E_ = declared if declared else max(1 << max(maxc - 1, 0).bit_length(), 1)
+
+    def cat(xs):
+        return jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+
+    kc, kv, kd, kev, vd, vev = [], [], [], [], [], []
+    for rg in range(pf.metadata.num_row_groups):
+        c_, v_, d_, ev_, _ = decode_list_column_chunk(
+            path, rg, kci, np_of[kpt], max_elems=E_)
+        kc.append(c_); kv.append(v_); kd.append(d_); kev.append(ev_)
+        _, _, dv_, evv_, _ = decode_list_column_chunk(
+            path, rg, vci, np_of[vpt], max_elems=E_)
+        vd.append(dv_); vev.append(evv_)
+    counts, mvalid = cat(kc).astype(jnp.int32), cat(kv)
+    kplane, entry_v = cat(kd), cat(kev)
+    vplane, vvalid = cat(vd), cat(vev)
+    # map normalization (types.py map_): entries sorted by key per row;
+    # absent slots carry the dtype's max sentinel so they sort last
+    sentinel = (jnp.inf if jnp.issubdtype(kplane.dtype, jnp.floating)
+                else jnp.iinfo(kplane.dtype).max)
+    order = jnp.argsort(jnp.where(entry_v, kplane, sentinel), axis=1,
+                        stable=True)
+    take = lambda p: jnp.take_along_axis(p, order, axis=1)
+    kplane, vplane = take(kplane), take(vplane)
+    entry_v, vvalid = take(entry_v), take(vvalid)
+    pad = cap - counts.shape[0]
+    counts = jnp.pad(counts, (0, pad))
+    mvalid = jnp.pad(mvalid, (0, pad))
+    pad2 = lambda p: jnp.pad(p, ((0, pad), (0, 0)))
+    kplane, vplane = pad2(kplane), pad2(vplane)
+    entry_v, vvalid = pad2(entry_v), pad2(vvalid)
+    kdt, vdt = t_of[kpt], t_of[vpt]
+    mdt = T.map_(kdt, vdt, E_)
+    key_cv = ColumnVector(kplane, entry_v, None, kdt)
+    val_cv = ColumnVector(vplane, vvalid, None, vdt)
+    elem_cv = ColumnVector(jnp.zeros((cap, E_), jnp.int8), entry_v, None,
+                           mdt.element, (key_cv, val_cv))
+    return ColumnVector(counts, mvalid, None, mdt, (elem_cv,)), mdt
+
+
 def read_parquet(
     path: str,
     columns: Optional[Sequence[str]] = None,
@@ -503,6 +581,7 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
     str_decoded = {}  # name -> (codes, valid, StringDict) pre-merged
     struct_eligible = {}  # name -> [(field, ci, phys_type, nullable), ...]
     list_str_decoded = {}  # name -> per-rg LIST<string> plane decodes
+    map_eligible = {}  # name -> ((key_ci, key_pt), (val_ci, val_pt))
     for n in names:
         if n not in arrow_schema.names:
             continue
@@ -525,6 +604,23 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
                 kids.append((f.name, leaf[0], leaf[1], f.nullable))
             if kids:
                 struct_eligible[n] = kids
+            continue
+        if pa.types.is_map(at):
+            # MAP<primitive, primitive>: the two key_value leaves share one
+            # rep stream and each is structurally a 1-level LIST column —
+            # both decode through decode_list_column_chunk (_map_cv)
+            kt, vt = at.key_type, at.item_type
+            kleaf = next((v for k, v in phys.items()
+                          if k.startswith(n + ".") and k.endswith(".key")),
+                         None)
+            vleaf = next((v for k, v in phys.items()
+                          if k.startswith(n + ".") and k.endswith(".value")),
+                         None)
+            ok = lambda t_: pa.types.is_integer(t_) or pa.types.is_floating(t_)
+            if (ok(kt) and ok(vt) and kleaf and vleaf
+                    and kleaf[1] in ("INT32", "INT64", "FLOAT", "DOUBLE")
+                    and vleaf[1] in ("INT32", "INT64", "FLOAT", "DOUBLE")):
+                map_eligible[n] = (kleaf, vleaf)
             continue
         if pa.types.is_list(at) or pa.types.is_large_list(at):
             # LIST<primitive>: levels decode on host (structure), values on
@@ -579,7 +675,8 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
             # device (exec/decode.py _expand_def_levels)
             eligible[n] = ci_pt
     device_side = (set(list_eligible) | set(str_decoded)
-                   | set(struct_eligible) | set(list_str_decoded))
+                   | set(struct_eligible) | set(list_str_decoded)
+                   | set(map_eligible))
     host_cols = [n for n in names
                  if n not in eligible and n not in device_side]
     flat_names = [n for n in names if n not in device_side]
@@ -704,6 +801,14 @@ def _read_parquet_device(path: str, columns, schema: Optional[T.Schema],
                 at_idx = names.index(n)
                 cols.insert(at_idx, cv)
                 out_fields.insert(at_idx, T.Field(n, ldt, True))
+                continue
+            if n in map_eligible:
+                kleaf, vleaf = map_eligible[n]
+                cv, mdt = _map_cv(pf, path, n, kleaf, vleaf, final_schema,
+                                  cap, np_of)
+                at_idx = names.index(n)
+                cols.insert(at_idx, cv)
+                out_fields.insert(at_idx, T.Field(n, mdt, True))
                 continue
             ci, pt = list_eligible[n]
             declared = None

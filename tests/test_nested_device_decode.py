@@ -248,3 +248,71 @@ def test_read_parquet_device_list_string_declared_width(tmp_path):
     batch = read_parquet(p, schema=schema, device_decode=True)
     elem = batch.columns[0].children[0]
     assert elem.data.shape[1] == 4 and elem.data.shape[2] == 8
+
+
+# ---- MAP<primitive, primitive> device decode (io/parquet.py _map_cv) ----
+
+
+def _maps(rng, n):
+    out = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.1:
+            out.append(None)
+        elif r < 0.2:
+            out.append({})
+        else:
+            k = int(rng.integers(1, 6))
+            keys = rng.choice(100, size=k, replace=False)
+            out.append({int(kk): (None if rng.random() < 0.15
+                                  else float(rng.random()))
+                        for kk in keys})
+    return out
+
+
+def test_read_parquet_device_map_column(tmp_path):
+    rng = np.random.default_rng(11)
+    vals = _maps(rng, 2500)
+    arr = pa.array([None if v is None else list(v.items()) for v in vals],
+                   pa.map_(pa.int64(), pa.float64()))
+    t = pa.table({"k": pa.array(np.arange(2500, dtype=np.int64)), "m": arr})
+    p = str(tmp_path / "maps.parquet")
+    pq.write_table(t, p, compression="zstd", row_group_size=900)
+    batch = read_parquet(p, device_decode=True)
+    mf = next(f for f in batch.schema.fields if f.name == "m")
+    assert mf.dtype.is_map
+    cv = batch.columns[[f.name for f in batch.schema.fields].index("m")]
+    host = nested_to_py(cv, np.arange(len(vals)))
+    assert host == vals
+
+
+def test_read_parquet_device_map_declared_capacity(tmp_path):
+    vals = [{1: 2.0, 3: 4.0}, None, {}, {9: None}]
+    arr = pa.array([None if v is None else list(v.items()) for v in vals],
+                   pa.map_(pa.int64(), pa.float64()))
+    t = pa.table({"m": arr})
+    p = str(tmp_path / "maps_decl.parquet")
+    pq.write_table(t, p)
+    schema = T.Schema([T.Field("m", T.map_(T.INT64, T.FLOAT64, 8), True)])
+    batch = read_parquet(p, schema=schema, device_decode=True)
+    cv = batch.columns[0]
+    assert cv.children[0].children[0].data.shape[1] == 8
+    host = nested_to_py(cv, np.arange(len(vals)))
+    assert host == vals
+
+
+def test_read_parquet_device_map_key_sorted(tmp_path):
+    """Entries written key-DESCENDING must come back key-sorted (the
+    engine's map normalization, types.py map_)."""
+    items = [[(5, 1.0), (3, 2.0), (1, 3.0)], [(9, 0.5), (2, 0.25)]]
+    arr = pa.array(items, pa.map_(pa.int64(), pa.float64()))
+    t = pa.table({"m": arr})
+    p = str(tmp_path / "maps_sort.parquet")
+    pq.write_table(t, p)
+    batch = read_parquet(p, device_decode=True)
+    cv = batch.columns[0]
+    keys = np.asarray(cv.children[0].children[0].data)
+    assert list(keys[0][:3]) == [1, 3, 5]
+    assert list(keys[1][:2]) == [2, 9]
+    host = nested_to_py(cv, np.arange(2))
+    assert host == [dict(it) for it in items]
