@@ -43,44 +43,64 @@ import numpy as np
 def tile_partition_sort_pallas(codes: jax.Array, limbs: jax.Array,
                                K: int, tile: int):
     """codes: (N,) int32 in [0, K); limbs: (N, L) f32 (16-bit-limb planes).
-    Returns (sorted_limbs (N, L), counts (N//tile, K))."""
+    Returns (sorted_limbs (N, L), counts (N//tile, K)).
+
+    The codes ride as an extra f32 column of the limb matrix: Mosaic
+    rejects a separate 1-D s32 operand (XLA lays s32[N] out with a
+    (1024) tile that no per-grid-step block matches), while a 2-D block
+    whose last dim equals the array's is always legal — and the code
+    column then permutes with its rows for free."""
     from jax.experimental import pallas as pl
 
     N, L = limbs.shape
     T = N // tile
+    KP = 128  # counts ride an (8, 128) block per grid step (Mosaic tiling)
+    assert K <= KP
+    both = jnp.concatenate([limbs, codes.astype(jnp.float32)[:, None]],
+                           axis=1)  # (N, L+1)
 
-    def kernel(codes_ref, limbs_ref, out_ref, counts_ref):
-        c = codes_ref[:]  # (tile,)
-        rows = limbs_ref[:]  # (tile, L)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tile, K), 1)
-        onehot = (cols == c[:, None]).astype(jnp.float32)  # (tile, K)
+    def kernel(limbs_ref, out_ref, counts_ref):
+        rows = limbs_ref[:]  # (tile, L+1); last column = partition code
+        c = rows[:, L].astype(jnp.int32)  # (tile,)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile, KP), 1)
+        onehot = (cols == c[:, None]).astype(jnp.float32)  # (tile, KP)
         # stable in-tile counting sort destinations:
         #   dst[j] = starts[c[j]] + rank_within_code[j]
-        counts = jnp.sum(onehot, axis=0)  # (K,)
-        starts = jnp.concatenate(
-            [jnp.zeros((1,), jnp.float32), jnp.cumsum(counts)[:-1]])
-        csum = jnp.cumsum(onehot, axis=0) - onehot  # exclusive, (tile, K)
+        # Mosaic has no cumsum lowering — prefix sums are triangular
+        # matmuls, which is MXU work anyway.
+        counts = jnp.sum(onehot, axis=0)  # (KP,)
+        i0 = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+        tri = (i0 > i1).astype(jnp.float32)  # strictly-lower: exclusive
+        csum = jnp.dot(tri, onehot, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)  # (tile, KP)
+        k0 = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 0)
+        k1 = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 1)
+        ut = (k0 < k1).astype(jnp.float32)  # strictly-upper
+        starts = jnp.dot(counts[None, :], ut, precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)  # (1, KP)
         rank = jnp.sum(csum * onehot, axis=1)  # (tile,)
-        base = jnp.sum(starts[None, :] * onehot, axis=1)
+        base = jnp.sum(starts * onehot, axis=1)
         dst = (base + rank).astype(jnp.int32)  # (tile,)
         # permutation one-hot: perm[d, j] = (dst[j] == d)
         drows = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
         perm = (drows == dst[None, :]).astype(jnp.float32)
-        out_ref[:] = jnp.dot(perm, rows,
+        out_ref[:] = jnp.dot(perm, rows, precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32)
-        counts_ref[:] = counts[None, :]
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (8, KP), 0) == 0
+        counts_ref[:] = jnp.where(row0, counts[None, :], 0.0)
 
-    return pl.pallas_call(
+    out, counts8 = pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=[pl.BlockSpec((tile,), lambda t: (t,)),
-                  pl.BlockSpec((tile, L), lambda t: (t, 0))],
-        out_specs=[pl.BlockSpec((tile, L), lambda t: (t, 0)),
-                   pl.BlockSpec((1, K), lambda t: (t, 0))],
-        out_shape=[jax.ShapeDtypeStruct((N, L), jnp.float32),
-                   jax.ShapeDtypeStruct((T, K), jnp.float32)],
+        in_specs=[pl.BlockSpec((tile, L + 1), lambda t: (t, 0))],
+        out_specs=[pl.BlockSpec((tile, L + 1), lambda t: (t, 0)),
+                   pl.BlockSpec((8, KP), lambda t: (t, 0))],
+        out_shape=[jax.ShapeDtypeStruct((N, L + 1), jnp.float32),
+                   jax.ShapeDtypeStruct((T * 8, KP), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
-    )(codes, limbs)
+    )(both)
+    return out[:, :L], counts8.reshape(T, 8, KP)[:, 0, :K]
 
 
 def pack_limbs(vals: np.ndarray) -> np.ndarray:
@@ -92,14 +112,23 @@ def pack_limbs(vals: np.ndarray) -> np.ndarray:
     return out
 
 
+def _sync(out):
+    """Force completion via a 1-element host transfer: under the axon
+    tunnel block_until_ready can return before the remote execution
+    lands (timings read 2000+ GB/s, above the HBM roofline); a
+    device->host copy of any output buffer genuinely waits."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def bench(fn, *args, reps=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
