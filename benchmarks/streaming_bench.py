@@ -47,10 +47,14 @@ def main() -> None:
     }
     schema = T.Schema([T.Field("k", T.INT8), T.Field("a", T.INT64),
                        T.Field("b", T.FLOAT64)])
+    # sum/min/count (not avg): the avg-carrying merge program
+    # deterministically SIGSEGV'd the tunnel AOT compiler on the v5e
+    # (known_issues.md remote-compiler SIGSEGV class); the overlap
+    # question — producer staging vs device partial-agg — is identical
     plan = P.Scan("t", schema).aggregate(
         [E.col("k")],
         [E.AggExpr("sum", E.col("a"), "sa"),
-         E.AggExpr("avg", E.col("b"), "ab"),
+         E.AggExpr("min", E.col("b"), "mb"),
          E.AggExpr("count", None, "n")],
     )
 
@@ -63,9 +67,10 @@ def main() -> None:
                 t0 = time.time()
                 out = S.execute_tiled_aggregate(
                     plan, S.numpy_tiles(data, schema, args.tile), "t")
-                import jax
-
-                jax.block_until_ready(out.row_mask)
+                # force a host transfer: under the axon tunnel
+                # block_until_ready can return before the remote
+                # execution lands (see pallas_scatter_probe._sync)
+                np.asarray(out.row_mask[:1])
                 best = min(best, time.time() - t0)
             return best
         finally:
